@@ -1,13 +1,30 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * The catalog is assembled from one object per operator family under
+  * `graft.queries`; every entry has a DuckDB oracle unless the operator is
+  * genuinely not SQL-expressible (those get the driver's rows-only check).
+  */
 object SparkEntry {
+  private def catalogs = Seq(
+    _root_.graft.queries.Relational.queries,
+  )
+  private def oracleCatalogs = Seq(
+    _root_.graft.queries.Relational.oracles,
+  )
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    catalogs.reduce(_ ++ _)
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    oracleCatalogs.reduce(_ ++ _)
 }

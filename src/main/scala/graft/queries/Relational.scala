@@ -1,0 +1,287 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.model.Tables
+
+/** Core relational surface (SURVEY §2.3 J6, §2.4 A8, §2.5 W4, §2.6–2.8).
+  *
+  * Determinism rules (SURVEY §7.6.1): every query ends in an ORDER BY on a
+  * unique key; money arithmetic runs in exact DECIMAL and is cast to DOUBLE
+  * only at the output boundary, so Spark and the DuckDB oracle agree
+  * bit-for-bit regardless of summation order; computed integers are cast to
+  * BIGINT to match DuckDB's output types.
+  *
+  * Scale notes: star joins broadcast every dimension side (region/nation/
+  * customer/supplier/part stay small relative to facts at any SF); the only
+  * shuffles are the fact-side aggregations, which do map-side partial
+  * aggregation for free. Filters are literal predicates that push down to
+  * the parquet scan (verified via explain: PushedFilters).
+  */
+object Relational {
+
+  // Exact decimal views of the money/measure columns. DECIMAL(12,2) holds
+  // any price in the data; DECIMAL(6,4) holds the (1±x) factors. Products
+  // stay well under precision 38 in both Spark and DuckDB.
+  private def dPrice(c: Column) = c.cast("decimal(12,2)")
+  private def dFrac(c: Column)  = c.cast("decimal(6,4)")
+  private def asD(c: Column)    = c.cast("double")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> ((s, dir) => {
+      val l = Tables(s, dir).lineitem
+        .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      l.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          asD(sum(dPrice(col("l_quantity")))).as("sum_qty"),
+          asD(sum(dPrice(col("l_extendedprice")))).as("sum_base_price"),
+          asD(sum(dPrice(col("l_extendedprice")) * dFrac(lit(1.0) - col("l_discount"))))
+            .as("sum_disc_price"),
+          asD(sum(dPrice(col("l_extendedprice")) * dFrac(lit(1.0) - col("l_discount"))
+            * dFrac(lit(1.0) + col("l_tax")))).as("sum_charge"),
+          round(asD(sum(dPrice(col("l_quantity")))) / count(lit(1)), 6).as("avg_qty"),
+          round(asD(sum(dPrice(col("l_extendedprice")))) / count(lit(1)), 6).as("avg_price"),
+          round(asD(sum(dFrac(col("l_discount")))) / count(lit(1)), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    "q02_star_revenue" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      // Star join: fact lineitem → orders, then broadcast all dims so the
+      // fact side never shuffles on a dimension key (SURVEY §2.3 J6).
+      t.lineitem
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          asD(sum(dPrice(col("l_extendedprice")) * dFrac(lit(1.0) - col("l_discount"))))
+            .as("revenue"),
+          countDistinct(col("o_custkey")).as("n_customers"),
+          count(lit(1)).as("n_lineitems"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    "q03_topk_orders" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      // Global top-k: orderBy+limit plans TakeOrderedAndProject — no full
+      // sort materializes; per-partition heaps feed a single driver merge.
+      t.lineitem
+        .groupBy(col("l_orderkey"))
+        .agg(asD(sum(dPrice(col("l_extendedprice")) * dFrac(lit(1.0) - col("l_discount"))))
+          .as("revenue"))
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"), col("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    "q04_semi_join" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      // EXISTS → LEFT SEMI: no fan-out, only the probe side survives.
+      t.customer
+        .join(t.orders.where(col("o_orderstatus") === "F"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "q05_anti_join" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      // NOT EXISTS → LEFT ANTI.
+      t.customer
+        .join(t.orders, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "q06_revenue_forecast" -> ((s, dir) => {
+      // TPC-H Q6 shape: pure scan+filter+agg; all predicates push to parquet.
+      Tables(s, dir).lineitem
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1997-01-01").cast("timestamp")
+          && col("l_discount").between(0.05, 0.07)
+          && col("l_quantity") < 24)
+        .agg(
+          asD(sum(dPrice(col("l_extendedprice")) * dFrac(col("l_discount")))).as("promo_revenue"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    "q07_rollup" -> ((s, dir) => {
+      Tables(s, dir).lineitem
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          asD(sum(dPrice(col("l_quantity")))).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("sum_qty"))
+        .orderBy(col("rf"), col("ls"))
+    }),
+
+    "q08_cube" -> ((s, dir) => {
+      Tables(s, dir).orders
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          asD(sum(dPrice(col("o_totalprice")))).as("sum_price"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("sum_price"))
+        .orderBy(col("status"), col("priority"))
+    }),
+
+    "q09_window_topk" -> ((s, dir) => {
+      // Per-group top-k: rank inside the group, filter — the canonical W4.
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables(s, dir).orders
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .where(col("rnk") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rnk"))
+        .orderBy(col("o_custkey"), col("rnk"))
+    }),
+
+    "q10_running_spend" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables(s, dir).orders
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          asD(sum(dPrice(col("o_totalprice"))).over(w)).as("running_spend"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    "q11_event_summary" -> ((s, dir) => {
+      Tables(s, dir).events
+        .groupBy(col("event_type"))
+        .agg(
+          countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"),
+          asD(sum(dPrice(col("value")))).as("total_value"))
+        .orderBy(col("event_type"))
+    }),
+
+    "q12_set_ops" -> ((s, dir) => {
+      val c = Tables(s, dir).customer
+      val a = c.where(col("c_mktsegment") === "FURNITURE").select(col("c_custkey"))
+      val b = c.where(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val pos = c.where(col("c_acctbal") > 1000).select(col("c_custkey"))
+      val low = c.where(col("c_acctbal") < 2000).select(col("c_custkey"))
+      a.union(b).distinct()            // UNION (set semantics)
+        .intersect(pos)                // INTERSECT DISTINCT
+        .except(low)                   // EXCEPT DISTINCT
+        .orderBy(col("c_custkey"))
+    }),
+  )
+
+  // DuckDB dialect of each query, value-identical by construction.
+  def oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(6,4))) AS DOUBLE) AS sum_disc_price,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(6,4)) * CAST(1.0 + l_tax AS DECIMAL(6,4))) AS DOUBLE) AS sum_charge,
+        | ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+        | ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+        | ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(6,4))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+        | COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_star_revenue" ->
+      """SELECT r_name, n_name,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(6,4))) AS DOUBLE) AS revenue,
+        | COUNT(DISTINCT o_custkey) AS n_customers,
+        | COUNT(*) AS n_lineitems
+        |FROM lineitem
+        | JOIN orders   ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation   ON c_nationkey = n_nationkey
+        | JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "q03_topk_orders" ->
+      """SELECT o_orderkey, o_orderdate, o_orderpriority, revenue FROM (
+        | SELECT l_orderkey,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(6,4))) AS DOUBLE) AS revenue
+        | FROM lineitem GROUP BY l_orderkey) rev
+        |JOIN orders ON l_orderkey = o_orderkey
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q04_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q05_anti_join" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q06_revenue_forecast" ->
+      """SELECT
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(6,4))) AS DOUBLE) AS promo_revenue,
+        | COUNT(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q07_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+
+    "q08_cube" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status, COALESCE(o_orderpriority, 'ALL') AS priority,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+
+    "q09_window_topk" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+        | SELECT o_custkey, o_orderkey, o_totalprice,
+        |  ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        | FROM orders) t
+        |WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin,
+
+    "q10_running_spend" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+        |   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS running_spend,
+        | LAG(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q11_event_summary" ->
+      """SELECT event_type,
+        | COUNT(DISTINCT user_id) AS n_users,
+        | COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q12_set_ops" ->
+      """SELECT c_custkey FROM (
+        | (
+        |  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'FURNITURE'
+        |   UNION
+        |   SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |  INTERSECT
+        |  SELECT c_custkey FROM customer WHERE c_acctbal > 1000
+        | )
+        | EXCEPT
+        | SELECT c_custkey FROM customer WHERE c_acctbal < 2000
+        |) t ORDER BY c_custkey""".stripMargin,
+  )
+}

@@ -1,0 +1,84 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's t2 correctness gate.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+Reads every <verifyOutDir>/<name> parquet (written by graft.Verify), runs the
+matching oracle SQL from <verifyOutDir>/oracle_sql.json in DuckDB against the
+sfDir tables, and compares: column names (sorted), row counts, and values
+(columns sorted by name, exact match after canonicalization).
+
+Dev-only tool for fast iteration; the real gate is driver-side.
+"""
+import sys, json, glob, os
+import duckdb
+
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+
+def canon(df):
+    import pandas as pd
+    df = df.reindex(sorted(df.columns), axis=1)
+    out = []
+    for col in df.columns:
+        s = df[col]
+        if str(s.dtype).startswith("datetime"):
+            s = s.astype("datetime64[us]")
+        out.append(s)
+    return pd.concat(out, axis=1)
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        try:
+            spark_df = con.execute(
+                f"SELECT * FROM read_parquet({files!r})").df()
+            duck_df = con.execute(oracle[name]).df()
+        except Exception as e:
+            print(f"FAIL {name}: {e}")
+            n_fail += 1
+            continue
+        a, b = canon(spark_df), canon(duck_df)
+        if list(a.columns) != list(b.columns):
+            print(f"FAIL {name}: columns spark={list(a.columns)} duck={list(b.columns)}")
+            n_fail += 1
+            continue
+        if len(a) != len(b):
+            print(f"FAIL {name}: rows spark={len(a)} duck={len(b)}")
+            n_fail += 1
+            continue
+        if not a.reset_index(drop=True).equals(b.reset_index(drop=True)):
+            neq = (a.reset_index(drop=True) != b.reset_index(drop=True))
+            bad_cols = [c for c in a.columns if neq[c].any()]
+            # Show dtype + first mismatching row per bad column.
+            detail = []
+            for c in bad_cols[:4]:
+                i = neq[c].idxmax()
+                detail.append(f"{c}[{a[c].dtype} vs {b[c].dtype}] row{i}: "
+                              f"{a[c].iloc[i]!r} != {b[c].iloc[i]!r}")
+            print(f"FAIL {name}: values differ in {bad_cols} :: " + " | ".join(detail))
+            n_fail += 1
+            continue
+        print(f"PASS {name} ({len(a)} rows, {len(a.columns)} cols)")
+        n_pass += 1
+    missing = set(oracle) - set()
+    print(f"== {n_pass} pass / {n_fail} fail / {len(oracle)} total")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
