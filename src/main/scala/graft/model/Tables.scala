@@ -1,6 +1,7 @@
 package graft.model
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Typed views of the driver-generated parquet tables (see TESTDATA.md /
   * FIXTURES.md §1). Every query receives an `sfDir` and reads through here,
@@ -8,13 +9,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Scale note: at 100 TB the fact tables (`lineitem`, `orders`, `events`,
   * `documents`, `embeddings`) arrive partitioned; dimension tables
-  * (`region`, `nation`, `customer`, `supplier`, `part`) stay broadcastable.
-  * `dim()` wraps them in an explicit broadcast hint so star joins never
+  * (`region`, `nation`, `customer`, `supplier`, `part`) stay broadcastable —
+  * `dim()` wraps a table in an explicit broadcast hint so star joins never
   * shuffle the fact side on a dimension key.
   */
 final case class Tables(spark: SparkSession, sfDir: String) {
   private def t(name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Explicit broadcast hint for dimension-sized tables (SURVEY §2.3 J6). */
+  def dim(df: DataFrame): DataFrame = broadcast(df)
 
   def region: DataFrame     = t("region")
   def nation: DataFrame     = t("nation")
@@ -23,7 +27,19 @@ final case class Tables(spark: SparkSession, sfDir: String) {
   def part: DataFrame       = t("part")
   def orders: DataFrame     = t("orders")
   def lineitem: DataFrame   = t("lineitem")
-  def events: DataFrame     = t("events")
+
+  /** `events.ts` is parquet timestamp[ns], which Spark 4.x refuses to read
+    * natively ([PARQUET_TYPE_ILLEGAL]). Read it as a raw nanosecond LONG
+    * (legacy conf) and floor-truncate to a microsecond TIMESTAMP — exactly
+    * what DuckDB does when it reads the same column, so oracle hashes line
+    * up. Integer `div` avoids the double-rounding a `/ 1000` would risk at
+    * 1.7e18 ns magnitudes. Every events query inherits this conversion.
+    */
+  def events: DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t("events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")
 }

@@ -26,7 +26,12 @@ object Relational {
   // stay well under precision 38 in both Spark and DuckDB.
   private def dPrice(c: Column) = c.cast("decimal(12,2)")
   private def dFrac(c: Column)  = c.cast("decimal(6,4)")
-  private def asD(c: Column)    = c.cast("double")
+  // Output boundary for decimal sums: squeeze to scale 6 (exact — the
+  // source data carries ≤6 meaningful decimals) BEFORE the double cast.
+  // DuckDB's int128 decimal→double conversion is off by 1 ulp once the
+  // unscaled value exceeds 53 bits; at scale 6 the mantissa stays small
+  // enough that both engines convert correctly rounded.
+  private def asD(c: Column)    = c.cast("decimal(38,6)").cast("double")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> ((s, dir) => {
@@ -53,9 +58,9 @@ object Relational {
       // fact side never shuffles on a dimension key (SURVEY §2.3 J6).
       t.lineitem
         .join(t.orders, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
-        .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+        .join(t.dim(t.customer), col("o_custkey") === col("c_custkey"))
+        .join(t.dim(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .join(t.dim(t.region), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
         .agg(
           asD(sum(dPrice(col("l_extendedprice")) * dFrac(lit(1.0) - col("l_discount"))))
@@ -111,26 +116,34 @@ object Relational {
     }),
 
     "q07_rollup" -> ((s, dir) => {
+      // grouping() (not coalesce) labels subtotal rows, so genuine NULL data
+      // values can never be conflated with subtotals.
       Tables(s, dir).lineitem
         .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("n"),
+        .agg(
+          // grouping() is only valid inside the Aggregate operator, so the
+          // subtotal labels are computed here, not in a downstream select.
+          when(grouping(col("l_returnflag")) === 1, lit("ALL"))
+            .otherwise(col("l_returnflag")).as("rf"),
+          when(grouping(col("l_linestatus")) === 1, lit("ALL"))
+            .otherwise(col("l_linestatus")).as("ls"),
+          count(lit(1)).as("n"),
           asD(sum(dPrice(col("l_quantity")))).as("sum_qty"))
-        .select(
-          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
-          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
-          col("n"), col("sum_qty"))
+        .select(col("rf"), col("ls"), col("n"), col("sum_qty"))
         .orderBy(col("rf"), col("ls"))
     }),
 
     "q08_cube" -> ((s, dir) => {
       Tables(s, dir).orders
         .cube(col("o_orderstatus"), col("o_orderpriority"))
-        .agg(count(lit(1)).as("n"),
+        .agg(
+          when(grouping(col("o_orderstatus")) === 1, lit("ALL"))
+            .otherwise(col("o_orderstatus")).as("status"),
+          when(grouping(col("o_orderpriority")) === 1, lit("ALL"))
+            .otherwise(col("o_orderpriority")).as("priority"),
+          count(lit(1)).as("n"),
           asD(sum(dPrice(col("o_totalprice")))).as("sum_price"))
-        .select(
-          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
-          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
-          col("n"), col("sum_price"))
+        .select(col("status"), col("priority"), col("n"), col("sum_price"))
         .orderBy(col("status"), col("priority"))
     }),
 
@@ -146,13 +159,24 @@ object Relational {
     }),
 
     "q10_running_spend" -> ((s, dir) => {
+      // Running sum + lag per customer, but the OUTPUT is bounded: one final
+      // row per customer (latest order), so the declared result grows with
+      // |customers|, never with |orders| — a full-fact-table ORDER BY +
+      // full-table emit would be a scale-killer at 100 TB.
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wDesc = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
       Tables(s, dir).orders
         .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
-          asD(sum(dPrice(col("o_totalprice"))).over(w)).as("running_spend"),
-          lag(col("o_totalprice"), 1).over(w).as("prev_price"))
-        .orderBy(col("o_custkey"), col("o_orderkey"))
+          asD(sum(dPrice(col("o_totalprice"))).over(w)).as("lifetime_spend"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          count(lit(1)).over(w).as("n_orders"),
+          row_number().over(wDesc).as("rn"))
+        .where(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("lifetime_spend"), col("prev_price"), col("n_orders"))
+        .orderBy(col("o_custkey"))
     }),
 
     "q11_event_summary" -> ((s, dir) => {
@@ -182,13 +206,13 @@ object Relational {
   def oracles: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(6,4))) AS DOUBLE) AS sum_disc_price,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(6,4)) * CAST(1.0 + l_tax AS DECIMAL(6,4))) AS DOUBLE) AS sum_charge,
-        | ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
-        | ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
-        | ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(6,4))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+        | CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_qty,
+        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_base_price,
+        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(6,4))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_disc_price,
+        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(6,4)) * CAST(1.0 + l_tax AS DECIMAL(6,4))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_charge,
+        | ROUND(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,6)) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+        | ROUND(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,6)) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+        | ROUND(CAST(CAST(SUM(CAST(l_discount AS DECIMAL(6,4))) AS DECIMAL(38,6)) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
         | COUNT(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
@@ -196,7 +220,7 @@ object Relational {
 
     "q02_star_revenue" ->
       """SELECT r_name, n_name,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(6,4))) AS DOUBLE) AS revenue,
+        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(6,4))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
         | COUNT(DISTINCT o_custkey) AS n_customers,
         | COUNT(*) AS n_lineitems
         |FROM lineitem
@@ -210,7 +234,7 @@ object Relational {
     "q03_topk_orders" ->
       """SELECT o_orderkey, o_orderdate, o_orderpriority, revenue FROM (
         | SELECT l_orderkey,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(6,4))) AS DOUBLE) AS revenue
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(6,4))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue
         | FROM lineitem GROUP BY l_orderkey) rev
         |JOIN orders ON l_orderkey = o_orderkey
         |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
@@ -228,7 +252,7 @@ object Relational {
 
     "q06_revenue_forecast" ->
       """SELECT
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(6,4))) AS DOUBLE) AS promo_revenue,
+        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(6,4))) AS DECIMAL(38,6)) AS DOUBLE) AS promo_revenue,
         | COUNT(*) AS n_rows
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -237,16 +261,20 @@ object Relational {
         |  AND l_quantity < 24""".stripMargin,
 
     "q07_rollup" ->
-      """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+      """SELECT
+        | CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS rf,
+        | CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS ls,
         | COUNT(*) AS n,
-        | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        | CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY rf, ls""".stripMargin,
 
     "q08_cube" ->
-      """SELECT COALESCE(o_orderstatus, 'ALL') AS status, COALESCE(o_orderpriority, 'ALL') AS priority,
+      """SELECT
+        | CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' ELSE o_orderstatus END AS status,
+        | CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL' ELSE o_orderpriority END AS priority,
         | COUNT(*) AS n,
-        | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        | CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
 
@@ -258,17 +286,21 @@ object Relational {
         |WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin,
 
     "q10_running_spend" ->
-      """SELECT o_custkey, o_orderkey, o_orderdate,
-        | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
-        |   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS running_spend,
-        | LAG(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price
-        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+      """SELECT o_custkey, o_orderkey, o_orderdate, lifetime_spend, prev_price, n_orders FROM (
+        | SELECT o_custkey, o_orderkey, o_orderdate,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS lifetime_spend,
+        |  LAG(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+        |  COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS n_orders,
+        |  ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        | FROM orders) t
+        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
 
     "q11_event_summary" ->
       """SELECT event_type,
         | COUNT(DISTINCT user_id) AS n_users,
         | COUNT(*) AS n_events,
-        | CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        | CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,6)) AS DOUBLE) AS total_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q12_set_ops" ->

@@ -39,7 +39,7 @@ def main():
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name in sorted(oracle):
-        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
         if not files:
             print(f"FAIL {name}: no spark output")
             n_fail += 1
@@ -75,7 +75,9 @@ def main():
             continue
         print(f"PASS {name} ({len(a)} rows, {len(a.columns)} cols)")
         n_pass += 1
-    missing = set(oracle) - set()
+    outs = {os.path.basename(d) for d in glob.glob(f"{out_dir}/*") if os.path.isdir(d)}
+    for name in sorted(outs - set(oracle)):
+        print(f"NOTE {name}: spark output without oracle (rows-only check driver-side)")
     print(f"== {n_pass} pass / {n_fail} fail / {len(oracle)} total")
     sys.exit(1 if n_fail else 0)
 
