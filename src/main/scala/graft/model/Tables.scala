@@ -29,16 +29,17 @@ final case class Tables(spark: SparkSession, sfDir: String) {
   def lineitem: DataFrame   = t("lineitem")
 
   /** `events.ts` is parquet timestamp[ns], which Spark 4.x refuses to read
-    * natively ([PARQUET_TYPE_ILLEGAL]). Read it as a raw nanosecond LONG
-    * (legacy conf) and floor-truncate to a microsecond TIMESTAMP — exactly
-    * what DuckDB does when it reads the same column, so oracle hashes line
-    * up. Integer `div` avoids the double-rounding a `/ 1000` would risk at
-    * 1.7e18 ns magnitudes. Every events query inherits this conversion.
+    * natively ([PARQUET_TYPE_ILLEGAL]). The session builders (Verify/Bench
+    * and any test session) set `spark.sql.legacy.parquet.nanosAsLong=true`
+    * so the column arrives as a raw nanosecond LONG; here it is truncated
+    * to a microsecond TIMESTAMP — matching what DuckDB emits for the same
+    * column, so oracle hashes line up. Integer `div` truncates toward zero,
+    * which equals floor truncation for the all-positive (post-1970)
+    * timestamps in this data; pre-epoch values would differ by 1µs. Every
+    * events query inherits this conversion.
     */
-  def events: DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events: DataFrame =
     t("events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
 
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")

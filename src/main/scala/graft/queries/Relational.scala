@@ -130,7 +130,10 @@ object Relational {
           count(lit(1)).as("n"),
           asD(sum(dPrice(col("l_quantity")))).as("sum_qty"))
         .select(col("rf"), col("ls"), col("n"), col("sum_qty"))
-        .orderBy(col("rf"), col("ls"))
+        // Explicit NULLS LAST on both sides: Spark's asc default is NULLS
+        // FIRST, DuckDB's is NULLS LAST — only bites if group keys ever
+        // hold genuine NULLs, but pin it so the row order can't diverge.
+        .orderBy(col("rf").asc_nulls_last, col("ls").asc_nulls_last)
     }),
 
     "q08_cube" -> ((s, dir) => {
@@ -144,7 +147,7 @@ object Relational {
           count(lit(1)).as("n"),
           asD(sum(dPrice(col("o_totalprice")))).as("sum_price"))
         .select(col("status"), col("priority"), col("n"), col("sum_price"))
-        .orderBy(col("status"), col("priority"))
+        .orderBy(col("status").asc_nulls_last, col("priority").asc_nulls_last)
     }),
 
     "q09_window_topk" -> ((s, dir) => {
@@ -267,7 +270,7 @@ object Relational {
         | COUNT(*) AS n,
         | CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
-        |ORDER BY rf, ls""".stripMargin,
+        |ORDER BY rf NULLS LAST, ls NULLS LAST""".stripMargin,
 
     "q08_cube" ->
       """SELECT
@@ -276,7 +279,7 @@ object Relational {
         | COUNT(*) AS n,
         | CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
-        |ORDER BY status, priority""".stripMargin,
+        |ORDER BY status NULLS LAST, priority NULLS LAST""".stripMargin,
 
     "q09_window_topk" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
@@ -288,8 +291,8 @@ object Relational {
     "q10_running_spend" ->
       """SELECT o_custkey, o_orderkey, o_orderdate, lifetime_spend, prev_price, n_orders FROM (
         | SELECT o_custkey, o_orderkey, o_orderdate,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
-        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS lifetime_spend,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DECIMAL(38,6)) AS DOUBLE) AS lifetime_spend,
         |  LAG(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
         |  COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS n_orders,
         |  ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
