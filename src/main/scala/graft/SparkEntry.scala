@@ -10,9 +10,11 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 object SparkEntry {
   private def catalogs = Seq(
     _root_.graft.queries.Relational.queries,
+    _root_.graft.queries.Poster.queries,
   )
   private def oracleCatalogs = Seq(
     _root_.graft.queries.Relational.oracles,
+    _root_.graft.queries.Poster.oracles,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

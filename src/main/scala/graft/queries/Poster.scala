@@ -1,0 +1,493 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The reference-core recast (SURVEY §7.3 step 2): everything the reference
+  * actually computes — kernel construction (app.py:22-29), palette hsv→rgb
+  * (app.py:11-20), grid cross-product (app.py:39-43), edge construction
+  * (app.py:62-64), point-in-polygon (app.py:44), two-pass normalized
+  * shading (app.py:70-81), separable Gaussian blur (app.py:31-37), and the
+  * full per-cell poster pipeline with painter's-order compositing
+  * (app.py:51-93,137-150) — re-expressed as Spark DataFrame queries over
+  * the frozen PRNG fixtures (parquet under `fixtures/`, SURVEY §7.4).
+  *
+  * Cross-engine exactness: the fixtures freeze every PRNG-derived double;
+  * downstream the per-cell queries use only IEEE-754 correctly-rounded
+  * primitives (+ - * / sqrt compare), which Spark (JVM), DuckDB, and the
+  * numpy golden evaluate bit-identically, so those outputs are compared
+  * EXACTLY. Only float-ACCUMULATING outputs (kernel normalization, means,
+  * blur convolutions — where summation order differs between engines) are
+  * rounded at the output boundary.
+  *
+  * Scale stance (the 100 TB posture): the grid is a crossJoin of dimension
+  * ranges against a 14-row params table — at scale the params/edges side
+  * stays broadcastable (it is the "query", cells are the data); the parity
+  * join broadcasts 3,920 edges and partially aggregates map-side, so the
+  * only shuffle carries one row per output cell, never the 280× edge
+  * fan-out. Blur is the bounded-frame neighbor join (kernel dim table
+  * broadcast, A6/J5); compositing is max_by, one shuffle on the canvas
+  * cell key. Nothing collects to the driver.
+  */
+object Poster {
+
+  /** Fixture location — absolute so both the Spark side and the DuckDB
+    * oracle (via read_parquet) resolve the identical files. */
+  val FX = "/root/repo/fixtures"
+
+  private def fx(s: SparkSession, name: String): DataFrame =
+    s.read.parquet(s"$FX/$name.parquet")
+
+  // Reference defaults baked into the fixtures (app.py:107-113).
+  private val LX = -0.6
+  private val LY = 0.8
+  private val N = 64 // oracle-gate grid (same function as 400, smaller domain)
+
+  // ---------------------------------------------------------------- helpers
+
+  /** J1: the grid constructor — per-blob padded-bbox raster, explicit-step
+    * linspace `lo + i*step, step=(hi-lo)/(n-1)` (app.py:39-43 recast). */
+  private def grid(s: SparkSession, n: Int): DataFrame = {
+    val xs = s.range(n).select(col("id").as("x"))
+    val ys = s.range(n).select(col("id").as("y"))
+    fx(s, "blob_params")
+      .select("blob_id", "xmin", "xmax", "ymin", "ymax")
+      .crossJoin(broadcast(ys)).crossJoin(broadcast(xs))
+      .select(col("blob_id"), col("y"), col("x"),
+        (col("xmin") + col("x").cast("double") *
+          ((col("xmax") - col("xmin")) / lit((n - 1).toDouble))).as("gx"),
+        (col("ymin") + col("y").cast("double") *
+          ((col("ymax") - col("ymin")) / lit((n - 1).toDouble))).as("gy"))
+  }
+
+  /** W3: vertex list → closed edge list via lead() with wraparound
+    * (app.py:62-64; the MOVETO/LINETO chain closes implicitly). */
+  private def edges(s: SparkSession): DataFrame = {
+    val w = Window.partitionBy("blob_id").orderBy("idx")
+    val wAll = Window.partitionBy("blob_id").orderBy("idx")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    fx(s, "blob_vertices")
+      .select(col("blob_id"), col("idx").cast("long").as("idx"),
+        col("x").as("x1"), col("y").as("y1"),
+        coalesce(lead(col("x"), 1).over(w), first(col("x")).over(wAll)).as("x2"),
+        coalesce(lead(col("y"), 1).over(w), first(col("y")).over(wAll)).as("y2"))
+  }
+
+  /** P18a: even-odd ray cast of cells against edges — the crossing count
+    * parity join (app.py:44 recast; formula identical in all engines). */
+  private def inside(s: SparkSession, cells: DataFrame): DataFrame = {
+    val straddle = (col("y1") > col("gy")) =!= (col("y2") > col("gy"))
+    val xint = col("x1") + (col("x2") - col("x1")) *
+      (col("gy") - col("y1")) / (col("y2") - col("y1"))
+    cells.join(broadcast(edges(s)), "blob_id")
+      .select(col("blob_id"), col("y"), col("x"), col("gx"), col("gy"),
+        when(straddle && col("gx") < xint, 1L).otherwise(0L).as("c"))
+      .groupBy("blob_id", "y", "x", "gx", "gy")
+      .agg((sum("c") % 2 === 1).as("inside"))
+  }
+
+  /** P2–P5 + A3/A4 via J2: shade field with relational two-pass normalize —
+    * dist/light bounds are per-blob aggregates broadcast-rejoined onto the
+    * cells (the canonical normalize pattern, app.py:70-78). min/max are
+    * order-independent, so the rejoin stays bit-exact cross-engine. */
+  private def shaded(s: SparkSession, n: Int): DataFrame = {
+    val g = grid(s, n)
+      .join(broadcast(fx(s, "blob_params")
+        .select("blob_id", "cx_mean", "cy_mean")), "blob_id")
+      .select(col("blob_id"), col("y"), col("x"), col("gx"), col("gy"),
+        (col("gx") - col("cx_mean")).as("nx"),
+        (col("gy") - col("cy_mean")).as("ny"))
+      .withColumn("dist", sqrt(col("nx") * col("nx") + col("ny") * col("ny")))
+      .withColumn("light", col("nx") * lit(LX) + col("ny") * lit(LY))
+    val stats = g.groupBy("blob_id").agg(
+      max("dist").as("dist_max"), min("light").as("light_min"),
+      max("light").as("light_max"))
+    g.join(broadcast(stats), "blob_id")
+      .withColumn("radial", least(lit(1.0),
+        greatest(lit(0.0), lit(1.0) - col("dist") / col("dist_max"))))
+      .withColumn("lightn", (col("light") - col("light_min")) /
+        (col("light_max") - col("light_min")))
+      .withColumn("shade",
+        lit(0.3) + lit(0.7) * (lit(0.5) * col("radial") + lit(0.5) * col("lightn")))
+  }
+
+  private def clip01(c: Column): Column = least(lit(1.0), greatest(lit(0.0), c))
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // S3+P1+A5: gaussian kernel from scratch (app.py:22-29) — sequence
+    // source, elementwise gaussian, sum-normalize via 1-row-agg rejoin.
+    // exp() differs by ≤1 ulp between JVM and DuckDB libm → round(…,12).
+    "q13_kernel" -> ((s, _) => {
+      val raw = s.range(37)
+        .select((col("id") - 18).as("offset"))
+        .withColumn("w", exp(-(col("offset") * col("offset")).cast("double")
+          / lit(2.0 * 6.0 * 6.0)))
+      val total = raw.agg(sum("w").as("total"))
+      raw.crossJoin(broadcast(total))
+        .select(col("offset"), round(col("w") / col("total"), 12).as("weight"))
+        .orderBy("offset")
+    }),
+
+    // P9+P15+J3: hsv→rgb as pure arithmetic+CASE (colorsys recast), palette
+    // looked up through the round-robin modulo equi-join (app.py:19,146).
+    "q14_palette" -> ((s, _) => {
+      val sector = (floor(col("h") * 6.0).cast("long") % 6).as("sector")
+      val f = col("h") * 6.0 - floor(col("h") * 6.0).cast("double")
+      val pp = col("v") * (lit(1.0) - col("s"))
+      val qq = col("v") * (lit(1.0) - col("s") * f)
+      val tt = col("v") * (lit(1.0) - col("s") * (lit(1.0) - f))
+      fx(s, "blob_params").select("blob_id")
+        .join(broadcast(fx(s, "palette")), pmod(col("blob_id"), lit(14)) === col("i"))
+        .withColumn("sec", sector)
+        .select(col("blob_id"), col("i"),
+          when(col("sec") === 0, col("v")).when(col("sec") === 1, qq)
+            .when(col("sec") === 2, pp).when(col("sec") === 3, pp)
+            .when(col("sec") === 4, tt).otherwise(col("v")).as("r"),
+          when(col("sec") === 0, tt).when(col("sec") === 1, col("v"))
+            .when(col("sec") === 2, col("v")).when(col("sec") === 3, qq)
+            .when(col("sec") === 4, pp).otherwise(pp).as("g"),
+          when(col("sec") === 0, pp).when(col("sec") === 1, pp)
+            .when(col("sec") === 2, tt).when(col("sec") === 3, col("v"))
+            .when(col("sec") === 4, col("v")).otherwise(qq).as("b"))
+        .orderBy("blob_id")
+    }),
+
+    // J1+S3: the grid constructor itself (app.py:39-43).
+    "q15_grid" -> ((s, _) =>
+      grid(s, N).orderBy("blob_id", "y", "x")),
+
+    // W3 (+J4): positional vertex→edge zip with closing edge.
+    "q16_blob_edges" -> ((s, _) =>
+      edges(s).orderBy("blob_id", "idx")),
+
+    // P18a: even-odd parity join — the reference's measured hot spot
+    // (85% of its runtime, BASELINE.md).
+    "q17_point_in_polygon" -> ((s, _) =>
+      inside(s, grid(s, N))
+        .select(col("blob_id"), col("y"), col("x"), col("inside"))
+        .orderBy("blob_id", "y", "x")),
+
+    // A1+A2+A3+A4+A7: the reference's scalar aggregates, per blob — bbox,
+    // centroid, normalizer bounds, mask cardinality (app.py:56-76).
+    // Double means are summation-order-dependent → round(…,9).
+    "q18_mask_stats" -> ((s, dir) => {
+      val vstats = fx(s, "blob_vertices").groupBy("blob_id").agg(
+        min("x").as("px_min"), max("x").as("px_max"),
+        min("y").as("py_min"), max("y").as("py_max"),
+        round(sum("x") / count(lit(1)), 9).as("cx_mean"),
+        round(sum("y") / count(lit(1)), 9).as("cy_mean"))
+      val g = shaded(s, N)
+      val gstats = g.groupBy("blob_id").agg(
+        max("dist").as("dist_max"), min("light").as("light_min"),
+        max("light").as("light_max"))
+      // count(when…) keeps BIGINT on both sides — DuckDB's SUM(int) would
+      // widen to INT128 and break the dtype compare.
+      val m = inside(s, grid(s, N)).groupBy("blob_id")
+        .agg(count(when(col("inside"), lit(1))).as("n_mask_cells"))
+      vstats.join(gstats, "blob_id").join(m, "blob_id")
+        .orderBy("blob_id")
+    }),
+
+    // P2–P7+J2: the shade field with relational two-pass normalization.
+    "q19_shading" -> ((s, _) =>
+      shaded(s, N)
+        .select(col("blob_id"), col("y"), col("x"),
+          col("radial"), col("lightn"), col("shade"))
+        .orderBy("blob_id", "y", "x")),
+
+    // A6/J5/W1 (first pass): horizontal bounded-frame weighted sum of the
+    // mask — np.convolve(row, k, "same") recast as a kernel-offset join;
+    // absent neighbors ≡ zero padding. σ=2 kernel (13 taps) at the 64 grid
+    // per app.py:88 (max(2, 64·0.015)=2).
+    "q20_blur_pass1" -> ((s, _) => {
+      val m = inside(s, grid(s, N)).where(col("inside"))
+        .select("blob_id", "y", "x")
+      m.crossJoin(broadcast(fx(s, "kernel_sigma2")))
+        .select(col("blob_id"), col("y"),
+          (col("x") - col("offset").cast("long")).as("x"), col("weight"))
+        .where(col("x").between(0, N - 1))
+        .groupBy("blob_id", "y", "x")
+        .agg(round(sum("weight"), 9).as("v1"))
+        .orderBy("blob_id", "y", "x")
+    }),
+
+    // A6/O1: full separable 2-D blur — two 1-D passes (app.py:31-37), the
+    // reference's hand-rolled optimization preserved structurally. The
+    // rounded pass-1 value is the deterministic cross-engine intermediate.
+    "q21_blur_sep2d" -> ((s, _) => {
+      val k = fx(s, "kernel_sigma2")
+      val m = inside(s, grid(s, N)).where(col("inside"))
+        .select("blob_id", "y", "x")
+      val p1 = m.crossJoin(broadcast(k))
+        .select(col("blob_id"), col("y"),
+          (col("x") - col("offset").cast("long")).as("x"), col("weight"))
+        .where(col("x").between(0, N - 1))
+        .groupBy("blob_id", "y", "x")
+        .agg(round(sum("weight"), 9).as("v1"))
+      p1.crossJoin(broadcast(k))
+        .select(col("blob_id"),
+          (col("y") - col("offset").cast("long")).as("y"), col("x"),
+          (col("weight") * col("v1")).as("p"))
+        .where(col("y").between(0, N - 1))
+        .groupBy("blob_id", "y", "x")
+        .agg(round(sum("p"), 9).as("v2"))
+        .orderBy("blob_id", "y", "x")
+    }),
+
+    // The full per-cell pipeline (app.py:51-93): mask ⨝ shade → rgba.
+    // Golden-checked against fixtures/golden_cells_64.parquet in the test
+    // suite AND oracle-checked against DuckDB — all elementwise, exact.
+    "q22_poster_cells" -> ((s, _) => {
+      val sh = shaded(s, N)
+        .join(broadcast(fx(s, "blob_params")
+          .select("blob_id", "base_r", "base_g", "base_b", "depth")), "blob_id")
+      val cells = inside(s, grid(s, N))
+        .select("blob_id", "y", "x", "inside")
+      sh.join(cells, Seq("blob_id", "y", "x"))
+        .select(col("blob_id"), col("y"), col("x"), col("inside").as("mask"),
+          col("shade"),
+          clip01(col("base_r") * col("shade")).as("r"),
+          clip01(col("base_g") * col("shade")).as("g"),
+          clip01(col("base_b") * col("shade")).as("b"),
+          when(col("inside"), lit(0.4) + lit(0.6) * col("depth"))
+            .otherwise(0.0).as("a"))
+        .orderBy("blob_id", "y", "x")
+    }),
+
+    // W2: painter's-order compositing on the common [0,1]² canvas — blobs
+    // are drawn in index order (app.py:137,93), so the visible layer per
+    // cell is max_by(·, blob_id). Shade normalizers are each blob's frozen
+    // bbox-grid bounds (the reference shades in blob-local raster space).
+    "q23_poster_composite" -> ((s, _) => {
+      val xs = s.range(N).select(col("id").as("x"))
+      val ys = s.range(N).select(col("id").as("y"))
+      val canvas = ys.crossJoin(xs).select(col("y"), col("x"),
+        (col("x").cast("double") / lit((N - 1).toDouble)).as("gx"),
+        (col("y").cast("double") / lit((N - 1).toDouble)).as("gy"))
+      val p = fx(s, "blob_params")
+      val cells = p.select("blob_id").crossJoin(canvas)
+      val in = inside(s, cells).where(col("inside"))
+      val lit01 = in.join(broadcast(p), "blob_id")
+        .withColumn("nx", col("gx") - col("cx_mean"))
+        .withColumn("ny", col("gy") - col("cy_mean"))
+        .withColumn("dist", sqrt(col("nx") * col("nx") + col("ny") * col("ny")))
+        .withColumn("light", col("nx") * lit(LX) + col("ny") * lit(LY))
+        .withColumn("radial", least(lit(1.0),
+          greatest(lit(0.0), lit(1.0) - col("dist") / col("dist_max64"))))
+        .withColumn("lightn", (col("light") - col("light_min64")) /
+          (col("light_max64") - col("light_min64")))
+        .withColumn("shade",
+          lit(0.3) + lit(0.7) * (lit(0.5) * col("radial") + lit(0.5) * col("lightn")))
+      lit01.groupBy("y", "x").agg(
+        max("blob_id").as("top_blob"),
+        max_by(clip01(col("base_r") * col("shade")), col("blob_id")).as("r"),
+        max_by(clip01(col("base_g") * col("shade")), col("blob_id")).as("g"),
+        max_by(clip01(col("base_b") * col("shade")), col("blob_id")).as("b"),
+        max_by(lit(0.4) + lit(0.6) * col("depth"), col("blob_id")).as("a"))
+        .orderBy("y", "x")
+    }),
+  )
+
+  // ------------------------------------------------------------- oracles
+  // DuckDB dialect, value-identical by construction. Shared CTE fragments
+  // keep the two sides from drifting.
+
+  private val P = s"read_parquet('$FX/blob_params.parquet')"
+  private val V = s"read_parquet('$FX/blob_vertices.parquet')"
+  private val K2 = s"read_parquet('$FX/kernel_sigma2.parquet')"
+  private val PAL = s"read_parquet('$FX/palette.parquet')"
+
+  private val GRID_CTE =
+    s"""grid AS (
+       | SELECT blob_id, ty.y, tx.x,
+       |  xmin + CAST(tx.x AS DOUBLE) * ((xmax - xmin) / 63.0) AS gx,
+       |  ymin + CAST(ty.y AS DOUBLE) * ((ymax - ymin) / 63.0) AS gy
+       | FROM $P, range(64) ty(y), range(64) tx(x))""".stripMargin
+
+  private val EDGES_CTE =
+    s"""edges AS (
+       | SELECT blob_id, CAST(idx AS BIGINT) AS idx, x AS x1, y AS y1,
+       |  COALESCE(LEAD(x) OVER w, FIRST_VALUE(x) OVER w2) AS x2,
+       |  COALESCE(LEAD(y) OVER w, FIRST_VALUE(y) OVER w2) AS y2
+       | FROM $V
+       | WINDOW w AS (PARTITION BY blob_id ORDER BY idx),
+       |  w2 AS (PARTITION BY blob_id ORDER BY idx
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))"""
+      .stripMargin
+
+  private val INSIDE_CTE =
+    """inside AS (
+      | SELECT g.blob_id, g.y, g.x, g.gx, g.gy,
+      |  SUM(CASE WHEN ((e.y1 > g.gy) != (e.y2 > g.gy))
+      |            AND g.gx < e.x1 + (e.x2 - e.x1) * (g.gy - e.y1) / (e.y2 - e.y1)
+      |       THEN 1 ELSE 0 END) % 2 = 1 AS inside
+      | FROM grid g JOIN edges e USING (blob_id)
+      | GROUP BY g.blob_id, g.y, g.x, g.gx, g.gy)""".stripMargin
+
+  private val SHADED_CTE =
+    s"""pre AS (
+       | SELECT g.blob_id, g.y, g.x, g.gx, g.gy,
+       |  g.gx - p.cx_mean AS nx, g.gy - p.cy_mean AS ny,
+       |  SQRT((g.gx - p.cx_mean)*(g.gx - p.cx_mean)
+       |     + (g.gy - p.cy_mean)*(g.gy - p.cy_mean)) AS dist,
+       |  (g.gx - p.cx_mean)*(-0.6) + (g.gy - p.cy_mean)*0.8 AS light
+       | FROM grid g JOIN $P p USING (blob_id)),
+       |stats AS (
+       | SELECT blob_id, MAX(dist) AS dist_max, MIN(light) AS light_min,
+       |        MAX(light) AS light_max
+       | FROM pre GROUP BY blob_id),
+       |shadedc AS (
+       | SELECT pre.*,
+       |  LEAST(1.0, GREATEST(0.0, 1.0 - dist / dist_max)) AS radial,
+       |  (light - light_min) / (light_max - light_min) AS lightn,
+       |  0.3 + 0.7 * (0.5 * LEAST(1.0, GREATEST(0.0, 1.0 - dist / dist_max))
+       |             + 0.5 * (light - light_min) / (light_max - light_min)) AS shade
+       | FROM pre JOIN stats USING (blob_id))""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "q13_kernel" ->
+      """WITH raw AS (
+        | SELECT CAST(x - 18 AS BIGINT) AS "offset",
+        |  EXP(-(CAST((x-18)*(x-18) AS DOUBLE)) / (2.0*6.0*6.0)) AS w
+        | FROM range(37) t(x))
+        |SELECT "offset", ROUND(w / SUM(w) OVER (), 12) AS weight
+        |FROM raw ORDER BY "offset"""".stripMargin,
+
+    "q14_palette" ->
+      s"""WITH pal AS (
+         | SELECT i, h, s, v,
+         |  CAST(FLOOR(h*6.0) AS BIGINT) % 6 AS sec,
+         |  h*6.0 - FLOOR(h*6.0) AS f
+         | FROM $PAL),
+         |conv AS (
+         | SELECT i,
+         |  v*(1.0 - s) AS pp, v*(1.0 - s*f) AS qq, v*(1.0 - s*(1.0-f)) AS tt,
+         |  v, sec
+         | FROM pal)
+         |SELECT b.blob_id, c.i,
+         | CASE c.sec WHEN 0 THEN v WHEN 1 THEN qq WHEN 2 THEN pp
+         |            WHEN 3 THEN pp WHEN 4 THEN tt ELSE v END AS r,
+         | CASE c.sec WHEN 0 THEN tt WHEN 1 THEN v WHEN 2 THEN v
+         |            WHEN 3 THEN qq WHEN 4 THEN pp ELSE pp END AS g,
+         | CASE c.sec WHEN 0 THEN pp WHEN 1 THEN pp WHEN 2 THEN tt
+         |            WHEN 3 THEN v WHEN 4 THEN v ELSE qq END AS b
+         |FROM (SELECT blob_id FROM $P) b
+         |JOIN conv c ON b.blob_id % 14 = c.i
+         |ORDER BY b.blob_id""".stripMargin,
+
+    "q15_grid" ->
+      s"""WITH $GRID_CTE
+         |SELECT blob_id, y, x, gx, gy FROM grid
+         |ORDER BY blob_id, y, x""".stripMargin,
+
+    "q16_blob_edges" ->
+      s"""WITH $EDGES_CTE
+         |SELECT blob_id, idx, x1, y1, x2, y2 FROM edges
+         |ORDER BY blob_id, idx""".stripMargin,
+
+    "q17_point_in_polygon" ->
+      s"""WITH $GRID_CTE, $EDGES_CTE, $INSIDE_CTE
+         |SELECT blob_id, y, x, inside FROM inside
+         |ORDER BY blob_id, y, x""".stripMargin,
+
+    "q18_mask_stats" ->
+      s"""WITH $GRID_CTE, $EDGES_CTE, $INSIDE_CTE, $SHADED_CTE,
+         |vstats AS (
+         | SELECT blob_id,
+         |  MIN(x) AS px_min, MAX(x) AS px_max,
+         |  MIN(y) AS py_min, MAX(y) AS py_max,
+         |  ROUND(SUM(x) / COUNT(*), 9) AS cx_mean,
+         |  ROUND(SUM(y) / COUNT(*), 9) AS cy_mean
+         | FROM $V GROUP BY blob_id),
+         |gstats AS (
+         | SELECT blob_id, MAX(dist) AS dist_max, MIN(light) AS light_min,
+         |        MAX(light) AS light_max
+         | FROM pre GROUP BY blob_id),
+         |m AS (
+         | SELECT blob_id, COUNT(*) FILTER (WHERE inside) AS n_mask_cells
+         | FROM inside GROUP BY blob_id)
+         |SELECT blob_id, px_min, px_max, py_min, py_max, cx_mean, cy_mean,
+         |       dist_max, light_min, light_max, n_mask_cells
+         |FROM vstats JOIN gstats USING (blob_id) JOIN m USING (blob_id)
+         |ORDER BY blob_id""".stripMargin,
+
+    "q19_shading" ->
+      s"""WITH $GRID_CTE, $SHADED_CTE
+         |SELECT blob_id, y, x, radial, lightn, shade FROM shadedc
+         |ORDER BY blob_id, y, x""".stripMargin,
+
+    "q20_blur_pass1" ->
+      s"""WITH $GRID_CTE, $EDGES_CTE, $INSIDE_CTE,
+         |m AS (SELECT blob_id, y, x FROM inside WHERE inside)
+         |SELECT m.blob_id, m.y, m.x - k."offset" AS x,
+         |       ROUND(SUM(k.weight), 9) AS v1
+         |FROM m, $K2 k
+         |WHERE m.x - k."offset" BETWEEN 0 AND 63
+         |GROUP BY m.blob_id, m.y, m.x - k."offset"
+         |ORDER BY blob_id, y, x""".stripMargin,
+
+    "q21_blur_sep2d" ->
+      s"""WITH $GRID_CTE, $EDGES_CTE, $INSIDE_CTE,
+         |m AS (SELECT blob_id, y, x FROM inside WHERE inside),
+         |p1 AS (
+         | SELECT m.blob_id, m.y, m.x - k."offset" AS x,
+         |        ROUND(SUM(k.weight), 9) AS v1
+         | FROM m, $K2 k
+         | WHERE m.x - k."offset" BETWEEN 0 AND 63
+         | GROUP BY m.blob_id, m.y, m.x - k."offset")
+         |SELECT p1.blob_id, p1.y - k."offset" AS y, p1.x,
+         |       ROUND(SUM(k.weight * p1.v1), 9) AS v2
+         |FROM p1, $K2 k
+         |WHERE p1.y - k."offset" BETWEEN 0 AND 63
+         |GROUP BY p1.blob_id, p1.y - k."offset", p1.x
+         |ORDER BY blob_id, y, x""".stripMargin,
+
+    "q22_poster_cells" ->
+      s"""WITH $GRID_CTE, $EDGES_CTE, $INSIDE_CTE, $SHADED_CTE
+         |SELECT s.blob_id, s.y, s.x, i.inside AS mask, s.shade,
+         | LEAST(1.0, GREATEST(0.0, p.base_r * s.shade)) AS r,
+         | LEAST(1.0, GREATEST(0.0, p.base_g * s.shade)) AS g,
+         | LEAST(1.0, GREATEST(0.0, p.base_b * s.shade)) AS b,
+         | CASE WHEN i.inside THEN 0.4 + 0.6 * p.depth ELSE 0.0 END AS a
+         |FROM shadedc s
+         |JOIN inside i ON s.blob_id = i.blob_id AND s.y = i.y AND s.x = i.x
+         |JOIN $P p ON s.blob_id = p.blob_id
+         |ORDER BY s.blob_id, s.y, s.x""".stripMargin,
+
+    "q23_poster_composite" ->
+      s"""WITH canvas AS (
+         | SELECT ty.y, tx.x,
+         |  CAST(tx.x AS DOUBLE) / 63.0 AS gx,
+         |  CAST(ty.y AS DOUBLE) / 63.0 AS gy
+         | FROM range(64) ty(y), range(64) tx(x)),
+         |grid AS (
+         | SELECT p.blob_id, c.y, c.x, c.gx, c.gy FROM $P p, canvas c),
+         |$EDGES_CTE, $INSIDE_CTE,
+         |lit01 AS (
+         | SELECT i.y, i.x, i.blob_id,
+         |  LEAST(1.0, GREATEST(0.0,
+         |    1.0 - SQRT((i.gx - p.cx_mean)*(i.gx - p.cx_mean)
+         |             + (i.gy - p.cy_mean)*(i.gy - p.cy_mean)) / p.dist_max64))
+         |    AS radial,
+         |  ((i.gx - p.cx_mean)*(-0.6) + (i.gy - p.cy_mean)*0.8 - p.light_min64)
+         |    / (p.light_max64 - p.light_min64) AS lightn,
+         |  p.base_r, p.base_g, p.base_b, p.depth
+         | FROM inside i JOIN $P p USING (blob_id) WHERE i.inside),
+         |sh AS (
+         | SELECT y, x, blob_id,
+         |  0.3 + 0.7 * (0.5 * radial + 0.5 * lightn) AS shade,
+         |  base_r, base_g, base_b, depth
+         | FROM lit01)
+         |SELECT y, x, MAX(blob_id) AS top_blob,
+         | MAX_BY(LEAST(1.0, GREATEST(0.0, base_r * shade)), blob_id) AS r,
+         | MAX_BY(LEAST(1.0, GREATEST(0.0, base_g * shade)), blob_id) AS g,
+         | MAX_BY(LEAST(1.0, GREATEST(0.0, base_b * shade)), blob_id) AS b,
+         | MAX_BY(0.4 + 0.6 * depth, blob_id) AS a
+         |FROM sh GROUP BY y, x
+         |ORDER BY y, x""".stripMargin,
+  )
+}
