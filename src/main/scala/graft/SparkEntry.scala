@@ -11,10 +11,12 @@ object SparkEntry {
   private def catalogs = Seq(
     _root_.graft.queries.Relational.queries,
     _root_.graft.queries.Poster.queries,
+    _root_.graft.queries.TextOps.queries,
   )
   private def oracleCatalogs = Seq(
     _root_.graft.queries.Relational.oracles,
     _root_.graft.queries.Poster.oracles,
+    _root_.graft.queries.TextOps.oracles,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,349 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.model.Tables
+import graft.functions.SimHashAgg
+
+/** LLM-training-data text operators over the `documents` table (the
+  * BASELINE.json north star): exact + near-duplicate detection, document
+  * sketching, language/quality heuristics, tokenization, tf-idf.
+  *
+  * Scale stance: every near-dup operator is BUCKETED — candidate pairs come
+  * from an inverted-index or LSH-band join, never an all-pairs crossJoin;
+  * degenerate buckets (a shingle/band shared by a large fraction of the
+  * corpus) carry no discriminative signal and are dropped by an explicit
+  * size cap, which is what keeps the join fan-out bounded under skew at
+  * 100 TB. Per-doc outputs are O(|input|); pair outputs are O(candidates).
+  *
+  * Determinism: similarity scores are rounded to 6 decimals BEFORE any
+  * ranking/argmax so cross-engine float noise cannot flip an ordering;
+  * hashes that must match DuckDB use md5 (both engines agree); Spark-only
+  * sketches (xxhash64-based MinHash/SimHash) have no DuckDB equivalent and
+  * are declared without an oracle (driver rows-only check).
+  */
+object TextOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).documents
+
+  /** Distinct word-3-gram shingles per doc: (doc_id, sh). 1-based
+    * element_at aligns with DuckDB list indexing in the oracle. */
+  private def shingles(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      // guard: Spark's sequence(1, 0) DESCENDS; docs under 3 tokens must
+      // yield an empty shingle array, matching DuckDB's empty range().
+      .select(col("doc_id"), explode(when(size(col("toks")) >= 3,
+        transform(sequence(lit(1), size(col("toks")) - 2),
+          i => concat_ws(" ", element_at(col("toks"), i),
+            element_at(col("toks"), i + 1), element_at(col("toks"), i + 2))))
+        .otherwise(array().cast("array<string>"))).as("sh"))
+      .distinct()
+
+  // Tiny stopword profile for the language/quality heuristics. The corpus
+  // vocabulary is shared across langs (verified in the data), so this is a
+  // deterministic scorer, not a trained classifier — the operator shape is
+  // the deliverable.
+  private val EN_STOP = Seq("the", "a", "and", "of", "to", "in", "is")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // String family + token counting: per-(lang, source) corpus statistics.
+    "q24_text_stats" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("lang"), col("source"),
+          size(split(col("text"), " ")).as("n_tokens"),
+          length(col("text")).as("len"))
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum("n_tokens") / count(lit(1)), 6).as("avg_tokens"),
+          round(sum("len") / count(lit(1)), 6).as("avg_chars"),
+          max("n_tokens").cast("long").as("max_tokens"))
+        .orderBy("lang", "source")
+    }),
+
+    // Exact dedup, summary form: md5 over normalized text, grouped by
+    // source. countDistinct shuffles the hash, never the text bytes.
+    "q25_exact_dedup" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("source"), md5(lower(trim(col("text")))).as("h"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("h")).as("n_distinct"),
+          (count(lit(1)) - countDistinct(col("h"))).as("n_dup_docs"))
+        .orderBy("source")
+    }),
+
+    // Exact dedup, materialized form: duplicate groups with the canonical
+    // (min doc_id) survivor. Empty when the corpus has no dups (sf≤0.01);
+    // real groups appear at sf0.1 — the oracle checks both situations.
+    "q26_dedup_groups" -> ((s, dir) => {
+      docs(s, dir)
+        .select(md5(lower(trim(col("text")))).as("h"), col("doc_id"))
+        .groupBy("h")
+        .agg(count(lit(1)).as("n_copies"), min("doc_id").as("canonical_id"))
+        .where(col("n_copies") > 1)
+        .orderBy("h")
+    }),
+
+    // MinHash-LSH near-dup (Spark-only sketch — no oracle): 16 xxhash64
+    // min-hashes per doc, each hash its own LSH band (r=1 tuned for this
+    // low-similarity synthetic corpus; raise r for production thresholds).
+    // Candidates come only from shared band buckets, capped at 50 docs per
+    // bucket (a bucket hit by half the corpus identifies nothing and would
+    // otherwise be the O(n²) skew bomb). Candidates are then verified with
+    // exact shingle Jaccard; output is each doc's best verified match.
+    "q27_minhash_near_dup" -> ((s, dir) => {
+      val sh = shingles(docs(s, dir)).cache()
+      val ms = (0 until 16).map(j => min(xxhash64(lit(j), col("sh"))).as(s"m$j"))
+      val sig = sh.groupBy("doc_id").agg(ms.head, ms.tail: _*)
+      val bands = sig.select(col("doc_id"),
+        posexplode(array((0 until 16).map(j => col(s"m$j")): _*))
+          .as(Seq("band", "mh")))
+      val wB = Window.partitionBy("band", "mh")
+      val bounded = bands.withColumn("bsz", count(lit(1)).over(wB))
+        .where(col("bsz") <= 50)
+      val pairs = bounded.as("a")
+        .join(bounded.as("b"),
+          col("a.band") === col("b.band") && col("a.mh") === col("b.mh")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .distinct()
+      val sets = sh.groupBy("doc_id")
+        .agg(collect_set("sh").as("shs"), count(lit(1)).as("nsh"))
+      val verified = pairs
+        .join(sets.select(col("doc_id").as("da"), col("shs").as("sa"),
+          col("nsh").as("na")), "da")
+        .join(sets.select(col("doc_id").as("db"), col("shs").as("sb"),
+          col("nsh").as("nb")), "db")
+        .select(col("da"), col("db"),
+          size(array_intersect(col("sa"), col("sb"))).as("shared"),
+          col("na"), col("nb"))
+        .select(col("da"), col("db"),
+          round(col("shared").cast("double")
+            / (col("na") + col("nb") - col("shared")), 6).as("jaccard"))
+      val both = verified.select(col("da").as("doc_id"),
+          col("db").as("other"), col("jaccard"))
+        .union(verified.select(col("db").as("doc_id"),
+          col("da").as("other"), col("jaccard")))
+      val wD = Window.partitionBy("doc_id")
+        .orderBy(col("jaccard").desc, col("other"))
+      both.withColumn("rn", row_number().over(wD))
+        .where(col("rn") === 1)
+        .select(col("doc_id"), col("other").as("best_match"), col("jaccard"))
+        .orderBy("doc_id")
+    }),
+
+    // SimHash sketch via the custom typed Aggregator (§2.9 surface):
+    // fixed 64-int buffer, associative merge, 8-byte output per doc.
+    // Spark-only (xxhash64) — no oracle.
+    "q28_simhash" -> ((s, dir) => {
+      val sim = udaf(SimHashAgg)
+      docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .select(col("doc_id"), xxhash64(col("tok")).as("th"))
+        .groupBy("doc_id")
+        .agg(sim(col("th")).as("simhash"))
+        .orderBy("doc_id")
+    }),
+
+    // Exact n-gram Jaccard pairs via the inverted-index join (oracle-
+    // checked): pairs sharing ≥2 shingles, similarity ≥ 0.05. The join is
+    // shingle→docs (posting lists), never all-pairs.
+    "q29_jaccard_pairs" -> ((s, dir) => {
+      val sh = shingles(docs(s, dir)).cache()
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+      val shared = sh.as("a")
+        .join(sh.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .agg(count(lit(1)).as("shared"))
+        .where(col("shared") >= 2)
+      shared
+        .join(sizes.select(col("doc_id").as("da"), col("nsh").as("na")), "da")
+        .join(sizes.select(col("doc_id").as("db"), col("nsh").as("nb")), "db")
+        .select(col("da"), col("db"),
+          round(col("shared").cast("double")
+            / (col("na") + col("nb") - col("shared")), 6).as("jaccard"))
+        .where(col("jaccard") >= 0.05)
+        .orderBy("da", "db")
+    }),
+
+    // Language-ID heuristic (deterministic scorer): stopword hit ratio +
+    // CJK detection. groupBy(lang, predicted) keeps the output bounded.
+    "q30_langid" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      val enHits = size(array_intersect(toks,
+        array(EN_STOP.map(lit): _*)))
+      val pred = when(col("text").rlike("[\\u4e00-\\u9fff]"), "zh")
+        .when(round(enHits.cast("double") / size(toks), 6) >= 0.02, "en")
+        .otherwise("unknown")
+      docs(s, dir)
+        .select(col("lang"), pred.as("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "predicted")
+    }),
+
+    // Quality scoring: per-doc length/token/stopword/digit features and a
+    // composite score — the filter stage of a training-data pipeline.
+    "q31_quality" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      val nTok = size(toks)
+      val stopRatio = round(
+        size(array_intersect(toks, array(EN_STOP.map(lit): _*)))
+          .cast("double") / nTok, 6)
+      val digitRatio = round(
+        (length(col("text"))
+          - length(regexp_replace(col("text"), "[0-9]", ""))).cast("double")
+          / length(col("text")), 6)
+      val avgTokLen = round(
+        (length(col("text")) - nTok + 1).cast("double") / nTok, 6)
+      docs(s, dir)
+        .select(col("doc_id"), nTok.cast("long").as("n_tokens"),
+          length(col("text")).cast("long").as("n_chars"),
+          avgTokLen.as("avg_token_len"),
+          stopRatio.as("stopword_ratio"), digitRatio.as("digit_ratio"))
+        .withColumn("score", round(
+          least(col("n_tokens").cast("double") / 50, lit(1.0)) * 0.5
+            + (lit(1.0) - col("digit_ratio")) * 0.3
+            + least(col("stopword_ratio") * 10, lit(1.0)) * 0.2, 6))
+        .orderBy("doc_id")
+    }),
+
+    // Content fingerprint: md5 of the sorted distinct token bag — dedup
+    // that ignores word order. n_docs_sharing > 1 marks bag-level dups.
+    "q32_fingerprint" -> ((s, dir) => {
+      val fp = md5(concat_ws(" ",
+        array_sort(array_distinct(split(col("text"), " ")))))
+      val wF = Window.partitionBy("fp")
+      docs(s, dir)
+        .select(col("doc_id"), fp.as("fp"))
+        .withColumn("n_docs_sharing", count(lit(1)).over(wF))
+        .orderBy("doc_id")
+    }),
+
+    // tf-idf with per-doc top-3 terms. Ranking uses the ROUNDED score so
+    // cross-engine float noise cannot flip the order; ties break on term.
+    "q33_tfidf" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val terms = d.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("term"))
+      val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = terms.select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val n = d.select(count(lit(1)).as("n_docs"))
+      val scored = tf.join(df, "term").crossJoin(broadcast(n))
+        .select(col("doc_id"), col("term"),
+          round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6)
+            .as("tfidf"))
+      val wD = Window.partitionBy("doc_id")
+        .orderBy(col("tfidf").desc, col("term"))
+      scored.withColumn("rank", row_number().over(wD).cast("long"))
+        .where(col("rank") <= 3)
+        .orderBy("doc_id", "rank")
+    }),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q24_text_stats" ->
+      """SELECT lang, source, COUNT(*) AS n_docs,
+        | ROUND(SUM(len(string_split(text,' '))) / COUNT(*), 6) AS avg_tokens,
+        | ROUND(SUM(length(text)) / COUNT(*), 6) AS avg_chars,
+        | MAX(len(string_split(text,' '))) AS max_tokens
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    "q25_exact_dedup" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        | COUNT(DISTINCT md5(lower(trim(text)))) AS n_distinct,
+        | COUNT(*) - COUNT(DISTINCT md5(lower(trim(text)))) AS n_dup_docs
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q26_dedup_groups" ->
+      """SELECT md5(lower(trim(text))) AS h, COUNT(*) AS n_copies,
+        | MIN(doc_id) AS canonical_id
+        |FROM documents GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY h""".stripMargin,
+
+    "q29_jaccard_pairs" ->
+      """WITH sh AS (
+        | SELECT DISTINCT doc_id, sh FROM (
+        |  SELECT doc_id,
+        |   unnest(list_transform(
+        |     range(1, greatest(len(string_split(text,' ')) - 2, 0) + 1),
+        |     i -> string_split(text,' ')[i] || ' ' ||
+        |          string_split(text,' ')[i+1] || ' ' ||
+        |          string_split(text,' ')[i+2])) AS sh
+        |  FROM documents)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id),
+        |shared AS (
+        | SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS shared
+        | FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT da, db,
+        | ROUND(CAST(shared AS DOUBLE) / (na.nsh + nb.nsh - shared), 6) AS jaccard
+        |FROM shared
+        |JOIN sizes na ON shared.da = na.doc_id
+        |JOIN sizes nb ON shared.db = nb.doc_id
+        |WHERE ROUND(CAST(shared AS DOUBLE) / (na.nsh + nb.nsh - shared), 6) >= 0.05
+        |ORDER BY da, db""".stripMargin,
+
+    "q30_langid" ->
+      """WITH scored AS (
+        | SELECT lang,
+        |  CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+        |       WHEN ROUND(CAST(len(list_intersect(string_split(text,' '),
+        |              ['the','a','and','of','to','in','is'])) AS DOUBLE)
+        |            / len(string_split(text,' ')), 6) >= 0.02 THEN 'en'
+        |       ELSE 'unknown' END AS predicted
+        | FROM documents)
+        |SELECT lang, predicted, COUNT(*) AS n FROM scored
+        |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin,
+
+    "q31_quality" ->
+      """WITH f AS (
+        | SELECT doc_id,
+        |  len(string_split(text,' ')) AS n_tokens,
+        |  length(text) AS n_chars,
+        |  ROUND(CAST(length(text) - len(string_split(text,' ')) + 1 AS DOUBLE)
+        |        / len(string_split(text,' ')), 6) AS avg_token_len,
+        |  ROUND(CAST(len(list_intersect(string_split(text,' '),
+        |         ['the','a','and','of','to','in','is'])) AS DOUBLE)
+        |        / len(string_split(text,' ')), 6) AS stopword_ratio,
+        |  ROUND(CAST(length(text) - length(regexp_replace(text,'[0-9]','','g'))
+        |        AS DOUBLE) / length(text), 6) AS digit_ratio
+        | FROM documents)
+        |SELECT f.*,
+        | ROUND(LEAST(CAST(n_tokens AS DOUBLE)/50, 1.0)*0.5
+        |     + (1.0 - digit_ratio)*0.3
+        |     + LEAST(stopword_ratio*10, 1.0)*0.2, 6) AS score
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q32_fingerprint" ->
+      """SELECT doc_id,
+        | md5(array_to_string(list_sort(list_distinct(string_split(text,' '))),' ')) AS fp,
+        | COUNT(*) OVER (PARTITION BY
+        |   md5(array_to_string(list_sort(list_distinct(string_split(text,' '))),' ')))
+        |   AS n_docs_sharing
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q33_tfidf" ->
+      """WITH terms AS (
+        | SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1,2),
+        |df AS (SELECT term, COUNT(*) AS df
+        |       FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY term),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (
+        | SELECT tf.doc_id, tf.term,
+        |  ROUND(tf * LN(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+        | FROM tf JOIN df USING (term) CROSS JOIN n),
+        |ranked AS (
+        | SELECT doc_id, term, tfidf,
+        |  ROW_NUMBER() OVER (PARTITION BY doc_id
+        |                     ORDER BY tfidf DESC, term) AS rank
+        | FROM scored)
+        |SELECT doc_id, term, tfidf, rank FROM ranked
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+  )
+}
