@@ -12,11 +12,17 @@ object SparkEntry {
     _root_.graft.queries.Relational.queries,
     _root_.graft.queries.Poster.queries,
     _root_.graft.queries.TextOps.queries,
+    _root_.graft.queries.VectorOps.queries,
+    _root_.graft.queries.EventOps.queries,
+    _root_.graft.queries.Multimodal.queries,
   )
   private def oracleCatalogs = Seq(
     _root_.graft.queries.Relational.oracles,
     _root_.graft.queries.Poster.oracles,
     _root_.graft.queries.TextOps.oracles,
+    _root_.graft.queries.VectorOps.oracles,
+    _root_.graft.queries.EventOps.oracles,
+    _root_.graft.queries.Multimodal.oracles,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,137 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.model.Tables
+
+/** Event/time-series analytics over `events` (SURVEY §2.10 batch surface)
+  * plus the date and JSON scalar families the driver data forces
+  * (SURVEY §2.8 / P17).
+  *
+  * Scale stance: sessionization is a per-user window (partition key =
+  * user_id — high cardinality in production, no global sort); tumbling
+  * windows aggregate on (bucket, type) with map-side partials; the HLL
+  * sketch replaces exact distinct exactly where a 100 TB pipeline must
+  * (constant-size state per group vs a distinct shuffle of every user id).
+  */
+object EventOps {
+
+  private def dPrice(c: org.apache.spark.sql.Column) = c.cast("decimal(12,2)")
+  private def asD(c: org.apache.spark.sql.Column) =
+    c.cast("decimal(38,6)").cast("double")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // W4 sessionization: lag-gap flag + running sum builds session ids;
+    // 30-minute inactivity closes a session. Output is one row per
+    // session (bounded by sessions, not events).
+    "q38_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val gap = unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1)
+        .over(w)
+      Tables(s, dir).events
+        .withColumn("new_sess",
+          when(gap.isNull || gap > 1800L * 1000000L, 1L).otherwise(0L))
+        .withColumn("session_id", sum("new_sess").over(w))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min("ts").as("session_start"), max("ts").as("session_end"),
+          (unix_micros(max("ts")) - unix_micros(min("ts"))).as("duration_us"))
+        .orderBy("user_id", "session_id")
+    }),
+
+    // §2.10 batch window(): epoch-aligned tumbling day buckets.
+    "q39_tumbling_window" -> ((s, dir) => {
+      Tables(s, dir).events
+        .groupBy(window(col("ts"), "1 day").as("win"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          asD(sum(dPrice(col("value")))).as("sum_value"))
+        .select(col("win.start").as("day"), col("event_type"), col("n"),
+          col("sum_value"))
+        .orderBy("day", "event_type")
+    }),
+
+    // A8 HLL: approx_count_distinct (constant-size sketch state) next to
+    // the exact count it approximates. Sketch values are implementation-
+    // specific → no DuckDB oracle (rows-only check).
+    "q40_hll_users" -> ((s, dir) => {
+      Tables(s, dir).events
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_exact"),
+          approx_count_distinct(col("user_id"), 0.02).as("n_approx"),
+          count(lit(1)).as("n_events"))
+        .orderBy("event_type")
+    }),
+
+    // JSON family: extract props.k, aggregate per event type.
+    "q41_json_props" -> ((s, dir) => {
+      Tables(s, dir).events
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), min("k").as("min_k"), max("k").as("max_k"),
+          round(avg("k"), 6).as("avg_k"),
+          count(when(col("k").isNull, lit(1))).as("n_null_k"))
+        .orderBy("event_type")
+    }),
+
+    // Date family over orders: month truncation, weekend detection
+    // (Spark dayofweek is 1=Sunday; DuckDB dow is 0=Sunday — both sides
+    // express "Saturday or Sunday" in their own numbering).
+    "q42_date_math" -> ((s, dir) => {
+      Tables(s, dir).orders
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(count(lit(1)).as("n_orders"),
+          count(when(dayofweek(col("o_orderdate")).isin(1, 7), lit(1)))
+            .as("n_weekend"),
+          asD(sum(dPrice(col("o_totalprice")))).as("sum_price"))
+        .orderBy("month")
+    }),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q38_sessionize" ->
+      """WITH flagged AS (
+        | SELECT user_id, event_id, ts,
+        |  CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w IS NULL
+        |         OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+        |       THEN 1 ELSE 0 END AS new_sess
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        | SELECT user_id, ts,
+        |  SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS session_id
+        | FROM flagged)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        | COUNT(*) AS n_events,
+        | MIN(ts) AS session_start, MAX(ts) AS session_end,
+        | epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    "q39_tumbling_window" ->
+      """SELECT time_bucket(INTERVAL '1 day', ts) AS day, event_type,
+        | COUNT(*) AS n,
+        | CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,6)) AS DOUBLE)
+        |   AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+
+    "q41_json_props" ->
+      """SELECT event_type, COUNT(*) AS n,
+        | MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        | MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+        | ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k,
+        | COUNT(*) FILTER (json_extract_string(props, '$.k') IS NULL) AS n_null_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q42_date_math" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+        | COUNT(*) AS n_orders,
+        | COUNT(*) FILTER (date_part('dow', o_orderdate) IN (0, 6)) AS n_weekend,
+        | CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,6)) AS DOUBLE)
+        |   AS sum_price
+        |FROM orders GROUP BY 1 ORDER BY month""".stripMargin,
+  )
+}
