@@ -15,6 +15,7 @@ object SparkEntry {
     _root_.graft.queries.VectorOps.queries,
     _root_.graft.queries.EventOps.queries,
     _root_.graft.queries.Multimodal.queries,
+    _root_.graft.queries.PosterScale.queries,
   )
   private def oracleCatalogs = Seq(
     _root_.graft.queries.Relational.oracles,
@@ -23,6 +24,7 @@ object SparkEntry {
     _root_.graft.queries.VectorOps.oracles,
     _root_.graft.queries.EventOps.oracles,
     _root_.graft.queries.Multimodal.oracles,
+    _root_.graft.queries.PosterScale.oracles,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
