@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupStateTimeout
+
+/** Structured Streaming slice (SURVEY §2.10): the batch event analytics
+  * re-expressed as unbounded-stream transforms. Each function takes the
+  * (possibly streaming) events frame and returns a streaming-safe plan —
+  * the SAME plan shapes run in batch mode, which is how the batch oracle
+  * queries (graft.queries.EventOps) pin their semantics.
+  *
+  * Scale stance: all state is keyed and bounded — watermarks close event-
+  * time windows and expire dedup state; mapGroupsWithState holds one small
+  * case class per user. No operator accumulates unbounded driver or
+  * executor state.
+  */
+object EventStreams {
+
+  /** Tumbling 1-day windowed counts with a 1-hour watermark: late rows
+    * beyond the watermark are dropped, closed windows are emitted once
+    * (Append mode). */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("day"), col("event_type"), col("n"))
+
+  /** Exactly-once-style dedup on event_id, with state expired by the
+    * watermark instead of growing forever. */
+  def dedupe(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  final case class UserEvent(user_id: Long, value: Double)
+  final case class UserAgg(n: Long, total: Double)
+
+  /** Custom keyed state via mapGroupsWithState: running per-user count and
+    * value sum across micro-batches (Update mode). */
+  def runningUserTotals(events: Dataset[UserEvent]): Dataset[(Long, Long, Double)] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserAgg, (Long, Long, Double)](
+        GroupStateTimeout.NoTimeout) { (user, rows, state) =>
+        val prev = state.getOption.getOrElse(UserAgg(0L, 0.0))
+        var n = prev.n
+        var total = prev.total
+        rows.foreach { r => n += 1; total += r.value }
+        state.update(UserAgg(n, total))
+        (user, n, total)
+      }
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.UserEvent
+
+/** Structured Streaming slice tests (SURVEY §2.10): watermarked tumbling
+  * windows, dedup-within-watermark, and mapGroupsWithState custom state,
+  * driven through MemoryStream micro-batches. */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+
+  private def ts(day: Int, hour: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-$day%02d $hour%02d:00:00")
+
+  test("tumbling window + watermark emits closed windows once") {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val df = in.toDF().toDF("event_id", "ts", "event_type")
+    val q = EventStreams.tumblingCounts(df)
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode("append").start()
+    // day 1: three clicks, one view
+    in.addData((1L, ts(1, 1), "click"), (2L, ts(1, 2), "click"),
+      (3L, ts(1, 3), "view"), (4L, ts(1, 4), "click"))
+    q.processAllAvailable()
+    // day 3 event pushes the watermark past day 1's window end
+    in.addData((5L, ts(3, 12), "click"))
+    q.processAllAvailable()
+    val rows = s.table("tumbling").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    q.stop()
+    assert(rows === Set(
+      (ts(1, 0), "click", 3L),
+      (ts(1, 0), "view", 1L)))
+  }
+
+  test("dropDuplicatesWithinWatermark removes repeated event ids") {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val df = in.toDF().toDF("event_id", "ts", "event_type")
+    val q = EventStreams.dedupe(df)
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    in.addData((1L, ts(1, 1), "click"), (1L, ts(1, 1), "click"),
+      (2L, ts(1, 2), "view"), (1L, ts(1, 3), "click"))
+    q.processAllAvailable()
+    val n = s.table("dedup").count()
+    q.stop()
+    assert(n === 2L)
+  }
+
+  test("mapGroupsWithState accumulates per-user totals across batches") {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val in = MemoryStream[UserEvent]
+    val q = EventStreams.runningUserTotals(in.toDS())
+      .toDF("user_id", "n", "total")
+      .writeStream.format("memory").queryName("running")
+      .outputMode("update").start()
+    in.addData(UserEvent(1L, 2.0), UserEvent(1L, 3.0), UserEvent(2L, 10.0))
+    q.processAllAvailable()
+    in.addData(UserEvent(1L, 5.0))
+    q.processAllAvailable()
+    val byBatch = s.table("running").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    q.stop()
+    // batch 1: user1 -> (2, 5.0), user2 -> (1, 10.0); batch 2: user1 -> (3, 10.0)
+    assert(byBatch.toSet === Set((1L, 2L, 5.0), (2L, 1L, 10.0), (1L, 3L, 10.0)))
+  }
+}
