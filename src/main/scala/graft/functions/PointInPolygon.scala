@@ -58,13 +58,17 @@ case class PointInPolygon(first: Expression, second: Expression,
     val ys = ysA.asInstanceOf[ArrayData]
     val n = xs.numElements()
     var in = false
+    // Carry the previous vertex instead of re-reading (and no modulo in
+    // the loop): iteration i tests edge (v[i-1] -> v[i]), starting with
+    // the closing edge (v[n-1] -> v[0]) — the same directed edge set,
+    // bit-identical results, one array read per vertex.
+    var x1 = xs.getDouble(n - 1); var y1 = ys.getDouble(n - 1)
     var i = 0
     while (i < n) {
-      val j = (i + 1) % n
-      val x1 = xs.getDouble(i); val y1 = ys.getDouble(i)
-      val x2 = xs.getDouble(j); val y2 = ys.getDouble(j)
+      val x2 = xs.getDouble(i); val y2 = ys.getDouble(i)
       if (((y1 > q) != (y2 > q)) &&
           p < x1 + (x2 - x1) * (q - y1) / (y2 - y1)) in = !in
+      x1 = x2; y1 = y2
       i += 1
     }
     in
@@ -74,21 +78,20 @@ case class PointInPolygon(first: Expression, second: Expression,
     nullSafeCodeGen(ctx, ev, (px, py, xs, ys) => {
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
-      val j = ctx.freshName("j")
       val x1 = ctx.freshName("x1"); val y1 = ctx.freshName("y1")
       val x2 = ctx.freshName("x2"); val y2 = ctx.freshName("y2")
       val in = ctx.freshName("in")
       s"""
          |int $n = $xs.numElements();
          |boolean $in = false;
+         |double $x1 = $xs.getDouble($n - 1); double $y1 = $ys.getDouble($n - 1);
          |for (int $i = 0; $i < $n; $i++) {
-         |  int $j = ($i + 1) % $n;
-         |  double $x1 = $xs.getDouble($i); double $y1 = $ys.getDouble($i);
-         |  double $x2 = $xs.getDouble($j); double $y2 = $ys.getDouble($j);
+         |  double $x2 = $xs.getDouble($i); double $y2 = $ys.getDouble($i);
          |  if ((($y1 > $py) != ($y2 > $py)) &&
          |      $px < $x1 + ($x2 - $x1) * ($py - $y1) / ($y2 - $y1)) {
          |    $in = !$in;
          |  }
+         |  $x1 = $x2; $y1 = $y2;
          |}
          |${ev.value} = $in;
        """.stripMargin

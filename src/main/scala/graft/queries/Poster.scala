@@ -47,19 +47,22 @@ object Poster {
   // ---------------------------------------------------------------- helpers
 
   /** J1: the grid constructor — per-blob padded-bbox raster, explicit-step
-    * linspace `lo + i*step, step=(hi-lo)/(n-1)` (app.py:39-43 recast). */
-  private def grid(s: SparkSession, n: Int): DataFrame = {
-    val xs = s.range(n).select(col("id").as("x"))
-    val ys = s.range(n).select(col("id").as("y"))
-    fx(s, "blob_params")
-      .select("blob_id", "xmin", "xmax", "ymin", "ymax")
-      .crossJoin(broadcast(ys)).crossJoin(broadcast(xs))
+    * linspace `lo + i*step, step=(hi-lo)/(n-1)` (app.py:39-43 recast).
+    *
+    * Partitioning: the n² range is the STREAMED side (spark.range splits
+    * it across all cores) and the 14-row params table is broadcast — the
+    * other way round would funnel every downstream cell computation
+    * through the params file's single input partition. */
+  private def grid(s: SparkSession, n: Int): DataFrame =
+    s.range(n.toLong * n)
+      .select((col("id") % n).as("x"), (col("id") / n).cast("long").as("y"))
+      .join(broadcast(fx(s, "blob_params")
+        .select("blob_id", "xmin", "xmax", "ymin", "ymax")))
       .select(col("blob_id"), col("y"), col("x"),
         (col("xmin") + col("x").cast("double") *
           ((col("xmax") - col("xmin")) / lit((n - 1).toDouble))).as("gx"),
         (col("ymin") + col("y").cast("double") *
           ((col("ymax") - col("ymin")) / lit((n - 1).toDouble))).as("gy"))
-  }
 
   /** W3: vertex list → closed edge list via lead() with wraparound
     * (app.py:62-64; the MOVETO/LINETO chain closes implicitly). */
@@ -74,8 +77,29 @@ object Poster {
         coalesce(lead(col("y"), 1).over(w), first(col("y")).over(wAll)).as("y2"))
   }
 
+  /** Per-blob ordered vertex arrays (xs/ys) for the codegen expression. */
+  private[queries] def vertArrays(s: SparkSession): DataFrame =
+    fx(s, "blob_vertices")
+      .groupBy("blob_id")
+      .agg(
+        transform(array_sort(collect_list(struct(col("idx"), col("x")))),
+          v => v.getField("x")).as("xs"),
+        transform(array_sort(collect_list(struct(col("idx"), col("y")))),
+          v => v.getField("y")).as("ys"))
+
+  /** Mask via the codegen point_in_polygon expression — used by every
+    * downstream consumer of the mask (stats/blur/poster/composite): the
+    * cell-local loop replaces the 280× parity-join fan-out, so those
+    * pipelines carry no 16 M-row intermediates. Bit-identical to
+    * `inside()` (proven by q45 passing q17's oracle). */
+  private def insideExpr(s: SparkSession, cells: DataFrame): DataFrame =
+    cells.join(broadcast(vertArrays(s)), "blob_id")
+      .withColumn("inside", expr("point_in_polygon(gx, gy, xs, ys)"))
+      .drop("xs", "ys")
+
   /** P18a: even-odd ray cast of cells against edges — the crossing count
-    * parity join (app.py:44 recast; formula identical in all engines). */
+    * parity join (app.py:44 recast; formula identical in all engines).
+    * The oracle-facing relational form (q17); insideExpr is the hot path. */
   private def inside(s: SparkSession, cells: DataFrame): DataFrame = {
     val straddle = (col("y1") > col("gy")) =!= (col("y2") > col("gy"))
     val xint = col("x1") + (col("x2") - col("x1")) *
@@ -186,7 +210,7 @@ object Poster {
         max("light").as("light_max"))
       // count(when…) keeps BIGINT on both sides — DuckDB's SUM(int) would
       // widen to INT128 and break the dtype compare.
-      val m = inside(s, grid(s, N)).groupBy("blob_id")
+      val m = insideExpr(s, grid(s, N)).groupBy("blob_id")
         .agg(count(when(col("inside"), lit(1))).as("n_mask_cells"))
       vstats.join(gstats, "blob_id").join(m, "blob_id")
         .orderBy("blob_id")
@@ -204,7 +228,7 @@ object Poster {
     // absent neighbors ≡ zero padding. σ=2 kernel (13 taps) at the 64 grid
     // per app.py:88 (max(2, 64·0.015)=2).
     "q20_blur_pass1" -> ((s, _) => {
-      val m = inside(s, grid(s, N)).where(col("inside"))
+      val m = insideExpr(s, grid(s, N)).where(col("inside"))
         .select("blob_id", "y", "x")
       m.crossJoin(broadcast(fx(s, "kernel_sigma2")))
         .select(col("blob_id"), col("y"),
@@ -220,7 +244,7 @@ object Poster {
     // rounded pass-1 value is the deterministic cross-engine intermediate.
     "q21_blur_sep2d" -> ((s, _) => {
       val k = fx(s, "kernel_sigma2")
-      val m = inside(s, grid(s, N)).where(col("inside"))
+      val m = insideExpr(s, grid(s, N)).where(col("inside"))
         .select("blob_id", "y", "x")
       val p1 = m.crossJoin(broadcast(k))
         .select(col("blob_id"), col("y"),
@@ -245,7 +269,7 @@ object Poster {
       val sh = shaded(s, N)
         .join(broadcast(fx(s, "blob_params")
           .select("blob_id", "base_r", "base_g", "base_b", "depth")), "blob_id")
-      val cells = inside(s, grid(s, N))
+      val cells = insideExpr(s, grid(s, N))
         .select("blob_id", "y", "x", "inside")
       sh.join(cells, Seq("blob_id", "y", "x"))
         .select(col("blob_id"), col("y"), col("x"), col("inside").as("mask"),
@@ -263,14 +287,14 @@ object Poster {
     // cell is max_by(·, blob_id). Shade normalizers are each blob's frozen
     // bbox-grid bounds (the reference shades in blob-local raster space).
     "q23_poster_composite" -> ((s, _) => {
-      val xs = s.range(N).select(col("id").as("x"))
-      val ys = s.range(N).select(col("id").as("y"))
-      val canvas = ys.crossJoin(xs).select(col("y"), col("x"),
-        (col("x").cast("double") / lit((N - 1).toDouble)).as("gx"),
-        (col("y").cast("double") / lit((N - 1).toDouble)).as("gy"))
+      val canvas = s.range(N.toLong * N)
+        .select((col("id") % N).as("x"), (col("id") / N).cast("long").as("y"))
+        .select(col("y"), col("x"),
+          (col("x").cast("double") / lit((N - 1).toDouble)).as("gx"),
+          (col("y").cast("double") / lit((N - 1).toDouble)).as("gy"))
       val p = fx(s, "blob_params")
-      val cells = p.select("blob_id").crossJoin(canvas)
-      val in = inside(s, cells).where(col("inside"))
+      val cells = canvas.crossJoin(broadcast(p.select("blob_id")))
+      val in = insideExpr(s, cells).where(col("inside"))
       val lit01 = in.join(broadcast(p), "blob_id")
         .withColumn("nx", col("gx") - col("cx_mean"))
         .withColumn("ny", col("gy") - col("cy_mean"))

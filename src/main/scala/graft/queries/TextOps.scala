@@ -90,11 +90,15 @@ object TextOps {
     // MinHash-LSH near-dup (Spark-only sketch — no oracle): 16 xxhash64
     // min-hashes per doc, each hash its own LSH band (r=1 tuned for this
     // low-similarity synthetic corpus; raise r for production thresholds).
-    // Candidates come only from shared band buckets, capped at 50 docs per
-    // bucket (a bucket hit by half the corpus identifies nothing and would
-    // otherwise be the O(n²) skew bomb). Candidates are then verified with
-    // exact shingle Jaccard; output is each doc's best verified match.
+    // Candidates come only from shared band buckets, capped at 20 docs per
+    // bucket (a bucket hit by a large corpus fraction identifies nothing
+    // and would otherwise be the O(n²) skew bomb). Candidates are then
+    // verified with exact shingle Jaccard; output is each doc's best
+    // verified match.
     "q27_minhash_near_dup" -> ((s, dir) => {
+      // The distinct shingle set feeds four consumers (signatures, sizes,
+      // both sides of the verify join) — cache the one distinct-shuffle
+      // (~45 MB at sf0.1) instead of recomputing it per consumer.
       val sh = shingles(docs(s, dir)).cache()
       val ms = (0 until 16).map(j => min(xxhash64(lit(j), col("sh"))).as(s"m$j"))
       val sig = sh.groupBy("doc_id").agg(ms.head, ms.tail: _*)
@@ -103,23 +107,40 @@ object TextOps {
           .as(Seq("band", "mh")))
       val wB = Window.partitionBy("band", "mh")
       val bounded = bands.withColumn("bsz", count(lit(1)).over(wB))
-        .where(col("bsz") <= 50)
-      val pairs = bounded.as("a")
+        .where(col("bsz") <= 20)
+      // Rank candidates by band-collision count and keep the top 8 per
+      // doc BEFORE the expensive exact verification — verification work
+      // is then O(|docs| × 8) regardless of how promiscuous the buckets
+      // are (this tiny-vocabulary corpus collides constantly; a web-scale
+      // corpus has the same problem via boilerplate shingles).
+      val collisions = bounded.as("a")
         .join(bounded.as("b"),
           col("a.band") === col("b.band") && col("a.mh") === col("b.mh")
             && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .agg(count(lit(1)).as("bo"))
+      val perDoc = collisions
+        .select(col("da").as("doc_id"), col("db").as("other"), col("bo"))
+        .union(collisions
+          .select(col("db").as("doc_id"), col("da").as("other"), col("bo")))
+      val wC = Window.partitionBy("doc_id")
+        .orderBy(col("bo").desc, col("other"))
+      val pairs = perDoc.withColumn("rc", row_number().over(wC))
+        .where(col("rc") <= 8)
+        .select(least(col("doc_id"), col("other")).as("da"),
+          greatest(col("doc_id"), col("other")).as("db"))
         .distinct()
-      val sets = sh.groupBy("doc_id")
-        .agg(collect_set("sh").as("shs"), count(lit(1)).as("nsh"))
-      val verified = pairs
-        .join(sets.select(col("doc_id").as("da"), col("shs").as("sa"),
-          col("nsh").as("na")), "da")
-        .join(sets.select(col("doc_id").as("db"), col("shs").as("sb"),
-          col("nsh").as("nb")), "db")
-        .select(col("da"), col("db"),
-          size(array_intersect(col("sa"), col("sb"))).as("shared"),
-          col("na"), col("nb"))
+      // Verify candidates through the inverted index (posting-list joins
+      // keyed on the candidate pair) — shares shingle ROWS, never ships
+      // collected shingle arrays through the shuffle.
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+      val shared = pairs
+        .join(sh.select(col("doc_id").as("da"), col("sh")), "da")
+        .join(sh.select(col("doc_id").as("db"), col("sh")), Seq("db", "sh"))
+        .groupBy("da", "db").agg(count(lit(1)).as("shared"))
+      val verified = shared
+        .join(sizes.select(col("doc_id").as("da"), col("nsh").as("na")), "da")
+        .join(sizes.select(col("doc_id").as("db"), col("nsh").as("nb")), "db")
         .select(col("da"), col("db"),
           round(col("shared").cast("double")
             / (col("na") + col("nb") - col("shared")), 6).as("jaccard"))
