@@ -16,6 +16,7 @@ object SparkEntry {
     _root_.graft.queries.EventOps.queries,
     _root_.graft.queries.Multimodal.queries,
     _root_.graft.queries.PosterScale.queries,
+    _root_.graft.queries.Extras.queries,
   )
   private def oracleCatalogs = Seq(
     _root_.graft.queries.Relational.oracles,
@@ -25,6 +26,7 @@ object SparkEntry {
     _root_.graft.queries.EventOps.oracles,
     _root_.graft.queries.Multimodal.oracles,
     _root_.graft.queries.PosterScale.oracles,
+    _root_.graft.queries.Extras.oracles,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
