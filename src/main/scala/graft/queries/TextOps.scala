@@ -105,19 +105,26 @@ object TextOps {
       val bands = sig.select(col("doc_id"),
         posexplode(array((0 until 16).map(j => col(s"m$j")): _*))
           .as(Seq("band", "mh")))
-      val wB = Window.partitionBy("band", "mh")
-      val bounded = bands.withColumn("bsz", count(lit(1)).over(wB))
-        .where(col("bsz") <= 20)
+      // Buckets materialize as capped doc-id lists and expand to candidate
+      // pairs IN PLACE (HOF combinations over a ≤20-element list) — one
+      // groupBy instead of a bucket-count window plus a bucket self-join,
+      // two fewer shuffles for identical pairs.
+      val buckets = bands.groupBy("band", "mh")
+        .agg(collect_list("doc_id").as("ds"))
+        .where(size(col("ds")).between(2, 20))
+      val pairsRaw = buckets.select(explode(expr(
+        "flatten(transform(ds, (a, i) -> " +
+          "transform(slice(ds, i + 2, size(ds)), " +
+          "b -> struct(least(a, b) AS da, greatest(a, b) AS db))))"))
+        .as("pr"))
+        .select(col("pr.da"), col("pr.db"))
       // Rank candidates by band-collision count and keep the top 8 per
       // doc BEFORE the expensive exact verification — verification work
       // is then O(|docs| × 8) regardless of how promiscuous the buckets
       // are (this tiny-vocabulary corpus collides constantly; a web-scale
       // corpus has the same problem via boilerplate shingles).
-      val collisions = bounded.as("a")
-        .join(bounded.as("b"),
-          col("a.band") === col("b.band") && col("a.mh") === col("b.mh")
-            && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      val collisions = pairsRaw
+        .groupBy("da", "db")
         .agg(count(lit(1)).as("bo"))
       val perDoc = collisions
         .select(col("da").as("doc_id"), col("db").as("other"), col("bo"))

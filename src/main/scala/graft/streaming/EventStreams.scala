@@ -34,6 +34,19 @@ object EventStreams {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: purchases within 30 minutes AFTER a
+    * click by the same user. Both sides carry watermarks so the join
+    * state for expired event-time ranges is dropped — the bounded-state
+    * form of a streaming equi+range join. */
+  def clickToPurchase(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    clicks.withWatermark("ts", "1 hour").alias("c")
+      .join(
+        purchases.withWatermark("ts", "2 hours").alias("p"),
+        expr("""c.user_id = p.user_id AND
+                p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTES"""))
+      .select(col("c.user_id").as("user_id"), col("c.ts").as("click_ts"),
+        col("p.ts").as("purchase_ts"))
+
   final case class UserEvent(user_id: Long, value: Double)
   final case class UserAgg(n: Long, total: Double)
 

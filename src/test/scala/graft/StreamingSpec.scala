@@ -54,6 +54,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(n === 2L)
   }
 
+  test("stream-stream interval join matches purchases within 30 min of a click") {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Timestamp)]
+    val q = graft.streaming.EventStreams.clickToPurchase(
+      clicks.toDF().toDF("user_id", "ts"),
+      purchases.toDF().toDF("user_id", "ts"))
+      .writeStream.format("memory").queryName("cp")
+      .outputMode("append").start()
+    clicks.addData((1L, ts(1, 10)), (2L, ts(1, 10)))
+    purchases.addData(
+      (1L, Timestamp.valueOf("2024-01-01 10:20:00")), // within 30 min -> join
+      (2L, ts(1, 12)),                                // 2 h later -> no join
+      (3L, ts(1, 10)))                                // no click at all
+    q.processAllAvailable()
+    val rows = s.table("cp").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(2))).toSet
+    q.stop()
+    assert(rows === Set((1L, Timestamp.valueOf("2024-01-01 10:20:00"))))
+  }
+
   test("mapGroupsWithState accumulates per-user totals across batches") {
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
