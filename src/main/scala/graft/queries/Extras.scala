@@ -59,6 +59,20 @@ object Extras {
         .orderBy("da", "db")
     }),
 
+    // Exact percentiles (continuous interpolation — Spark `percentile` ≡
+    // DuckDB `quantile_cont`): median and p90 of extended price per
+    // return flag. Exact percentiles sort within each group; the
+    // documented scale swap is approx_percentile (t-digest sketch,
+    // constant state) once groups stop fitting an executor.
+    "q50_percentiles" -> ((s, dir) => {
+      Tables(s, dir).lineitem
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 6).as("median_price"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90_price"))
+        .orderBy("l_returnflag")
+    }),
+
     // Explicit GROUPING SETS through the spark.sql text entry point —
     // subtotal rows labeled via grouping() exactly like q07/q08.
     "q49_grouping_sets" -> ((s, dir) => {
@@ -99,6 +113,12 @@ object Extras {
         | AND b.doc_id <= a.doc_id + 5
         |WHERE levenshtein(substr(a.text, 1, 20), substr(b.text, 1, 20)) <= 8
         |ORDER BY da, db""".stripMargin,
+
+    "q50_percentiles" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        | ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS median_price,
+        | ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q49_grouping_sets" ->
       """SELECT
