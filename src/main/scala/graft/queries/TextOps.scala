@@ -47,6 +47,11 @@ object TextOps {
   // the deliverable.
   private val EN_STOP = Seq("the", "a", "and", "of", "to", "in", "is")
 
+  /** Posting-list document-frequency cap for the exact-Jaccard join (q29):
+    * above the current corpus max df (25) so the output is value-identical
+    * with the guard active. Must match the literal in the q29 oracle. */
+  private val DF_CAP = 1000
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // String family + token counting: per-(lang, source) corpus statistics.
@@ -96,12 +101,16 @@ object TextOps {
     // verified with exact shingle Jaccard; output is each doc's best
     // verified match.
     "q27_minhash_near_dup" -> ((s, dir) => {
-      // The distinct shingle set feeds four consumers (signatures, sizes,
-      // both sides of the verify join) — cache the one distinct-shuffle
-      // (~45 MB at sf0.1) instead of recomputing it per consumer.
-      val sh = shingles(docs(s, dir)).cache()
+      // The distinct shingle set feeds three consumers (signatures+sizes,
+      // both sides of the verify join). No cache: the three subtrees end
+      // in the IDENTICAL distinct exchange, so ReuseExchange materializes
+      // the shuffle once — same effect as .cache() without pinning
+      // executor storage for the session lifetime (ADVICE r3).
+      val sh = shingles(docs(s, dir))
       val ms = (0 until 16).map(j => min(xxhash64(lit(j), col("sh"))).as(s"m$j"))
-      val sig = sh.groupBy("doc_id").agg(ms.head, ms.tail: _*)
+      // ONE per-doc aggregation carries both the 16-slot signature and the
+      // shingle count the verify stage needs — was two separate shuffles.
+      val sig = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"), ms: _*)
       val bands = sig.select(col("doc_id"),
         posexplode(array((0 until 16).map(j => col(s"m$j")): _*))
           .as(Seq("band", "mh")))
@@ -123,24 +132,31 @@ object TextOps {
       // is then O(|docs| × 8) regardless of how promiscuous the buckets
       // are (this tiny-vocabulary corpus collides constantly; a web-scale
       // corpus has the same problem via boilerplate shingles).
+      // Both orientations are emitted in ONE explode pass and the top-8
+      // is an in-group array sort (group size ≤ 16 bands × 19 bucket
+      // partners = 304) — replaces the r3 union (which duplicated the
+      // whole upstream subtree) + window (an extra sort-heavy shuffle).
       val collisions = pairsRaw
         .groupBy("da", "db")
         .agg(count(lit(1)).as("bo"))
-      val perDoc = collisions
-        .select(col("da").as("doc_id"), col("db").as("other"), col("bo"))
-        .union(collisions
-          .select(col("db").as("doc_id"), col("da").as("other"), col("bo")))
-      val wC = Window.partitionBy("doc_id")
-        .orderBy(col("bo").desc, col("other"))
-      val pairs = perDoc.withColumn("rc", row_number().over(wC))
-        .where(col("rc") <= 8)
-        .select(least(col("doc_id"), col("other")).as("da"),
-          greatest(col("doc_id"), col("other")).as("db"))
+      val perDoc = collisions.select(explode(array(
+          struct(col("da").as("doc_id"), col("db").as("other"), col("bo")),
+          struct(col("db").as("doc_id"), col("da").as("other"), col("bo"))))
+          .as("e"))
+        .select(col("e.doc_id").as("doc_id"), col("e.other").as("other"),
+          col("e.bo").as("bo"))
+      val pairs = perDoc.groupBy("doc_id")
+        // sort key (-bo, other) ascending == (bo desc, other asc)
+        .agg(slice(array_sort(collect_list(
+          struct((-col("bo")).as("nbo"), col("other")))), 1, 8).as("cand"))
+        .select(col("doc_id"), explode(col("cand")).as("c"))
+        .select(least(col("doc_id"), col("c.other")).as("da"),
+          greatest(col("doc_id"), col("c.other")).as("db"))
         .distinct()
       // Verify candidates through the inverted index (posting-list joins
       // keyed on the candidate pair) — shares shingle ROWS, never ships
       // collected shingle arrays through the shuffle.
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+      val sizes = sig.select(col("doc_id"), col("nsh"))
       val shared = pairs
         .join(sh.select(col("doc_id").as("da"), col("sh")), "da")
         .join(sh.select(col("doc_id").as("db"), col("sh")), Seq("db", "sh"))
@@ -151,15 +167,18 @@ object TextOps {
         .select(col("da"), col("db"),
           round(col("shared").cast("double")
             / (col("na") + col("nb") - col("shared")), 6).as("jaccard"))
-      val both = verified.select(col("da").as("doc_id"),
-          col("db").as("other"), col("jaccard"))
-        .union(verified.select(col("db").as("doc_id"),
-          col("da").as("other"), col("jaccard")))
-      val wD = Window.partitionBy("doc_id")
-        .orderBy(col("jaccard").desc, col("other"))
-      both.withColumn("rn", row_number().over(wD))
-        .where(col("rn") === 1)
-        .select(col("doc_id"), col("other").as("best_match"), col("jaccard"))
+      // Best match per doc: both orientations exploded once, then a single
+      // grouped max over (jaccard, -other) — highest jaccard, ties to the
+      // smallest partner id. Replaces the second union+window pass.
+      verified.select(explode(array(
+          struct(col("da").as("doc_id"), col("db").as("other"), col("jaccard")),
+          struct(col("db").as("doc_id"), col("da").as("other"), col("jaccard"))))
+          .as("e"))
+        .groupBy(col("e.doc_id").as("doc_id"))
+        .agg(max(struct(col("e.jaccard").as("jaccard"),
+          (-col("e.other")).as("no"), col("e.other").as("other"))).as("b"))
+        .select(col("doc_id"), col("b.other").as("best_match"),
+          col("b.jaccard").as("jaccard"))
         .orderBy("doc_id")
     }),
 
@@ -178,9 +197,20 @@ object TextOps {
 
     // Exact n-gram Jaccard pairs via the inverted-index join (oracle-
     // checked): pairs sharing ≥2 shingles, similarity ≥ 0.05. The join is
-    // shingle→docs (posting lists), never all-pairs.
+    // shingle→docs (posting lists), never all-pairs. Shingles with
+    // document frequency > DF_CAP are dropped from the universe BEFORE
+    // the join — one boilerplate shingle shared by f docs contributes f²
+    // join rows, the skew bomb at 100 TB; a shingle in >1000 docs carries
+    // ~zero Jaccard signal. The cap is stated identically in the DuckDB
+    // oracle (corpus max df is 25, so the guard is provably a no-op on
+    // this data while bounding the worst case). The df groupBy and the
+    // self-join both shuffle on `sh`, so the cap rides the same
+    // partitioning; no cache (ReuseExchange dedupes the distinct scan).
     "q29_jaccard_pairs" -> ((s, dir) => {
-      val sh = shingles(docs(s, dir)).cache()
+      val raw = shingles(docs(s, dir))
+      val dfOk = raw.groupBy("sh").agg(count(lit(1)).as("df"))
+        .where(col("df") <= DF_CAP)
+      val sh = raw.join(dfOk.select("sh"), "sh").select("doc_id", "sh")
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
       val shared = sh.as("a")
         .join(sh.as("b"),
@@ -294,7 +324,7 @@ object TextOps {
         |FROM documents GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY h""".stripMargin,
 
     "q29_jaccard_pairs" ->
-      """WITH sh AS (
+      """WITH raw AS (
         | SELECT DISTINCT doc_id, sh FROM (
         |  SELECT doc_id,
         |   unnest(list_transform(
@@ -303,6 +333,8 @@ object TextOps {
         |          string_split(text,' ')[i+1] || ' ' ||
         |          string_split(text,' ')[i+2])) AS sh
         |  FROM documents)),
+        |dfok AS (SELECT sh FROM raw GROUP BY sh HAVING COUNT(*) <= 1000),
+        |sh AS (SELECT doc_id, raw.sh FROM raw JOIN dfok USING (sh)),
         |sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id),
         |shared AS (
         | SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS shared
