@@ -10,6 +10,13 @@ import org.apache.spark.sql.SparkSession
   * operators. A warm-up pass absorbs first-use JVM/codegen/parquet-footer
   * costs, and failures are surfaced (per-query ok flag + global count)
   * instead of silently contributing fail-fast timings.
+  *
+  * Per-query MEDIAN of 3 samples (VERDICT r3 #2/#7): this shared host's
+  * load average swings 2-6 from outside the session, and single-sample
+  * records have ranged 10x above quiet-host re-runs of the same query
+  * (q18: 60 s recorded vs 2.3 s re-measured). The reported per-query
+  * number and the total are sums of medians — the only signal on this
+  * host that survives contention (protocol in BASELINE.md).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -35,14 +42,15 @@ object Bench {
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     val results = names.map { name =>
-      val t0 = System.nanoTime()
-      val ok = run(name)
-      val sec = (System.nanoTime() - t0) / 1e9
-      ok match {
-        case Left(err) => System.err.println(s"[bench] $name FAILED: $err")
-        case Right(_)  => ()
+      val samples = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = run(name)
+        ((System.nanoTime() - t0) / 1e9, ok)
       }
-      (name, sec, ok.isRight)
+      samples.collectFirst { case (_, Left(err)) => err }.foreach(err =>
+        System.err.println(s"[bench] $name FAILED: $err"))
+      val sec = samples.map(_._1).sorted.apply(1) // median of 3
+      (name, sec, samples.forall(_._2.isRight))
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

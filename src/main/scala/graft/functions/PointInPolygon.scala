@@ -34,20 +34,18 @@ case class PointInPolygon(first: Expression, second: Expression,
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = children.exists(_.nullable)
 
+  /** Nullable ELEMENTS are rejected (not just nullable arrays): both eval
+    * paths read raw doubles, and a null element would silently read as 0.0
+    * — a wrong mask, not an error. Callers build vertex arrays with an
+    * explicit coalesce so the element type is non-null by construction. */
   override def checkInputDataTypes(): TypeCheckResult = {
     val ok = first.dataType == DoubleType && second.dataType == DoubleType &&
       third.dataType == ArrayType(DoubleType, containsNull = false) &&
       fourth.dataType == ArrayType(DoubleType, containsNull = false)
-    val okNullable = first.dataType == DoubleType &&
-      second.dataType == DoubleType &&
-      third.dataType.isInstanceOf[ArrayType] &&
-      third.dataType.asInstanceOf[ArrayType].elementType == DoubleType &&
-      fourth.dataType.isInstanceOf[ArrayType] &&
-      fourth.dataType.asInstanceOf[ArrayType].elementType == DoubleType
-    if (ok || okNullable) TypeCheckResult.TypeCheckSuccess
+    if (ok) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"point_in_polygon expects (double, double, array<double>, " +
-        s"array<double>), got ${children.map(_.dataType.simpleString)}")
+      s"point_in_polygon expects (double, double, array<double not null>, " +
+        s"array<double not null>), got ${children.map(_.dataType.simpleString)}")
   }
 
   override protected def nullSafeEval(px: Any, py: Any,
@@ -58,6 +56,7 @@ case class PointInPolygon(first: Expression, second: Expression,
     val ys = ysA.asInstanceOf[ArrayData]
     val n = xs.numElements()
     var in = false
+    if (n == 0) return false // empty polygon contains nothing
     // Carry the previous vertex instead of re-reading (and no modulo in
     // the loop): iteration i tests edge (v[i-1] -> v[i]), starting with
     // the closing edge (v[n-1] -> v[0]) — the same directed edge set,
@@ -84,14 +83,16 @@ case class PointInPolygon(first: Expression, second: Expression,
       s"""
          |int $n = $xs.numElements();
          |boolean $in = false;
-         |double $x1 = $xs.getDouble($n - 1); double $y1 = $ys.getDouble($n - 1);
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $x2 = $xs.getDouble($i); double $y2 = $ys.getDouble($i);
-         |  if ((($y1 > $py) != ($y2 > $py)) &&
-         |      $px < $x1 + ($x2 - $x1) * ($py - $y1) / ($y2 - $y1)) {
-         |    $in = !$in;
+         |if ($n > 0) {
+         |  double $x1 = $xs.getDouble($n - 1); double $y1 = $ys.getDouble($n - 1);
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $x2 = $xs.getDouble($i); double $y2 = $ys.getDouble($i);
+         |    if ((($y1 > $py) != ($y2 > $py)) &&
+         |        $px < $x1 + ($x2 - $x1) * ($py - $y1) / ($y2 - $y1)) {
+         |      $in = !$in;
+         |    }
+         |    $x1 = $x2; $y1 = $y2;
          |  }
-         |  $x1 = $x2; $y1 = $y2;
          |}
          |${ev.value} = $in;
        """.stripMargin
@@ -108,10 +109,25 @@ case class PointInPolygon(first: Expression, second: Expression,
   * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction((
-      new FunctionIdentifier("point_in_polygon"),
-      new ExpressionInfo(classOf[PointInPolygon].getName, "point_in_polygon"),
-      (args: Seq[Expression]) =>
-        PointInPolygon(args(0), args(1), args(2), args(3))))
+    e.injectFunction(GraftExtensions.pipEntry)
+  }
+}
+
+object GraftExtensions {
+  private val pipEntry = (
+    new FunctionIdentifier("point_in_polygon"),
+    new ExpressionInfo(classOf[PointInPolygon].getName, "point_in_polygon"),
+    (args: Seq[Expression]) =>
+      PointInPolygon(args(0), args(1), args(2), args(3)): Expression)
+
+  /** Runtime registration for sessions NOT built with the static
+    * `spark.sql.extensions` conf (the SparkEntry contract hands the
+    * catalog an externally-constructed session, and getOrCreate silently
+    * ignores static confs when a session already exists in the JVM).
+    * Idempotent — safe to call on every catalog use. */
+  def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val fr = spark.sessionState.functionRegistry
+    val (id, info, builder) = pipEntry
+    if (!fr.functionExists(id)) fr.registerFunction(id, info, builder)
   }
 }

@@ -14,6 +14,12 @@ import org.apache.spark.sql.functions._
   * shuffle the fact side on a dimension key.
   */
 final case class Tables(spark: SparkSession, sfDir: String) {
+  // The driver contract hands SparkEntry an externally-built session that
+  // may lack the graft static conf (`spark.sql.extensions` is ignored by
+  // getOrCreate when a session already exists in the JVM) — register the
+  // native functions defensively so every catalog entry is self-contained.
+  graft.functions.GraftExtensions.ensureRegistered(spark)
+
   private def t(name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
@@ -29,17 +35,20 @@ final case class Tables(spark: SparkSession, sfDir: String) {
   def lineitem: DataFrame   = t("lineitem")
 
   /** `events.ts` is parquet timestamp[ns], which Spark 4.x refuses to read
-    * natively ([PARQUET_TYPE_ILLEGAL]). The session builders (Verify/Bench
-    * and any test session) set `spark.sql.legacy.parquet.nanosAsLong=true`
-    * so the column arrives as a raw nanosecond LONG; here it is truncated
-    * to a microsecond TIMESTAMP — matching what DuckDB emits for the same
+    * natively ([PARQUET_TYPE_ILLEGAL]). The legacy conf is runtime-settable,
+    * so it is (re)asserted here at use-site — an externally-built session
+    * (the SparkEntry contract) works without any builder cooperation. The
+    * column arrives as a raw nanosecond LONG and is truncated to a
+    * microsecond TIMESTAMP — matching what DuckDB emits for the same
     * column, so oracle hashes line up. Integer `div` truncates toward zero,
     * which equals floor truncation for the all-positive (post-1970)
     * timestamps in this data; pre-epoch values would differ by 1µs. Every
     * events query inherits this conversion.
     */
-  def events: DataFrame =
+  def events: DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     t("events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
 
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")

@@ -64,15 +64,19 @@ object EventOps {
         .orderBy("event_type")
     }),
 
-    // JSON family: extract props.k, aggregate per event type.
+    // JSON family: extract props.k, aggregate per event type. The null
+    // count is taken on the PRE-cast extraction — the DuckDB oracle counts
+    // json_extract_string IS NULL before any cast, and a non-numeric
+    // props.k would otherwise be counted as null by Spark only.
     "q41_json_props" -> ((s, dir) => {
       Tables(s, dir).events
         .select(col("event_type"),
-          get_json_object(col("props"), "$.k").cast("long").as("k"))
+          get_json_object(col("props"), "$.k").as("ks"))
+        .select(col("event_type"), col("ks"), col("ks").cast("long").as("k"))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), min("k").as("min_k"), max("k").as("max_k"),
           round(avg("k"), 6).as("avg_k"),
-          count(when(col("k").isNull, lit(1))).as("n_null_k"))
+          count(when(col("ks").isNull, lit(1))).as("n_null_k"))
         .orderBy("event_type")
     }),
 

@@ -36,8 +36,12 @@ object Poster {
     * oracle (via read_parquet) resolve the identical files. */
   val FX = "/root/repo/fixtures"
 
-  private def fx(s: SparkSession, name: String): DataFrame =
+  private def fx(s: SparkSession, name: String): DataFrame = {
+    // Defensive native-function registration — the session may not have
+    // been built with the graft extensions conf (see GraftExtensions).
+    graft.functions.GraftExtensions.ensureRegistered(s)
     s.read.parquet(s"$FX/$name.parquet")
+  }
 
   // Reference defaults baked into the fixtures (app.py:107-113).
   private val LX = -0.6
@@ -77,15 +81,19 @@ object Poster {
         coalesce(lead(col("y"), 1).over(w), first(col("y")).over(wAll)).as("y2"))
   }
 
-  /** Per-blob ordered vertex arrays (xs/ys) for the codegen expression. */
+  /** Per-blob ordered vertex arrays (xs/ys) for the codegen expression.
+    * The coalesce pins the element type to `double NOT NULL` — the
+    * expression rejects nullable elements (a null would silently read as
+    * 0.0 inside the codegen loop); fixture vertices are never null, so
+    * the NaN arm is unreachable and exists only to carry nullability. */
   private[queries] def vertArrays(s: SparkSession): DataFrame =
     fx(s, "blob_vertices")
       .groupBy("blob_id")
       .agg(
         transform(array_sort(collect_list(struct(col("idx"), col("x")))),
-          v => v.getField("x")).as("xs"),
+          v => coalesce(v.getField("x"), lit(Double.NaN))).as("xs"),
         transform(array_sort(collect_list(struct(col("idx"), col("y")))),
-          v => v.getField("y")).as("ys"))
+          v => coalesce(v.getField("y"), lit(Double.NaN))).as("ys"))
 
   /** Mask via the codegen point_in_polygon expression — used by every
     * downstream consumer of the mask (stats/blur/poster/composite): the

@@ -27,7 +27,8 @@ object PosterScale {
   /** Range-streamed grid (params broadcast): the n² cell ids split across
     * all cores; streaming the 14-row params file instead would leave the
     * whole pre-shuffle pipeline on one input partition. */
-  private def grid(s: SparkSession, n: Int): DataFrame =
+  private def grid(s: SparkSession, n: Int): DataFrame = {
+    graft.functions.GraftExtensions.ensureRegistered(s)
     s.range(n.toLong * n)
       .select((col("id") % n).as("x"), (col("id") / n).cast("long").as("y"))
       .join(broadcast(s.read.parquet(s"${Poster.FX}/blob_params.parquet")))
@@ -38,6 +39,7 @@ object PosterScale {
           ((col("xmax") - col("xmin")) / lit((n - 1).toDouble))).as("gx"),
         (col("ymin") + col("y").cast("double") *
           ((col("ymax") - col("ymin")) / lit((n - 1).toDouble))).as("gy"))
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -97,10 +99,11 @@ object PosterScale {
       // every output. Cuts PIP evaluations and blur rows ~3×.
       val vb = s.read.parquet(s"${Poster.FX}/blob_vertices.parquet")
         .groupBy("blob_id").agg(
+          // coalesce pins double NOT NULL — see Poster.vertArrays
           transform(array_sort(collect_list(struct(col("idx"), col("x")))),
-            v => v.getField("x")).as("xs"),
+            v => coalesce(v.getField("x"), lit(Double.NaN))).as("xs"),
           transform(array_sort(collect_list(struct(col("idx"), col("y")))),
-            v => v.getField("y")).as("ys"),
+            v => coalesce(v.getField("y"), lit(Double.NaN))).as("ys"),
           min("x").as("vx_min"), max("x").as("vx_max"),
           min("y").as("vy_min"), max("y").as("vy_max"))
       // gsel keeps the padded-grid bounds so the cell-coordinate band
