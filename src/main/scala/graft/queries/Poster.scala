@@ -146,6 +146,54 @@ object Poster {
 
   private def clip01(c: Column): Column = least(lit(1.0), greatest(lit(0.0), c))
 
+  /** The common [0,1]² canvas raster (shared by compositing queries). */
+  private def canvas(s: SparkSession): DataFrame =
+    s.range(N.toLong * N)
+      .select((col("id") % N).as("x"), (col("id") / N).cast("long").as("y"))
+      .select(col("y"), col("x"),
+        (col("x").cast("double") / lit((N - 1).toDouble)).as("gx"),
+        (col("y").cast("double") / lit((N - 1).toDouble)).as("gy"))
+
+  /** Every (blob, canvas cell) with its inside-mask bit — the shared
+    * front half of the compositing queries. */
+  private def canvasInside(s: SparkSession): DataFrame =
+    insideExpr(s, canvas(s)
+      .crossJoin(broadcast(fx(s, "blob_params").select("blob_id"))))
+
+  /** W2: the blob layer of the composite — per canvas cell, the visible
+    * (painter's-order max_by) blob and its shaded rgba (app.py:93,137).
+    * Shade normalizers are each blob's frozen bbox-grid bounds (the
+    * reference shades in blob-local raster space). */
+  private def blobLayer(s: SparkSession): DataFrame = {
+    val p = fx(s, "blob_params")
+    val in = canvasInside(s).where(col("inside"))
+    val lit01 = in.join(broadcast(p), "blob_id")
+      .withColumn("nx", col("gx") - col("cx_mean"))
+      .withColumn("ny", col("gy") - col("cy_mean"))
+      .withColumn("dist", sqrt(col("nx") * col("nx") + col("ny") * col("ny")))
+      .withColumn("light", col("nx") * lit(LX) + col("ny") * lit(LY))
+      .withColumn("radial", least(lit(1.0),
+        greatest(lit(0.0), lit(1.0) - col("dist") / col("dist_max64"))))
+      .withColumn("lightn", (col("light") - col("light_min64")) /
+        (col("light_max64") - col("light_min64")))
+      .withColumn("shade",
+        lit(0.3) + lit(0.7) * (lit(0.5) * col("radial") + lit(0.5) * col("lightn")))
+    lit01.groupBy("y", "x").agg(
+      max("blob_id").as("top_blob"),
+      max_by(clip01(col("base_r") * col("shade")), col("blob_id")).as("r"),
+      max_by(clip01(col("base_g") * col("shade")), col("blob_id")).as("g"),
+      max_by(clip01(col("base_b") * col("shade")), col("blob_id")).as("b"),
+      max_by(lit(0.4) + lit(0.6) * col("depth"), col("blob_id")).as("a"))
+  }
+
+  /** Reference background themes (app.py:127-131), hex pairs decoded to
+    * 0-255 channel values once here: cool #a2cffe→#f7faff,
+    * warm #ffdfba→#fffaf0, neutral #e8e8e8→#ffffff. */
+  private val THEMES = Seq(
+    ("cool", 162.0, 207.0, 254.0, 247.0, 250.0, 255.0),
+    ("warm", 255.0, 223.0, 186.0, 255.0, 250.0, 240.0),
+    ("neutral", 232.0, 232.0, 232.0, 255.0, 255.0, 255.0))
+
   // ---------------------------------------------------------------- queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -292,34 +340,69 @@ object Poster {
 
     // W2: painter's-order compositing on the common [0,1]² canvas — blobs
     // are drawn in index order (app.py:137,93), so the visible layer per
-    // cell is max_by(·, blob_id). Shade normalizers are each blob's frozen
-    // bbox-grid bounds (the reference shades in blob-local raster space).
-    "q23_poster_composite" -> ((s, _) => {
-      val canvas = s.range(N.toLong * N)
-        .select((col("id") % N).as("x"), (col("id") / N).cast("long").as("y"))
-        .select(col("y"), col("x"),
-          (col("x").cast("double") / lit((N - 1).toDouble)).as("gx"),
-          (col("y").cast("double") / lit((N - 1).toDouble)).as("gy"))
-      val p = fx(s, "blob_params")
-      val cells = canvas.crossJoin(broadcast(p.select("blob_id")))
-      val in = insideExpr(s, cells).where(col("inside"))
-      val lit01 = in.join(broadcast(p), "blob_id")
-        .withColumn("nx", col("gx") - col("cx_mean"))
-        .withColumn("ny", col("gy") - col("cy_mean"))
-        .withColumn("dist", sqrt(col("nx") * col("nx") + col("ny") * col("ny")))
-        .withColumn("light", col("nx") * lit(LX) + col("ny") * lit(LY))
-        .withColumn("radial", least(lit(1.0),
-          greatest(lit(0.0), lit(1.0) - col("dist") / col("dist_max64"))))
-        .withColumn("lightn", (col("light") - col("light_min64")) /
-          (col("light_max64") - col("light_min64")))
-        .withColumn("shade",
-          lit(0.3) + lit(0.7) * (lit(0.5) * col("radial") + lit(0.5) * col("lightn")))
-      lit01.groupBy("y", "x").agg(
-        max("blob_id").as("top_blob"),
-        max_by(clip01(col("base_r") * col("shade")), col("blob_id")).as("r"),
-        max_by(clip01(col("base_g") * col("shade")), col("blob_id")).as("g"),
-        max_by(clip01(col("base_b") * col("shade")), col("blob_id")).as("b"),
-        max_by(lit(0.4) + lit(0.6) * col("depth"), col("blob_id")).as("a"))
+    // cell is max_by(·, blob_id).
+    "q23_poster_composite" -> ((s, _) =>
+      blobLayer(s).orderBy("y", "x")),
+
+    // P10 (completed): the theme→background-gradient lookup (app.py:
+    // 126-133) — 3-theme 2-color table, 600-sample linspace ramp, linear
+    // channel interpolation in 0-255 space then normalized, alpha 0.2.
+    // Pure IEEE primitives in identical op order → exact cross-engine.
+    "q52_background" -> ((s, _) => {
+      import s.implicits._
+      val themes = THEMES.toDF("theme", "r1", "g1", "b1", "r2", "g2", "b2")
+      val ramp = s.range(600).select(col("id").as("i"),
+        (col("id").cast("double") / lit(599.0)).as("t"))
+      def ch(a: String, b: String): Column =
+        (col(a) + col("t") * (col(b) - col(a))) / lit(255.0)
+      ramp.crossJoin(broadcast(themes))
+        .select(col("theme"), col("i"), col("t"),
+          ch("r1", "r2").as("r"), ch("g1", "g2").as("g"),
+          ch("b1", "b2").as("b"), lit(0.2).as("a"))
+        .orderBy("theme", "i")
+    }),
+
+    // P14 (completed): the full two-layer composite — each blob's blurred
+    // mask drawn as a shadow at the (+0.02, −0.02) offset UNDER the blob
+    // layer (app.py:87-91, zorder 0 vs 1), alpha 0.25·(1−depth). The
+    // continuous 0.02 offset is discretized to one canvas cell
+    // (round(0.02·63) = 1) — the raster-aligned recast of the reference's
+    // continuous `extent` shift; per-layer visibility is painter's-order
+    // max_by, consistent with q23. Cells may carry a shadow, a blob, or
+    // both (full outer join of the two layers).
+    "q53_shadow_composite" -> ((s, _) => {
+      val k = fx(s, "kernel_sigma2")
+      val m = canvasInside(s).where(col("inside"))
+        .select("blob_id", "y", "x")
+      val p1 = m.crossJoin(broadcast(k))
+        .select(col("blob_id"), col("y"),
+          (col("x") - col("offset").cast("long")).as("x"), col("weight"))
+        .where(col("x").between(0, N - 1))
+        .groupBy("blob_id", "y", "x")
+        .agg(round(sum("weight"), 9).as("v1"))
+      val p2 = p1.crossJoin(broadcast(k))
+        .select(col("blob_id"),
+          (col("y") - col("offset").cast("long")).as("y"), col("x"),
+          (col("weight") * col("v1")).as("p"))
+        .where(col("y").between(0, N - 1))
+        .groupBy("blob_id", "y", "x")
+        .agg(round(sum("p"), 9).as("v2"))
+      // +0.02 right, −0.02 down (origin lower): content at blur cell
+      // (y, x) lands on canvas cell (y − 1, x + 1).
+      val shifted = p2.select(col("blob_id"), (col("y") - 1).as("y"),
+          (col("x") + 1).as("x"), col("v2"))
+        .where(col("y").between(0, N - 1) && col("x").between(0, N - 1))
+      val shadow = shifted
+        .join(broadcast(fx(s, "blob_params").select("blob_id", "depth")),
+          "blob_id")
+        .groupBy("y", "x").agg(
+          max("blob_id").as("sh_blob"),
+          max_by(col("v2"), col("blob_id")).as("sh_v"),
+          max_by(lit(0.25) * (lit(1.0) - col("depth")), col("blob_id"))
+            .as("sh_a"))
+      blobLayer(s).join(shadow, Seq("y", "x"), "full_outer")
+        .select(col("y"), col("x"), col("top_blob"), col("r"), col("g"),
+          col("b"), col("a"), col("sh_blob"), col("sh_v"), col("sh_a"))
         .orderBy("y", "x")
     }),
   )
@@ -379,6 +462,47 @@ object Poster {
        |  0.3 + 0.7 * (0.5 * LEAST(1.0, GREATEST(0.0, 1.0 - dist / dist_max))
        |             + 0.5 * (light - light_min) / (light_max - light_min)) AS shade
        | FROM pre JOIN stats USING (blob_id))""".stripMargin
+
+  /** Canvas-space CTE chain shared by the compositing oracles. */
+  private val CANVAS_CTES =
+    s"""canvas AS (
+       | SELECT ty.y, tx.x,
+       |  CAST(tx.x AS DOUBLE) / 63.0 AS gx,
+       |  CAST(ty.y AS DOUBLE) / 63.0 AS gy
+       | FROM range(64) ty(y), range(64) tx(x)),
+       |grid AS (
+       | SELECT p.blob_id, c.y, c.x, c.gx, c.gy FROM $P p, canvas c),
+       |$EDGES_CTE, $INSIDE_CTE""".stripMargin
+
+  /** The blob (zorder-1) layer of the composite, ending in CTE `bl`. */
+  private val BLOBLAYER_CTES =
+    s"""lit01 AS (
+       | SELECT i.y, i.x, i.blob_id,
+       |  LEAST(1.0, GREATEST(0.0,
+       |    1.0 - SQRT((i.gx - p.cx_mean)*(i.gx - p.cx_mean)
+       |             + (i.gy - p.cy_mean)*(i.gy - p.cy_mean)) / p.dist_max64))
+       |    AS radial,
+       |  ((i.gx - p.cx_mean)*(-0.6) + (i.gy - p.cy_mean)*0.8 - p.light_min64)
+       |    / (p.light_max64 - p.light_min64) AS lightn,
+       |  p.base_r, p.base_g, p.base_b, p.depth
+       | FROM inside i JOIN $P p USING (blob_id) WHERE i.inside),
+       |shl AS (
+       | SELECT y, x, blob_id,
+       |  0.3 + 0.7 * (0.5 * radial + 0.5 * lightn) AS shade,
+       |  base_r, base_g, base_b, depth
+       | FROM lit01),
+       |bl AS (
+       | SELECT y, x, MAX(blob_id) AS top_blob,
+       |  MAX_BY(LEAST(1.0, GREATEST(0.0, base_r * shade)), blob_id) AS r,
+       |  MAX_BY(LEAST(1.0, GREATEST(0.0, base_g * shade)), blob_id) AS g,
+       |  MAX_BY(LEAST(1.0, GREATEST(0.0, base_b * shade)), blob_id) AS b,
+       |  MAX_BY(0.4 + 0.6 * depth, blob_id) AS a
+       | FROM shl GROUP BY y, x)""".stripMargin
+
+  /** DuckDB VALUES rows generated from the same THEMES constant. */
+  private val THEME_VALUES = THEMES.map { case (t, r1, g1, b1, r2, g2, b2) =>
+    s"('$t', $r1, $g1, $b1, $r2, $g2, $b2)"
+  }.mkString(",\n ")
 
   def oracles: Map[String, String] = Map(
     "q13_kernel" ->
@@ -491,35 +615,52 @@ object Poster {
          |ORDER BY s.blob_id, s.y, s.x""".stripMargin,
 
     "q23_poster_composite" ->
-      s"""WITH canvas AS (
-         | SELECT ty.y, tx.x,
-         |  CAST(tx.x AS DOUBLE) / 63.0 AS gx,
-         |  CAST(ty.y AS DOUBLE) / 63.0 AS gy
-         | FROM range(64) ty(y), range(64) tx(x)),
-         |grid AS (
-         | SELECT p.blob_id, c.y, c.x, c.gx, c.gy FROM $P p, canvas c),
-         |$EDGES_CTE, $INSIDE_CTE,
-         |lit01 AS (
-         | SELECT i.y, i.x, i.blob_id,
-         |  LEAST(1.0, GREATEST(0.0,
-         |    1.0 - SQRT((i.gx - p.cx_mean)*(i.gx - p.cx_mean)
-         |             + (i.gy - p.cy_mean)*(i.gy - p.cy_mean)) / p.dist_max64))
-         |    AS radial,
-         |  ((i.gx - p.cx_mean)*(-0.6) + (i.gy - p.cy_mean)*0.8 - p.light_min64)
-         |    / (p.light_max64 - p.light_min64) AS lightn,
-         |  p.base_r, p.base_g, p.base_b, p.depth
-         | FROM inside i JOIN $P p USING (blob_id) WHERE i.inside),
-         |sh AS (
-         | SELECT y, x, blob_id,
-         |  0.3 + 0.7 * (0.5 * radial + 0.5 * lightn) AS shade,
-         |  base_r, base_g, base_b, depth
-         | FROM lit01)
-         |SELECT y, x, MAX(blob_id) AS top_blob,
-         | MAX_BY(LEAST(1.0, GREATEST(0.0, base_r * shade)), blob_id) AS r,
-         | MAX_BY(LEAST(1.0, GREATEST(0.0, base_g * shade)), blob_id) AS g,
-         | MAX_BY(LEAST(1.0, GREATEST(0.0, base_b * shade)), blob_id) AS b,
-         | MAX_BY(0.4 + 0.6 * depth, blob_id) AS a
-         |FROM sh GROUP BY y, x
+      s"""WITH $CANVAS_CTES,
+         |$BLOBLAYER_CTES
+         |SELECT y, x, top_blob, r, g, b, a FROM bl
+         |ORDER BY y, x""".stripMargin,
+
+    "q52_background" ->
+      s"""WITH themes(theme, r1, g1, b1, r2, g2, b2) AS (VALUES
+         | $THEME_VALUES),
+         |ramp AS (
+         | SELECT x AS i, CAST(x AS DOUBLE) / 599.0 AS t FROM range(600) t(x))
+         |SELECT theme, i, t,
+         | (r1 + t * (r2 - r1)) / 255.0 AS r,
+         | (g1 + t * (g2 - g1)) / 255.0 AS g,
+         | (b1 + t * (b2 - b1)) / 255.0 AS b,
+         | 0.2 AS a
+         |FROM ramp, themes ORDER BY theme, i""".stripMargin,
+
+    "q53_shadow_composite" ->
+      s"""WITH $CANVAS_CTES,
+         |$BLOBLAYER_CTES,
+         |m AS (SELECT blob_id, y, x FROM inside WHERE inside),
+         |p1 AS (
+         | SELECT m.blob_id, m.y, m.x - k."offset" AS x,
+         |        ROUND(SUM(k.weight), 9) AS v1
+         | FROM m, $K2 k
+         | WHERE m.x - k."offset" BETWEEN 0 AND 63
+         | GROUP BY m.blob_id, m.y, m.x - k."offset"),
+         |p2 AS (
+         | SELECT p1.blob_id, p1.y - k."offset" AS y, p1.x,
+         |        ROUND(SUM(k.weight * p1.v1), 9) AS v2
+         | FROM p1, $K2 k
+         | WHERE p1.y - k."offset" BETWEEN 0 AND 63
+         | GROUP BY p1.blob_id, p1.y - k."offset", p1.x),
+         |shifted AS (
+         | SELECT blob_id, y - 1 AS y, x + 1 AS x, v2 FROM p2
+         | WHERE y - 1 BETWEEN 0 AND 63 AND x + 1 BETWEEN 0 AND 63),
+         |shadow AS (
+         | SELECT s.y, s.x, MAX(s.blob_id) AS sh_blob,
+         |  MAX_BY(s.v2, s.blob_id) AS sh_v,
+         |  MAX_BY(0.25 * (1.0 - p.depth), s.blob_id) AS sh_a
+         | FROM shifted s JOIN $P p USING (blob_id)
+         | GROUP BY s.y, s.x)
+         |SELECT COALESCE(bl.y, shadow.y) AS y, COALESCE(bl.x, shadow.x) AS x,
+         | top_blob, r, g, b, a, sh_blob, sh_v, sh_a
+         |FROM bl FULL OUTER JOIN shadow
+         |  ON bl.y = shadow.y AND bl.x = shadow.x
          |ORDER BY y, x""".stripMargin,
   )
 }
