@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 
 /** Custom typed Aggregator (SURVEY §2.9 surface): 64-bit SimHash of a
@@ -43,7 +44,10 @@ object SimHashAgg extends Aggregator[Long, Array[Int], Long] {
     fp
   }
 
+  // ExpressionEncoder keeps the 64-int buffer on the codegen'd
+  // serialization path — Encoders.kryo would force generic object
+  // serialization for every partial-aggregate merge.
   override def bufferEncoder: Encoder[Array[Int]] =
-    Encoders.kryo[Array[Int]]
+    ExpressionEncoder[Array[Int]]()
   override def outputEncoder: Encoder[Long] = Encoders.scalaLong
 }

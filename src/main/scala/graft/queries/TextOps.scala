@@ -195,6 +195,38 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // SimHash-LSH near-dup (consumes the q28 sketch; Spark-only sketch →
+    // rows-only check, but the Aggregator's bit semantics are pinned by a
+    // hand-computed unit test in SimHashSpec). The 64-bit fingerprint is
+    // banded 4×16 — near-dups (small Hamming distance) agree on at least
+    // one whole band with high probability — and band buckets are capped
+    // at 20 docs exactly like q27; candidate pairs are kept at Hamming
+    // distance ≤ 16 of 64 bits. Exact duplicates land at distance 0.
+    "q54_simhash_near_dup" -> ((s, dir) => {
+      val sim = udaf(SimHashAgg)
+      val fps = docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .select(col("doc_id"), xxhash64(col("tok")).as("th"))
+        .groupBy("doc_id").agg(sim(col("th")).as("fp"))
+      val bands = fps.select(col("doc_id"), col("fp"),
+        posexplode(array((0 until 4).map(b =>
+          shiftrightunsigned(col("fp"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
+          .as(Seq("band", "sig")))
+      val buckets = bands.groupBy("band", "sig")
+        .agg(collect_list(struct(col("doc_id"), col("fp"))).as("ds"))
+        .where(size(col("ds")).between(2, 20))
+      buckets.select(explode(expr(
+        "flatten(transform(ds, (a, i) -> " +
+          "transform(slice(ds, i + 2, size(ds)), " +
+          "b -> struct(least(a.doc_id, b.doc_id) AS da, " +
+          "greatest(a.doc_id, b.doc_id) AS db, " +
+          "bit_count(a.fp ^ b.fp) AS hamming))))")).as("pr"))
+        .select(col("pr.da"), col("pr.db"), col("pr.hamming"))
+        .distinct()
+        .where(col("hamming") <= 16)
+        .orderBy("da", "db")
+    }),
+
     // Exact n-gram Jaccard pairs via the inverted-index join (oracle-
     // checked): pairs sharing ≥2 shingles, similarity ≥ 0.05. The join is
     // shingle→docs (posting lists), never all-pairs. Shingles with
