@@ -124,43 +124,63 @@ object PosterScale {
           (col("light_max") - col("light_min")))
         .withColumn("shade", lit(0.3) +
           lit(0.7) * (lit(0.5) * col("radial") + lit(0.5) * col("lightn")))
-      // Single downstream pass: shuffle the ~430k mask cells once by
-      // blob, then run the separable σ=6 blur on a DENSE per-blob band
-      // array inside flatMapGroups — the one place the declarative forms
-      // lose badly (the 37× kernel-join fan-out costs ~4 s here; the
-      // dense conv is ~100 M multiplies, milliseconds). This is the
-      // documented per-partition imperative escape hatch (preference
-      // order (d)) — the oracle-checked q20/q21 keep the declarative
-      // join form as the semantic reference. All per-blob aggregates
-      // fold into the same pass.
+      // Single downstream pass: shuffle the ~430k mask cells once, then
+      // run the separable σ=6 blur on a DENSE array inside mapGroups —
+      // the one place the declarative forms lose badly (the 37× kernel-
+      // join fan-out costs ~4 s here; the dense conv is ~100 M
+      // multiplies, milliseconds). This is the documented per-partition
+      // imperative escape hatch (preference order (d)) — the oracle-
+      // checked q20/q21 keep the declarative join form as the semantic
+      // reference.
+      //
+      // TILED (r4): the group key is (blob, row-tile of T rows), each
+      // mask cell replicated to every tile whose ±R halo needs its row
+      // (≤2 tiles for T > 2R). Per-task memory is O((T + 2R) × band
+      // width) — bounded by the TILE, not the blob, so a 100× grid
+      // resolution cannot blow a single executor core (the r3 form held
+      // one whole blob band: tens of GB at the 100× grid). Widening to
+      // 2-D (x-range) tiles is the same construction applied to columns
+      // if band width ever dominates. Horizontal conv needs only same-
+      // row data; vertical conv at output row o reads t-rows o±R, all
+      // inside the halo by construction, so tile results are exactly the
+      // single-band values.
       val kernel = s.read.parquet(s"${Poster.FX}/kernel_sigma6.parquet")
         .orderBy("offset").collect().map(_.getDouble(1))
       val maskCells = cells.where(col("inside"))
         .select(col("blob_id"), col("y").cast("int").as("y"),
           col("x").cast("int").as("x"), col("shade"), col("depth"))
       import s.implicits._
-      val perBlob = maskCells
-        .as[(Long, Int, Int, Double, Double)]
-        .groupByKey(_._1)
-        .mapGroups { (blob, it) =>
-          val cells = it.toArray
-          var shadeSum = 0.0
-          var xLo = n; var xHi = -1; var yLo = n; var yHi = -1
-          var depth = 0.0
-          cells.foreach { c =>
-            shadeSum += c._4; depth = c._5
-            if (c._3 < xLo) xLo = c._3; if (c._3 > xHi) xHi = c._3
-            if (c._2 < yLo) yLo = c._2; if (c._2 > yHi) yHi = c._2
-          }
-          // dilated band, clipped to the grid — all nonzero blur lives here
+      val T = 64 // tile height (rows); T > 2R so a cell lands in ≤2 tiles
+      val maxTile = (n - 1) / T
+      val tiled = maskCells.select("blob_id", "y", "x")
+        .as[(Long, Int, Int)]
+        .flatMap { case (blob, y, x) =>
+          // tile k needs row y iff kT−R ≤ y ≤ (k+1)T−1+R
+          val kLo = math.max(0, math.floorDiv(y - R, T))
+          val kHi = math.min(maxTile, math.floorDiv(y + R, T))
+          (kLo to kHi).map(k => (blob, k, y, x))
+        }
+      val tileMass = tiled
+        .groupByKey(c => (c._1, c._2))
+        .mapGroups { (key: (Long, Int), it: Iterator[(Long, Int, Int, Int)]) =>
+          val (blob, k) = key
+          val cs = it.toArray
+          // received rows: the tile's halo range, clipped to the grid
+          val rLo = math.max(0, k * T - R)
+          val rHi = math.min(n - 1, (k + 1) * T - 1 + R)
+          // output rows: the tile proper
+          val oLo = k * T
+          val oHi = math.min(n - 1, (k + 1) * T - 1)
+          var xLo = n; var xHi = -1
+          cs.foreach { c =>
+            if (c._4 < xLo) xLo = c._4; if (c._4 > xHi) xHi = c._4 }
           val bx0 = math.max(0, xLo - R); val bx1 = math.min(n - 1, xHi + R)
-          val by0 = math.max(0, yLo - R); val by1 = math.min(n - 1, yHi + R)
-          val w = bx1 - bx0 + 1; val h = by1 - by0 + 1
+          val w = bx1 - bx0 + 1; val h = rHi - rLo + 1
           val m = new Array[Double](h * w)
-          cells.foreach(c => m((c._2 - by0) * w + (c._3 - bx0)) = 1.0)
-          // horizontal then vertical pass, zero padding outside the band
-          // (cells beyond the grid edge clip away exactly like the
-          // bounded join form)
+          cs.foreach(c => m((c._3 - rLo) * w + (c._4 - bx0)) = 1.0)
+          // horizontal pass over every received row (zero padding beyond
+          // the band; cells beyond the grid edge clip away exactly like
+          // the bounded join form)
           val t = new Array[Double](h * w)
           var yy = 0
           while (yy < h) {
@@ -177,34 +197,43 @@ object PosterScale {
             }
             yy += 1
           }
+          // vertical pass + mass, output rows only
           var shadowMass = 0.0
-          yy = 0
-          while (yy < h) {
+          var oy = oLo
+          while (oy <= oHi) {
             var xx = 0
             while (xx < w) {
               var acc = 0.0; var o = -R
               while (o <= R) {
-                val syy = yy + o
-                if (syy >= 0 && syy < h) acc += kernel(o + R) * t(syy * w + xx)
+                val sy = oy + o
+                if (sy >= rLo && sy <= rHi)
+                  acc += kernel(o + R) * t((sy - rLo) * w + xx)
                 o += 1
               }
               shadowMass += acc
               xx += 1
             }
-            yy += 1
+            oy += 1
           }
-          val nMask = cells.length.toLong
-          (blob, nMask,
-            BigDecimal(shadeSum).setScale(3, BigDecimal.RoundingMode.HALF_UP)
-              .toDouble,
-            BigDecimal(0.4 * nMask + 0.6 * depth * nMask)
-              .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble,
-            BigDecimal(shadowMass).setScale(3, BigDecimal.RoundingMode.HALF_UP)
-              .toDouble)
+          (blob, k, shadowMass)
         }
-      perBlob
-        .toDF("blob_id", "n_mask_cells", "mask_shade_sum", "alpha_sum",
-          "shadow_mass")
+        .toDF("blob_id", "tile", "mass")
+      // Fold tile masses in TILE ORDER (array_sort before aggregate) so
+      // the double summation is deterministic run-to-run; everything else
+      // is a plain per-blob aggregate off the same mask-cell shuffle.
+      val mass = tileMass.groupBy("blob_id")
+        .agg(aggregate(
+          transform(array_sort(collect_list(struct(col("tile"), col("mass")))),
+            v => v.getField("mass")),
+          lit(0.0), (acc, x) => acc + x).as("raw_mass"))
+      val perBlobAgg = maskCells.groupBy("blob_id").agg(
+        count(lit(1)).as("n_mask_cells"),
+        round(sum("shade"), 3).as("mask_shade_sum"),
+        round(lit(0.4) * count(lit(1))
+          + lit(0.6) * max("depth") * count(lit(1)), 3).as("alpha_sum"))
+      perBlobAgg.join(mass, "blob_id")
+        .select(col("blob_id"), col("n_mask_cells"), col("mask_shade_sum"),
+          col("alpha_sum"), round(col("raw_mass"), 3).as("shadow_mass"))
         .orderBy("blob_id")
     }),
   )
