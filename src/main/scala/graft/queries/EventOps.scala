@@ -80,6 +80,38 @@ object EventOps {
         .orderBy("event_type")
     }),
 
+    // Batch twin of EventStreams.dedupe (§2.10): deterministic first-
+    // occurrence dedup on event_id (earliest ts, ties on event_type),
+    // summarized per event type. The streaming form bounds its state with
+    // a watermark; this is the same semantics over a bounded table.
+    "q55_dedup_batch" -> ((s, dir) => {
+      val w = Window.partitionBy("event_id").orderBy("ts", "event_type")
+      Tables(s, dir).events
+        .select(col("event_id"), col("ts"), col("event_type"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_unique_events"))
+        .orderBy("event_type")
+    }),
+
+    // Batch twin of EventStreams.clickToPurchase (§2.10): purchases
+    // within 30 minutes AFTER a click by the same user — the equi+range
+    // interval join, shuffled once on user_id. The streaming form drops
+    // expired join state via its two watermarks.
+    "q56_click_purchase_batch" -> ((s, dir) => {
+      val e = Tables(s, dir).events
+      val c = e.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"))
+      val p = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("purchase_ts"))
+      c.join(p, Seq("user_id"))
+        .where(col("purchase_ts") >= col("click_ts") &&
+          unix_micros(col("purchase_ts"))
+            <= unix_micros(col("click_ts")) + 1800L * 1000000L)
+        .orderBy("user_id", "click_ts", "purchase_ts")
+    }),
+
     // Date family over orders: month truncation, weekend detection
     // (Spark dayofweek is 1=Sunday; DuckDB dow is 0=Sunday — both sides
     // express "Saturday or Sunday" in their own numbering).
@@ -129,6 +161,25 @@ object EventOps {
         | ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k,
         | COUNT(*) FILTER (json_extract_string(props, '$.k') IS NULL) AS n_null_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q55_dedup_batch" ->
+      """WITH first AS (
+        | SELECT event_id, event_type FROM (
+        |  SELECT event_id, event_type,
+        |   ROW_NUMBER() OVER (PARTITION BY event_id
+        |                      ORDER BY ts, event_type) AS rn
+        |  FROM events) WHERE rn = 1)
+        |SELECT event_type, COUNT(*) AS n_unique_events
+        |FROM first GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q56_click_purchase_batch" ->
+      """SELECT c.user_id, c.ts AS click_ts, p.ts AS purchase_ts
+        |FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+        |JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id
+        | AND p.ts >= c.ts
+        | AND epoch_us(p.ts) <= epoch_us(c.ts) + 1800000000
+        |ORDER BY c.user_id, click_ts, purchase_ts""".stripMargin,
 
     "q42_date_math" ->
       """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,

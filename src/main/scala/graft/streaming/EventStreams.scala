@@ -12,8 +12,15 @@ import org.apache.spark.sql.streaming.GroupStateTimeout
   *
   * Scale stance: all state is keyed and bounded — watermarks close event-
   * time windows and expire dedup state; mapGroupsWithState holds one small
-  * case class per user. No operator accumulates unbounded driver or
-  * executor state.
+  * case class per user AND expires it via event-time timeout. No operator
+  * accumulates unbounded driver or executor state.
+  *
+  * Driver-catalog presence: the streaming plans themselves run only under
+  * the test harness (MemoryStream), but their batch twins are first-class
+  * oracle-checked catalog entries — q55_dedup_batch (dedupe) and
+  * q56_click_purchase_batch (clickToPurchase) in graft.queries.EventOps,
+  * plus q39 (tumblingCounts' window()) — so the driver exercises the same
+  * plan shapes every round.
   */
 object EventStreams {
 
@@ -47,23 +54,42 @@ object EventStreams {
       .select(col("c.user_id").as("user_id"), col("c.ts").as("click_ts"),
         col("p.ts").as("purchase_ts"))
 
-  final case class UserEvent(user_id: Long, value: Double)
+  final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class UserAgg(n: Long, total: Double)
 
   /** Custom keyed state via mapGroupsWithState: running per-user count and
-    * value sum across micro-batches (Update mode). */
+    * value sum across micro-batches (Update mode).
+    *
+    * State is BOUNDED: event-time timeout expires a user's state one hour
+    * (event time) past their last event once the watermark passes it —
+    * on an unbounded key space the r3 NoTimeout form grew state forever.
+    * A timed-out group emits its final totals once and drops the state;
+    * a later event for the same user starts a fresh running total. */
   def runningUserTotals(events: Dataset[UserEvent]): Dataset[(Long, Long, Double)] = {
     import events.sparkSession.implicits._
     events
+      .withWatermark("ts", "1 hour")
       .groupByKey(_.user_id)
       .mapGroupsWithState[UserAgg, (Long, Long, Double)](
-        GroupStateTimeout.NoTimeout) { (user, rows, state) =>
-        val prev = state.getOption.getOrElse(UserAgg(0L, 0.0))
-        var n = prev.n
-        var total = prev.total
-        rows.foreach { r => n += 1; total += r.value }
-        state.update(UserAgg(n, total))
-        (user, n, total)
+        GroupStateTimeout.EventTimeTimeout) { (user, rows, state) =>
+        if (state.hasTimedOut) {
+          val last = state.get
+          state.remove()
+          (user, last.n, last.total)
+        } else {
+          val prev = state.getOption.getOrElse(UserAgg(0L, 0.0))
+          var n = prev.n
+          var total = prev.total
+          var maxTs = Long.MinValue
+          rows.foreach { r =>
+            n += 1; total += r.value
+            if (r.ts.getTime > maxTs) maxTs = r.ts.getTime
+          }
+          state.update(UserAgg(n, total))
+          // expire 1 h (event time) after this user's latest event
+          state.setTimeoutTimestamp(maxTs + 3600L * 1000L)
+          (user, n, total)
+        }
       }
   }
 }

@@ -84,14 +84,39 @@ class StreamingSpec extends AnyFunSuite {
       .toDF("user_id", "n", "total")
       .writeStream.format("memory").queryName("running")
       .outputMode("update").start()
-    in.addData(UserEvent(1L, 2.0), UserEvent(1L, 3.0), UserEvent(2L, 10.0))
+    in.addData(UserEvent(1L, ts(1, 1), 2.0), UserEvent(1L, ts(1, 2), 3.0),
+      UserEvent(2L, ts(1, 1), 10.0))
     q.processAllAvailable()
-    in.addData(UserEvent(1L, 5.0))
+    in.addData(UserEvent(1L, ts(1, 3), 5.0))
     q.processAllAvailable()
     val byBatch = s.table("running").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     q.stop()
     // batch 1: user1 -> (2, 5.0), user2 -> (1, 10.0); batch 2: user1 -> (3, 10.0)
     assert(byBatch.toSet === Set((1L, 2L, 5.0), (2L, 1L, 10.0), (1L, 3L, 10.0)))
+  }
+
+  test("event-time timeout expires inactive per-user state") {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val in = MemoryStream[UserEvent]
+    val q = EventStreams.runningUserTotals(in.toDS())
+      .toDF("user_id", "n", "total")
+      .writeStream.format("memory").queryName("running_timeout")
+      .outputMode("update").start()
+    in.addData(UserEvent(1L, ts(1, 1), 2.0))
+    q.processAllAvailable()
+    // day 3 traffic from ANOTHER user pushes the watermark far past
+    // user 1's +1h timeout -> user 1's state is dropped
+    in.addData(UserEvent(2L, ts(3, 12), 1.0))
+    q.processAllAvailable()
+    // user 1 returns: totals restart from zero, proving the state expired
+    in.addData(UserEvent(1L, ts(3, 13), 7.0))
+    q.processAllAvailable()
+    val rows = s.table("running_timeout").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    q.stop()
+    assert(rows.contains((1L, 1L, 7.0))) // fresh state, not (2, 9.0)
+    assert(!rows.contains((1L, 2L, 9.0)))
   }
 }
