@@ -314,6 +314,42 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // BPE-ish token counting: subword-style segmentation via the regex
+    // [letters]+|[digits]+|[other]+ (the GPT-2-pretokenizer shape minus
+    // lookarounds, which RE2/Java regex dialects disagree on), next to
+    // the whitespace count. The inflation ratio letters/digits/punct
+    // splitting adds is the token-budget planning number an LLM-data
+    // pipeline reports per corpus slice.
+    "q57_bpe_tokens" -> ((s, dir) => {
+      val bpe = expr(
+        "size(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]+', 0))")
+      docs(s, dir)
+        .select(col("lang"), col("source"),
+          bpe.cast("long").as("n_bpe"),
+          size(split(col("text"), " ")).cast("long").as("n_ws"))
+        .groupBy("lang", "source")
+        .agg(sum("n_bpe").as("bpe_tokens"), sum("n_ws").as("ws_tokens"),
+          round(sum("n_bpe").cast("double") / sum("n_ws"), 6)
+            .as("inflation"))
+        .orderBy("lang", "source")
+    }),
+
+    // Rolling-hash document fingerprint (Rabin-Karp polynomial hash over
+    // the character stream, mod 1e9+7): order-SENSITIVE dedup complement
+    // to q32's order-free token-bag fingerprint. Integer-only arithmetic
+    // → bit-identical cross-engine (DuckDB list_reduce seeds with the
+    // first element, which equals a zero-seeded fold since c₀ < p).
+    "q58_rolling_hash" -> ((s, dir) => {
+      val rhash = when(length(col("text")) === 0, lit(0L)).otherwise(
+        aggregate(split(col("text"), ""), lit(0L),
+          (acc, c) => (acc * 31 + ascii(c).cast("long")) % 1000000007L))
+      val wF = Window.partitionBy("rhash")
+      docs(s, dir)
+        .select(col("doc_id"), rhash.as("rhash"))
+        .withColumn("n_docs_sharing", count(lit(1)).over(wF))
+        .orderBy("doc_id")
+    }),
+
     // tf-idf with per-doc top-3 terms. Ranking uses the ROUNDED score so
     // cross-engine float noise cannot flip the order; ties break on term.
     "q33_tfidf" -> ((s, dir) => {
@@ -418,6 +454,30 @@ object TextOps {
         |   md5(array_to_string(list_sort(list_distinct(string_split(text,' '))),' ')))
         |   AS n_docs_sharing
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q57_bpe_tokens" ->
+      """SELECT lang, source,
+        | CAST(SUM(len(regexp_extract_all(text,
+        |   '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]+'))) AS BIGINT) AS bpe_tokens,
+        | CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+        | ROUND(CAST(SUM(len(regexp_extract_all(text,
+        |   '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]+'))) AS DOUBLE)
+        |   / SUM(len(string_split(text, ' '))), 6) AS inflation
+        |FROM documents GROUP BY lang, source ORDER BY lang, source"""
+        .stripMargin,
+
+    "q58_rolling_hash" ->
+      """WITH h AS (
+        | SELECT doc_id,
+        |  CASE WHEN length(text) = 0 THEN 0
+        |       ELSE list_reduce(
+        |         list_transform(string_split(text, ''),
+        |                        c -> CAST(ascii(c) AS BIGINT)),
+        |         (acc, x) -> (acc * 31 + x) % 1000000007) END AS rhash
+        | FROM documents)
+        |SELECT doc_id, rhash,
+        | COUNT(*) OVER (PARTITION BY rhash) AS n_docs_sharing
+        |FROM h ORDER BY doc_id""".stripMargin,
 
     "q33_tfidf" ->
       """WITH terms AS (
