@@ -224,20 +224,25 @@ object VectorOps {
     // neighbor; n_correct counts exact agreement with the true best
     // (ties broken identically on both sides, so id-match is exact).
     "q51_ann_recall" -> ((s, dir) => {
+      // ONE brute-force truth pass; both methods join onto it and the
+      // per-method rows come from an explode, not a union (a union would
+      // duplicate the expensive truth subtree in the physical plan).
       val truth = bruteBest(s, dir, RECALL_Q)
-      def eval(name: String, method: DataFrame): DataFrame =
-        truth.join(method.where(col("vec_id") < RECALL_Q)
-            .select(col("vec_id").as("qid"), col("best")), Seq("qid"), "left")
-          .agg(count(lit(1)).as("n_queries"),
-            count(col("best")).as("n_answered"),
-            count(when(col("best") === col("tbest"), lit(1)))
-              .as("n_correct"))
-          .select(lit(name).as("method"), col("n_queries"),
-            col("n_answered"),
-            round(col("n_correct").cast("double") / col("n_answered"), 4)
-              .as("recall_at_1"))
-      eval("blocked", blockedBest(s, dir))
-        .unionAll(eval("lsh", lshBest(s, dir)))
+      val joined = truth
+        .join(blockedBest(s, dir).where(col("vec_id") < RECALL_Q)
+          .select(col("vec_id").as("qid"), col("best").as("b_best")),
+          Seq("qid"), "left")
+        .join(lshBest(s, dir).where(col("vec_id") < RECALL_Q)
+          .select(col("vec_id").as("qid"), col("best").as("l_best")),
+          Seq("qid"), "left")
+      joined.select(col("tbest"), explode(array(
+          struct(lit("blocked").as("method"), col("b_best").as("best")),
+          struct(lit("lsh").as("method"), col("l_best").as("best")))).as("m"))
+        .groupBy(col("m.method").as("method"))
+        .agg(count(lit(1)).as("n_queries"),
+          count(col("m.best")).as("n_answered"),
+          round(count(when(col("m.best") === col("tbest"), lit(1)))
+            .cast("double") / count(col("m.best")), 4).as("recall_at_1"))
         .orderBy("method")
     }),
   )
