@@ -108,17 +108,19 @@ case class PointInPolygon(first: Expression, second: Expression,
 /** Session extension registering the graft native functions — wire with
   * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction(GraftExtensions.pipEntry)
-  }
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.entries.foreach(e.injectFunction)
 }
 
 object GraftExtensions {
-  private val pipEntry = (
-    new FunctionIdentifier("point_in_polygon"),
-    new ExpressionInfo(classOf[PointInPolygon].getName, "point_in_polygon"),
-    (args: Seq[Expression]) =>
-      PointInPolygon(args(0), args(1), args(2), args(3)): Expression)
+  private val entries = Seq(
+    (new FunctionIdentifier("point_in_polygon"),
+      new ExpressionInfo(classOf[PointInPolygon].getName, "point_in_polygon"),
+      (args: Seq[Expression]) =>
+        PointInPolygon(args(0), args(1), args(2), args(3)): Expression),
+    (new FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (args: Seq[Expression]) => VecDot(args(0), args(1)): Expression))
 
   /** Runtime registration for sessions NOT built with the static
     * `spark.sql.extensions` conf (the SparkEntry contract hands the
@@ -127,7 +129,8 @@ object GraftExtensions {
     * Idempotent — safe to call on every catalog use. */
   def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit = {
     val fr = spark.sessionState.functionRegistry
-    val (id, info, builder) = pipEntry
-    if (!fr.functionExists(id)) fr.registerFunction(id, info, builder)
+    entries.foreach { case (id, info, builder) =>
+      if (!fr.functionExists(id)) fr.registerFunction(id, info, builder)
+    }
   }
 }

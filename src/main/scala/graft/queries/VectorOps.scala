@@ -63,17 +63,23 @@ object VectorOps {
   private val signs: IndexedSeq[IndexedSeq[Double]] =
     (0 until DIM).map(p => (0 until DIM).map(pos => planeSign(p, pos)))
 
-  /** Embeddings with exact float→double cast and precomputed L2 norm. */
+  /** Embeddings with exact float→double cast and precomputed L2 norm.
+    * The coalesce pins `double NOT NULL` elements — vec_dot rejects
+    * nullable elements (same contract as point_in_polygon); embedding
+    * components are never null, so the NaN arm only carries nullability. */
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir).embeddings
       .select(col("vec_id"), col("label").cast("long").as("label"),
-        transform(col("embedding"), x => x.cast("double")).as("e"))
-      .withColumn("nrm", sqrt(aggregate(
-        zip_with(col("e"), col("e"), (x, y) => x * y),
-        lit(0.0), (acc, x) => acc + x)))
+        transform(col("embedding"),
+          x => coalesce(x.cast("double"), lit(Double.NaN))).as("e"))
+      .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
 
+  /** Codegen dot product (graft.functions.VecDot): bit-identical to the
+    * former aggregate(zip_with(...)) HOF fold — same sequential op order
+    * — but compiled into whole-stage codegen instead of interpreting a
+    * boxed lambda per element. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    call_function("vec_dot", a, b)
 
   /** Sequential-fold dot product against a literal sign vector, rounded
     * to 9 decimals before any sign test (cross-engine determinism). */
