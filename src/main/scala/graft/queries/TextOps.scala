@@ -240,9 +240,13 @@ object TextOps {
     // partitioning; no cache (ReuseExchange dedupes the distinct scan).
     "q29_jaccard_pairs" -> ((s, dir) => {
       val raw = shingles(docs(s, dir))
-      val dfOk = raw.groupBy("sh").agg(count(lit(1)).as("df"))
+      // df cap as a count-over-window: one pass on the same hash
+      // partitioning the self-join needs, instead of a groupBy + rejoin
+      // (two extra shuffles for the same filter).
+      val sh = raw
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
         .where(col("df") <= DF_CAP)
-      val sh = raw.join(dfOk.select("sh"), "sh").select("doc_id", "sh")
+        .select("doc_id", "sh")
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
       val shared = sh.as("a")
         .join(sh.as("b"),
