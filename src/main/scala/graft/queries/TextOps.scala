@@ -18,10 +18,11 @@ import graft.functions.SimHashAgg
   * 100 TB. Per-doc outputs are O(|input|); pair outputs are O(candidates).
   *
   * Determinism: similarity scores are rounded to 6 decimals BEFORE any
-  * ranking/argmax so cross-engine float noise cannot flip an ordering;
-  * hashes that must match DuckDB use md5 (both engines agree); Spark-only
-  * sketches (xxhash64-based MinHash/SimHash) have no DuckDB equivalent and
-  * are declared without an oracle (driver rows-only check).
+  * ranking/argmax so cross-engine float noise cannot flip an ordering.
+  * ALL hashing — exact-dup digests, MinHash functions, SimHash token
+  * hashes — derives from md5, which both engines evaluate identically
+  * (see h48), so every sketch query in this file is oracle-checked
+  * end-to-end; integer min/count/bit-vote arithmetic is exact.
   */
 object TextOps {
 
@@ -51,6 +52,32 @@ object TextOps {
     * above the current corpus max df (25) so the output is value-identical
     * with the guard active. Must match the literal in the q29 oracle. */
   private val DF_CAP = 1000
+
+  /** 48-bit hash from the first 12 hex chars of md5(prefix || s) — the
+    * engine-independent hash family (Spark `conv(…,16,10)` ≡ DuckDB
+    * `CAST('0x'||… AS BIGINT)`, md5 shared), which is what lets the
+    * MinHash/SimHash sketch queries be ORACLE-CHECKED instead of
+    * rows-only (the r3 xxhash64 forms had no DuckDB equivalent). 48 bits
+    * keeps every derived value — min-hashes, SimHash fingerprints and
+    * their bit sums — inside signed-64 range in both engines (DuckDB
+    * raises on signed overflow rather than wrapping). */
+  private def h48(prefix: String, c: Column): Column =
+    conv(substring(md5(concat(lit(prefix), c)), 1, 12), 16, 10).cast("long")
+
+  /** MinHash universal-hash family: h_j(x) = (a_j·base(x) + b_j) mod P
+    * over a single 32-bit md5-derived base hash — ONE md5 per shingle
+    * instead of 16 (the all-md5 form cost ~3 s extra at sf0.1), with the
+    * 16 permutations as exact integer arithmetic both engines evaluate
+    * identically. Bounds: a_j ≤ 2^30, base < 2^32 ⇒ a·base + b < 2^63
+    * (DuckDB raises on signed overflow; the margin is proven by the
+    * constants, not by luck). Constants are generated HERE and inlined
+    * into both plans. */
+  private val MH_P = 4294967311L // smallest prime > 2^32
+  private def mhA(j: Int): Long =
+    (1103515245L * (j + 1) + 12345L) % 1073741789L + 1L // ≤ 2^30
+  private def mhB(j: Int): Long = (134775813L * (j + 1) + 1L) % MH_P
+  private def mhBase(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -92,14 +119,14 @@ object TextOps {
         .orderBy("h")
     }),
 
-    // MinHash-LSH near-dup (Spark-only sketch — no oracle): 16 xxhash64
-    // min-hashes per doc, each hash its own LSH band (r=1 tuned for this
-    // low-similarity synthetic corpus; raise r for production thresholds).
-    // Candidates come only from shared band buckets, capped at 20 docs per
-    // bucket (a bucket hit by a large corpus fraction identifies nothing
-    // and would otherwise be the O(n²) skew bomb). Candidates are then
-    // verified with exact shingle Jaccard; output is each doc's best
-    // verified match.
+    // MinHash-LSH near-dup (ORACLE-CHECKED since r4 — md5-derived hash
+    // family, see h48): 16 min-hashes per doc, each hash its own LSH band
+    // (r=1 tuned for this low-similarity synthetic corpus; raise r for
+    // production thresholds). Candidates come only from shared band
+    // buckets, capped at 20 docs per bucket (a bucket hit by a large
+    // corpus fraction identifies nothing and would otherwise be the O(n²)
+    // skew bomb). Candidates are then verified with exact shingle
+    // Jaccard; output is each doc's best verified match.
     "q27_minhash_near_dup" -> ((s, dir) => {
       // The distinct shingle set feeds three consumers (signatures+sizes,
       // both sides of the verify join). No cache: the three subtrees end
@@ -107,7 +134,9 @@ object TextOps {
       // the shuffle once — same effect as .cache() without pinning
       // executor storage for the session lifetime (ADVICE r3).
       val sh = shingles(docs(s, dir))
-      val ms = (0 until 16).map(j => min(xxhash64(lit(j), col("sh"))).as(s"m$j"))
+        .withColumn("hb", mhBase(col("sh")))
+      val ms = (0 until 16).map(j =>
+        min((lit(mhA(j)) * col("hb") + lit(mhB(j))) % MH_P).as(s"m$j"))
       // ONE per-doc aggregation carries both the 16-slot signature and the
       // shingle count the verify stage needs — was two separate shuffles.
       val sig = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"), ms: _*)
@@ -184,32 +213,35 @@ object TextOps {
 
     // SimHash sketch via the custom typed Aggregator (§2.9 surface):
     // fixed 64-int buffer, associative merge, 8-byte output per doc.
-    // Spark-only (xxhash64) — no oracle.
+    // Token hashes are 48-bit (h48), so bits 48-63 never receive a
+    // positive vote and the fingerprint is effectively 48-bit — which is
+    // what lets the DuckDB oracle rebuild the identical bit votes in SQL
+    // (ORACLE-CHECKED since r4; was rows-only under xxhash64).
     "q28_simhash" -> ((s, dir) => {
       val sim = udaf(SimHashAgg)
       docs(s, dir)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-        .select(col("doc_id"), xxhash64(col("tok")).as("th"))
+        .select(col("doc_id"), h48("t:", col("tok")).as("th"))
         .groupBy("doc_id")
         .agg(sim(col("th")).as("simhash"))
         .orderBy("doc_id")
     }),
 
-    // SimHash-LSH near-dup (consumes the q28 sketch; Spark-only sketch →
-    // rows-only check, but the Aggregator's bit semantics are pinned by a
-    // hand-computed unit test in SimHashSpec). The 64-bit fingerprint is
-    // banded 4×16 — near-dups (small Hamming distance) agree on at least
+    // SimHash-LSH near-dup (consumes the q28 sketch; ORACLE-CHECKED since
+    // r4, and the Aggregator's bit semantics are additionally pinned by a
+    // hand-computed unit test in SimHashSpec). The 48-bit fingerprint is
+    // banded 3×16 — near-dups (small Hamming distance) agree on at least
     // one whole band with high probability — and band buckets are capped
     // at 20 docs exactly like q27; candidate pairs are kept at Hamming
-    // distance ≤ 16 of 64 bits. Exact duplicates land at distance 0.
+    // distance ≤ 16 of 48 bits. Exact duplicates land at distance 0.
     "q54_simhash_near_dup" -> ((s, dir) => {
       val sim = udaf(SimHashAgg)
       val fps = docs(s, dir)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-        .select(col("doc_id"), xxhash64(col("tok")).as("th"))
+        .select(col("doc_id"), h48("t:", col("tok")).as("th"))
         .groupBy("doc_id").agg(sim(col("th")).as("fp"))
       val bands = fps.select(col("doc_id"), col("fp"),
-        posexplode(array((0 until 4).map(b =>
+        posexplode(array((0 until 3).map(b =>
           shiftrightunsigned(col("fp"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
           .as(Seq("band", "sig")))
       val buckets = bands.groupBy("band", "sig")
@@ -220,7 +252,7 @@ object TextOps {
           "transform(slice(ds, i + 2, size(ds)), " +
           "b -> struct(least(a.doc_id, b.doc_id) AS da, " +
           "greatest(a.doc_id, b.doc_id) AS db, " +
-          "bit_count(a.fp ^ b.fp) AS hamming))))")).as("pr"))
+          "CAST(bit_count(a.fp ^ b.fp) AS BIGINT) AS hamming))))")).as("pr"))
         .select(col("pr.da"), col("pr.db"), col("pr.hamming"))
         .distinct()
         .where(col("hamming") <= 16)
@@ -376,7 +408,116 @@ object TextOps {
     }),
   )
 
+  /** Shared distinct-shingle CTE (uncapped — q27's universe). */
+  private val SH_CTE =
+    """sh AS (
+      | SELECT DISTINCT doc_id, sh FROM (
+      |  SELECT doc_id,
+      |   unnest(list_transform(
+      |     range(1, greatest(len(string_split(text,' ')) - 2, 0) + 1),
+      |     i -> string_split(text,' ')[i] || ' ' ||
+      |          string_split(text,' ')[i+1] || ' ' ||
+      |          string_split(text,' ')[i+2])) AS sh
+      |  FROM documents))""".stripMargin
+
+  /** Per-doc 48-bit SimHash fingerprint CTE (ends in `fp(doc_id, fp)`) —
+    * the SQL rebuild of SimHashAgg's bit votes over h48 token hashes. */
+  private val SIMHASH_FP_CTES =
+    """toks AS (
+      | SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      | FROM documents),
+      |th AS (
+      | SELECT doc_id,
+      |  CAST('0x' || substr(md5('t:' || tok), 1, 12) AS BIGINT) AS h
+      | FROM toks),
+      |votes AS (
+      | SELECT doc_id, b.b AS bit,
+      |  SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS net
+      | FROM th CROSS JOIN range(48) b(b)
+      | GROUP BY doc_id, b.b),
+      |fp AS (
+      | SELECT doc_id,
+      |  CAST(SUM(CASE WHEN net > 0 THEN (1::BIGINT << bit) ELSE 0 END)
+      |       AS BIGINT) AS fp
+      | FROM votes GROUP BY doc_id)""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    "q27_minhash_near_dup" ->
+      s"""WITH $SH_CTE,
+         |mhc(j, a, b) AS (VALUES
+         | ${(0 until 16).map(j => s"(${j}, ${mhA(j)}, ${mhB(j)})").mkString(",\n ")}),
+         |shb AS (
+         | SELECT doc_id, sh,
+         |  CAST('0x' || substr(md5(sh), 1, 8) AS BIGINT) AS hb
+         | FROM sh),
+         |mh AS (
+         | SELECT doc_id, c.j AS band, MIN((c.a * hb + c.b) % $MH_P) AS mh
+         | FROM shb CROSS JOIN mhc c
+         | GROUP BY doc_id, c.j),
+         |bsz AS (
+         | SELECT band, mh FROM mh GROUP BY band, mh
+         | HAVING COUNT(*) BETWEEN 2 AND 20),
+         |mem AS (SELECT m.* FROM mh m JOIN bsz USING (band, mh)),
+         |coll AS (
+         | SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS bo
+         | FROM mem a JOIN mem b
+         |   ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id
+         | GROUP BY a.doc_id, b.doc_id),
+         |perdoc AS (
+         | SELECT da AS doc_id, db AS other, bo FROM coll
+         | UNION ALL SELECT db, da, bo FROM coll),
+         |top8 AS (
+         | SELECT doc_id, other FROM (
+         |  SELECT doc_id, other,
+         |   ROW_NUMBER() OVER (PARTITION BY doc_id
+         |                      ORDER BY bo DESC, other) AS rc
+         |  FROM perdoc) WHERE rc <= 8),
+         |pairs AS (
+         | SELECT DISTINCT least(doc_id, other) AS da,
+         |  greatest(doc_id, other) AS db FROM top8),
+         |sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id),
+         |shared AS (
+         | SELECT p.da, p.db, COUNT(*) AS shared
+         | FROM pairs p
+         | JOIN sh sa ON sa.doc_id = p.da
+         | JOIN sh sb ON sb.doc_id = p.db AND sb.sh = sa.sh
+         | GROUP BY p.da, p.db),
+         |verified AS (
+         | SELECT s.da, s.db,
+         |  ROUND(CAST(s.shared AS DOUBLE)
+         |        / (na.nsh + nb.nsh - s.shared), 6) AS jaccard
+         | FROM shared s
+         | JOIN sizes na ON s.da = na.doc_id
+         | JOIN sizes nb ON s.db = nb.doc_id),
+         |orient AS (
+         | SELECT da AS doc_id, db AS other, jaccard FROM verified
+         | UNION ALL SELECT db, da, jaccard FROM verified)
+         |SELECT doc_id, other AS best_match, jaccard FROM (
+         | SELECT doc_id, other, jaccard,
+         |  ROW_NUMBER() OVER (PARTITION BY doc_id
+         |                     ORDER BY jaccard DESC, other) AS rn
+         | FROM orient) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "q28_simhash" ->
+      s"""WITH $SIMHASH_FP_CTES
+         |SELECT doc_id, fp AS simhash FROM fp ORDER BY doc_id""".stripMargin,
+
+    "q54_simhash_near_dup" ->
+      s"""WITH $SIMHASH_FP_CTES,
+         |bands AS (
+         | SELECT doc_id, fp, t.b AS band, (fp >> (t.b * 16)) & 65535 AS sig
+         | FROM fp CROSS JOIN range(3) t(b)),
+         |bsz AS (
+         | SELECT band, sig FROM bands GROUP BY band, sig
+         | HAVING COUNT(*) BETWEEN 2 AND 20),
+         |mem AS (SELECT b.* FROM bands b JOIN bsz USING (band, sig)),
+         |cand AS (
+         | SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+         |  CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+         | FROM mem a JOIN mem b
+         |   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
+         |SELECT da, db, hamming FROM cand
+         |WHERE hamming <= 16 ORDER BY da, db""".stripMargin,
     "q24_text_stats" ->
       """SELECT lang, source, COUNT(*) AS n_docs,
         | ROUND(SUM(len(string_split(text,' '))) / COUNT(*), 6) AS avg_tokens,
