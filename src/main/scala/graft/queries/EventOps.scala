@@ -80,6 +80,34 @@ object EventOps {
         .orderBy("event_type")
     }),
 
+    // §2.10 sliding windows: 7-day windows sliding by 1 day — every
+    // event lands in 7 overlapping epoch-aligned windows. The DuckDB
+    // oracle reconstructs the same membership via time_bucket − k days,
+    // k ∈ [0, 7). Output is bounded by |windows| × |types|.
+    "q61_sliding_window" -> ((s, dir) => {
+      Tables(s, dir).events
+        .groupBy(window(col("ts"), "7 days", "1 day").as("win"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("win.start").as("win_start"), col("event_type"), col("n"))
+        .orderBy("win_start", "event_type")
+    }),
+
+    // §2.10 native session_window (the built-in counterpart of q38's
+    // manual lag-gap sessionization): sessions close when the gap to the
+    // next event reaches 30 minutes. Note the boundary differs from q38
+    // by design: session_window starts a NEW session at gap >= 30 min,
+    // while q38's manual rule uses gap > 30 min — the oracle encodes the
+    // >= rule, pinning the built-in's exact semantics.
+    "q62_session_window" -> ((s, dir) => {
+      Tables(s, dir).events
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"), min("ts").as("first_ts"))
+        .select(col("user_id"), col("first_ts"), col("n_events"))
+        .orderBy("user_id", "first_ts")
+    }),
+
     // Batch twin of EventStreams.dedupe (§2.10): deterministic first-
     // occurrence dedup on event_id (earliest ts, ties on event_type),
     // summarized per event type. The streaming form bounds its state with
@@ -161,6 +189,30 @@ object EventOps {
         | ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k,
         | COUNT(*) FILTER (json_extract_string(props, '$.k') IS NULL) AS n_null_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q61_sliding_window" ->
+      """SELECT time_bucket(INTERVAL '1 day', ts)
+        |       - CAST(k.k AS INTEGER) * INTERVAL '1 day' AS win_start,
+        | event_type, COUNT(*) AS n
+        |FROM events CROSS JOIN range(7) k(k)
+        |GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+
+    "q62_session_window" ->
+      """WITH flagged AS (
+        | SELECT user_id, ts,
+        |  CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w IS NULL
+        |         OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= 1800000000
+        |       THEN 1 ELSE 0 END AS new_sess
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        | SELECT user_id, ts,
+        |  SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |                      ROWS UNBOUNDED PRECEDING) AS sid
+        | FROM flagged)
+        |SELECT user_id, MIN(ts) AS first_ts, COUNT(*) AS n_events
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, first_ts""".stripMargin,
 
     "q55_dedup_batch" ->
       """WITH first AS (
