@@ -108,8 +108,10 @@ case class PointInPolygon(first: Expression, second: Expression,
 /** Session extension registering the graft native functions — wire with
   * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.entries.foreach(e.injectFunction)
+    e.injectOptimizerRule(_ => VecDotRewrite)
+  }
 }
 
 object GraftExtensions {
@@ -132,5 +134,12 @@ object GraftExtensions {
     entries.foreach { case (id, info, builder) =>
       if (!fr.functionExists(id)) fr.registerFunction(id, info, builder)
     }
+    // The optimizer rule has no per-session registry to probe, but
+    // experimental.extraOptimizations is runtime-mutable — the
+    // extensions-built sessions get the rule twice (inject + here),
+    // which is harmless: the rewrite is idempotent.
+    val exp = spark.experimental
+    if (!exp.extraOptimizations.contains(VecDotRewrite))
+      exp.extraOptimizations = exp.extraOptimizations :+ VecDotRewrite
   }
 }

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The optimizer rule must turn the declarative HOF dot product into the
+  * codegen vec_dot expression — and must NOT fire when the pattern isn't
+  * a dot product or the arrays could hold nulls. */
+class VecDotRewriteSpec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+
+  private def nonNull(c: String) =
+    transform(col(c), x => coalesce(x.cast("double"), lit(Double.NaN)))
+
+  test("HOF dot-product pattern rewrites to vec_dot and agrees") {
+    // parquet-backed (a local Seq would constant-fold to a LocalRelation
+    // before the rewrite is observable)
+    val df = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(nonNull("embedding").as("a"), nonNull("embedding").as("b"))
+    val hof = df.select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x).as("d"))
+    val optimized = hof.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("vec_dot"), s"rule did not fire:\n$optimized")
+    val direct = df.select(call_function("vec_dot", col("a"), col("b")).as("d"))
+    assert(hof.collect().map(_.getDouble(0)).toSeq ===
+      direct.collect().map(_.getDouble(0)).toSeq)
+  }
+
+  test("non-dot-product folds are left alone") {
+    import s.implicits._
+    val df = Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b")
+      .select(nonNull("a").as("a"), nonNull("b").as("b"))
+    // sum of sums, not a product — must NOT rewrite
+    val notDot = df.select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x + y),
+        lit(0.0), (acc, x) => acc + x).as("d"))
+    assert(!notDot.queryExecution.optimizedPlan.toString.contains("vec_dot"))
+    assert(notDot.collect().head.getDouble(0) === 10.0)
+  }
+
+  test("nullable-element arrays are left alone (type contract)") {
+    import s.implicits._
+    val df = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
+    // plain double arrays from Seq have nullable elements in the schema
+    val hof = df.select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x).as("d"))
+    val planStr = hof.queryExecution.optimizedPlan.toString
+    if (df.schema("a").dataType
+        .asInstanceOf[org.apache.spark.sql.types.ArrayType].containsNull) {
+      assert(!planStr.contains("vec_dot"))
+    }
+    assert(hof.collect().head.getDouble(0) === 11.0)
+  }
+}
