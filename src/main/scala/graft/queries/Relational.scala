@@ -70,6 +70,39 @@ object Relational {
         .orderBy(col("r_name"), col("n_name"))
     }),
 
+    // A8 histogram: fixed-width price buckets over lineitem — the
+    // explicit floor((v-lo)/step) form (not width_bucket) so both
+    // engines share the identical arithmetic. Output bounded at NB rows.
+    "q63_histogram" -> ((s, dir) => {
+      val lo = 900.0; val hi = 105000.0; val nb = 20
+      val step = (hi - lo) / nb
+      val b = least(greatest(
+        floor((col("l_extendedprice") - lo) / step), lit(0.0)),
+        lit((nb - 1).toDouble)).cast("long")
+      Tables(s, dir).lineitem
+        .select(b.as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("bucket")
+    }),
+
+    // A8 statistical moments: per-flag correlation / covariance / spread
+    // of quantity vs extended price — the column-profiling aggregates a
+    // pipeline health-check reports. All are one-pass (map-side partial)
+    // aggregates; rounded to 6 before compare (summation-order noise).
+    "q64_stats_moments" -> ((s, dir) => {
+      Tables(s, dir).lineitem
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6)
+            .as("corr_qty_price"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 6)
+            .as("covar_qty_price"),
+          round(stddev_samp(col("l_extendedprice")), 6).as("sd_price"),
+          round(var_samp(col("l_quantity")), 6).as("var_qty"))
+        .orderBy("l_returnflag")
+    }),
+
     "q03_topk_orders" -> ((s, dir) => {
       val t = Tables(s, dir)
       // Global top-k: orderBy+limit plans TakeOrderedAndProject — no full
@@ -207,6 +240,21 @@ object Relational {
 
   // DuckDB dialect of each query, value-identical by construction.
   def oracles: Map[String, String] = Map(
+    "q63_histogram" ->
+      """SELECT CAST(LEAST(GREATEST(
+        |   FLOOR((l_extendedprice - 900.0) / ((105000.0 - 900.0) / 20)),
+        |   0.0), 19.0) AS BIGINT) AS bucket,
+        | COUNT(*) AS n
+        |FROM lineitem GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q64_stats_moments" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        | ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        | ROUND(covar_samp(l_quantity, l_extendedprice), 6) AS covar_qty_price,
+        | ROUND(stddev_samp(l_extendedprice), 6) AS sd_price,
+        | ROUND(var_samp(l_quantity), 6) AS var_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_qty,

@@ -38,4 +38,22 @@ class TypedModelSpec extends AnyFunSuite {
     assert(typed.nonEmpty)
     assert(typed === declarative)
   }
+
+  test("typed BlobParams carry the reference's documented parameter ranges") {
+    import s.implicits._
+    import graft.model.Tables.BlobParams
+    val params = s.read.parquet("/root/repo/fixtures/blob_params.parquet")
+      .select(col("blob_id").as("blobId"), col("radius"), col("wobble"),
+        col("cx"), col("cy"), col("depth")).as[BlobParams]
+      .collect()
+    assert(params.length === 14)
+    // app.py:138-141,144: r∈[0.1,0.26], wobble∈[0.08,0.22], c∈[0.12,0.88],
+    // depth = i/(n-1) ∈ [0,1]
+    params.foreach { p =>
+      assert(p.radius >= 0.1 && p.radius <= 0.26)
+      assert(p.wobble >= 0.08 && p.wobble <= 0.22)
+      assert(p.cx >= 0.12 && p.cx <= 0.88 && p.cy >= 0.12 && p.cy <= 0.88)
+      assert(p.depth >= 0.0 && p.depth <= 1.0)
+    }
+  }
 }
