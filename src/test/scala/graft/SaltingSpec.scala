@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Demonstrates key-salting, the manual skew remedy the 100 TB design
+  * reaches for when AQE's runtime skew split can't help (e.g. a hot key
+  * inside an aggregation-after-join): the fact side appends a
+  * deterministic salt ∈ [0, R) to the hot join key, the dim side
+  * replicates each row R ways, and the join key becomes (key, salt) —
+  * the hot key's rows spread over R reducers instead of one. The spec
+  * proves result-equality with the unsalted join and that the shuffle
+  * really partitions on the salted compound key. */
+class SaltingSpec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+
+  test("salted join equals plain join and shuffles on (key, salt)") {
+    val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    try {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val R = 8
+      // skewed fact: 50k rows on one hot key + a uniform tail
+      val fact = s.range(50000)
+        .select(lit(7L).as("k"), col("id").as("v"))
+        .union(s.range(1000).select((col("id") % 100).as("k"),
+          col("id").as("v")))
+      val dim = s.range(100).select(col("id").as("k"),
+        concat(lit("u"), col("id")).as("name"))
+
+      val plain = fact.join(dim, "k")
+        .groupBy("name").agg(count(lit(1)).as("n"), sum("v").as("sv"))
+
+      val salted = fact
+        .withColumn("salt", pmod(xxhash64(col("v")), lit(R)).cast("int"))
+      val dimR = dim
+        .withColumn("salt", explode(sequence(lit(0), lit(R - 1))))
+        .withColumn("salt", col("salt").cast("int"))
+      val saltedJoin = salted.join(dimR, Seq("k", "salt"))
+      val viaSalt = saltedJoin
+        .groupBy("name").agg(count(lit(1)).as("n"), sum("v").as("sv"))
+
+      // the join's exchange must carry the salt (R-way hot-key spread)
+      val plan = saltedJoin.queryExecution.sparkPlan.toString
+      assert(plan.contains("salt"), s"salt missing from plan:\n$plan")
+
+      val a = plain.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val b = viaSalt.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(a === b)
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+}
