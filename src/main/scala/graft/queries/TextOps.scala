@@ -64,6 +64,33 @@ object TextOps {
   private def h48(prefix: String, c: Column): Column =
     conv(substring(md5(concat(lit(prefix), c)), 1, 12), 16, 10).cast("long")
 
+  /** q29 core (shared with q65): exact shingle-Jaccard pairs over the
+    * df-capped posting lists — pairs sharing ≥2 shingles, similarity
+    * ≥ 0.05, columns (da, db, jaccard). The df cap rides the same sh-hash
+    * partitioning the self-join consumes (count-over-window, no rejoin);
+    * no cache — ReuseExchange dedupes the distinct scan. */
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val raw = shingles(docs(s, dir))
+    val sh = raw
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
+      .where(col("df") <= DF_CAP)
+      .select("doc_id", "sh")
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    val shared = sh.as("a")
+      .join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= 2)
+    shared
+      .join(sizes.select(col("doc_id").as("da"), col("nsh").as("na")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("nsh").as("nb")), "db")
+      .select(col("da"), col("db"),
+        round(col("shared").cast("double")
+          / (col("na") + col("nb") - col("shared")), 6).as("jaccard"))
+      .where(col("jaccard") >= 0.05)
+  }
+
   /** MinHash universal-hash family: h_j(x) = (a_j·base(x) + b_j) mod P
     * over a single 32-bit md5-derived base hash — ONE md5 per shingle
     * instead of 16 (the all-md5 form cost ~3 s extra at sf0.1), with the
@@ -270,30 +297,49 @@ object TextOps {
     // this data while bounding the worst case). The df groupBy and the
     // self-join both shuffle on `sh`, so the cap rides the same
     // partitioning; no cache (ReuseExchange dedupes the distinct scan).
-    "q29_jaccard_pairs" -> ((s, dir) => {
-      val raw = shingles(docs(s, dir))
-      // df cap as a count-over-window: one pass on the same hash
-      // partitioning the self-join needs, instead of a groupBy + rejoin
-      // (two extra shuffles for the same filter).
-      val sh = raw
-        .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
-        .where(col("df") <= DF_CAP)
-        .select("doc_id", "sh")
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
-      val shared = sh.as("a")
-        .join(sh.as("b"),
-          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-        .agg(count(lit(1)).as("shared"))
-        .where(col("shared") >= 2)
-      shared
-        .join(sizes.select(col("doc_id").as("da"), col("nsh").as("na")), "da")
-        .join(sizes.select(col("doc_id").as("db"), col("nsh").as("nb")), "db")
-        .select(col("da"), col("db"),
-          round(col("shared").cast("double")
-            / (col("na") + col("nb") - col("shared")), 6).as("jaccard"))
-        .where(col("jaccard") >= 0.05)
-        .orderBy("da", "db")
+    "q29_jaccard_pairs" -> ((s, dir) =>
+      jaccardPairs(s, dir).orderBy("da", "db")),
+
+    // Near-dup CLUSTER formation — the step AFTER pair detection in a
+    // real dedup pipeline: connected components over the q29 similarity
+    // graph via iterative min-label propagation (each doc repeatedly
+    // adopts the smallest label among itself and its neighbors until a
+    // fixpoint; the fixpoint is the component-minimum id, which is
+    // UNIQUE, so the driver-side loop and the oracle's recursive CTE
+    // provably agree). Each iteration is one shuffle; lineage is
+    // truncated per round with localCheckpoint so the plan does not grow
+    // with the iteration count — the Pregel shape. At 100 TB swap the
+    // naive propagation for large-star/small-star; the loop and
+    // convergence test are unchanged. Output: (doc_id, cluster_id) for
+    // every doc in at least one near-dup pair.
+    "q65_dedup_clusters" -> ((s, dir) => {
+      val edges = jaccardPairs(s, dir).select("da", "db")
+      val und = edges.select(col("da").as("u"), col("db").as("v"))
+        .union(edges.select(col("db").as("u"), col("da").as("v")))
+        .localCheckpoint()
+      var labels = und.select(col("u").as("doc_id")).distinct()
+        .withColumn("label", col("doc_id"))
+        .localCheckpoint()
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < 20) {
+        val nbrMin = und
+          .join(labels.select(col("doc_id").as("v"), col("label").as("nl")),
+            "v")
+          .groupBy(col("u").as("doc_id")).agg(min("nl").as("nbl"))
+        val next = labels.join(nbrMin, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("label"), coalesce(col("nbl"), col("label")))
+              .as("label"))
+          .localCheckpoint()
+        changed = next.join(labels.select(col("doc_id"),
+            col("label").as("old")), "doc_id")
+          .where(col("label") =!= col("old")).count()
+        labels = next
+        iter += 1
+      }
+      labels.select(col("doc_id"), col("label").as("cluster_id"))
+        .orderBy("doc_id")
     }),
 
     // Language-ID heuristic (deterministic scorer): stopword hit ratio +
@@ -407,6 +453,35 @@ object TextOps {
         .orderBy("doc_id", "rank")
     }),
   )
+
+  /** q29/q65 shared CTE chain: df-capped exact-Jaccard pairs, ending in
+    * `jpairs(da, db, jaccard)` — the SQL twin of `jaccardPairs`. */
+  private val JPAIRS_CTES =
+    """raw AS (
+      | SELECT DISTINCT doc_id, sh FROM (
+      |  SELECT doc_id,
+      |   unnest(list_transform(
+      |     range(1, greatest(len(string_split(text,' ')) - 2, 0) + 1),
+      |     i -> string_split(text,' ')[i] || ' ' ||
+      |          string_split(text,' ')[i+1] || ' ' ||
+      |          string_split(text,' ')[i+2])) AS sh
+      |  FROM documents)),
+      |dfok AS (SELECT sh FROM raw GROUP BY sh HAVING COUNT(*) <= 1000),
+      |shc AS (SELECT doc_id, raw.sh FROM raw JOIN dfok USING (sh)),
+      |sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM shc GROUP BY doc_id),
+      |shared AS (
+      | SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS shared
+      | FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      | GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |jpairs AS (
+      | SELECT da, db,
+      |  ROUND(CAST(shared AS DOUBLE) / (na.nsh + nb.nsh - shared), 6)
+      |    AS jaccard
+      | FROM shared
+      | JOIN sizes na ON shared.da = na.doc_id
+      | JOIN sizes nb ON shared.db = nb.doc_id
+      | WHERE ROUND(CAST(shared AS DOUBLE) / (na.nsh + nb.nsh - shared), 6)
+      |       >= 0.05)""".stripMargin
 
   /** Shared distinct-shingle CTE (uncapped — q27's universe). */
   private val SH_CTE =
@@ -537,29 +612,21 @@ object TextOps {
         |FROM documents GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY h""".stripMargin,
 
     "q29_jaccard_pairs" ->
-      """WITH raw AS (
-        | SELECT DISTINCT doc_id, sh FROM (
-        |  SELECT doc_id,
-        |   unnest(list_transform(
-        |     range(1, greatest(len(string_split(text,' ')) - 2, 0) + 1),
-        |     i -> string_split(text,' ')[i] || ' ' ||
-        |          string_split(text,' ')[i+1] || ' ' ||
-        |          string_split(text,' ')[i+2])) AS sh
-        |  FROM documents)),
-        |dfok AS (SELECT sh FROM raw GROUP BY sh HAVING COUNT(*) <= 1000),
-        |sh AS (SELECT doc_id, raw.sh FROM raw JOIN dfok USING (sh)),
-        |sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id),
-        |shared AS (
-        | SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS shared
-        | FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        | GROUP BY 1, 2 HAVING COUNT(*) >= 2)
-        |SELECT da, db,
-        | ROUND(CAST(shared AS DOUBLE) / (na.nsh + nb.nsh - shared), 6) AS jaccard
-        |FROM shared
-        |JOIN sizes na ON shared.da = na.doc_id
-        |JOIN sizes nb ON shared.db = nb.doc_id
-        |WHERE ROUND(CAST(shared AS DOUBLE) / (na.nsh + nb.nsh - shared), 6) >= 0.05
-        |ORDER BY da, db""".stripMargin,
+      s"""WITH $JPAIRS_CTES
+         |SELECT da, db, jaccard FROM jpairs ORDER BY da, db""".stripMargin,
+
+    "q65_dedup_clusters" ->
+      s"""WITH RECURSIVE $JPAIRS_CTES,
+         |und AS (
+         | SELECT da AS u, db AS v FROM jpairs
+         | UNION ALL SELECT db, da FROM jpairs),
+         |nodes AS (SELECT DISTINCT u AS doc_id FROM und),
+         |reach AS (
+         | SELECT doc_id AS u, doc_id AS label FROM nodes
+         | UNION
+         | SELECT e.v, r.label FROM reach r JOIN und e ON e.u = r.u)
+         |SELECT u AS doc_id, MIN(label) AS cluster_id FROM reach
+         |GROUP BY u ORDER BY doc_id""".stripMargin,
 
     "q30_langid" ->
       """WITH scored AS (
