@@ -342,6 +342,36 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Deterministic train/val/test split — hash-bucket assignment
+    // (md5-derived, NOT rand(): reproducible across runs, engines, and
+    // cluster sizes, which is how real pipelines split): bucket =
+    // h48(doc_id) mod 100 → 80/10/10. Output: per-(lang, split) counts.
+    "q66_hash_split" -> ((s, dir) => {
+      val b = pmod(h48("split:", col("doc_id").cast("string")), lit(100L))
+      val split = when(b < 80, "train").when(b < 90, "val").otherwise("test")
+      docs(s, dir)
+        .select(col("lang"), split.as("split"))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "split")
+    }),
+
+    // Stratified downsample — cap each language stratum at K docs,
+    // keeping the K smallest doc hashes (a deterministic "reservoir":
+    // the same docs survive on any cluster at any parallelism, unlike
+    // sampleBy's Bernoulli draw). Output: the kept (lang, doc_id) pairs.
+    "q67_stratified_sample" -> ((s, dir) => {
+      val K = 50
+      val h = h48("samp:", col("doc_id").cast("string"))
+      val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+      docs(s, dir)
+        .select(col("lang"), col("doc_id"), h.as("h"))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= K)
+        .select(col("lang"), col("doc_id"))
+        .orderBy("lang", "doc_id")
+    }),
+
     // Language-ID heuristic (deterministic scorer): stopword hit ratio +
     // CJK detection. groupBy(lang, predicted) keeps the output bounded.
     "q30_langid" -> ((s, dir) => {
@@ -627,6 +657,31 @@ object TextOps {
          | SELECT e.v, r.label FROM reach r JOIN und e ON e.u = r.u)
          |SELECT u AS doc_id, MIN(label) AS cluster_id FROM reach
          |GROUP BY u ORDER BY doc_id""".stripMargin,
+
+    "q66_hash_split" ->
+      """WITH b AS (
+        | SELECT lang,
+        |  CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+        |                      1, 12) AS BIGINT) % 100 AS bkt
+        | FROM documents)
+        |SELECT lang,
+        | CASE WHEN bkt < 80 THEN 'train'
+        |      WHEN bkt < 90 THEN 'val' ELSE 'test' END AS split,
+        | COUNT(*) AS n
+        |FROM b GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+
+    "q67_stratified_sample" ->
+      """WITH h AS (
+        | SELECT lang, doc_id,
+        |  CAST('0x' || substr(md5('samp:' || CAST(doc_id AS VARCHAR)),
+        |                      1, 12) AS BIGINT) AS h
+        | FROM documents),
+        |ranked AS (
+        | SELECT lang, doc_id,
+        |  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk
+        | FROM h)
+        |SELECT lang, doc_id FROM ranked WHERE rk <= 50
+        |ORDER BY lang, doc_id""".stripMargin,
 
     "q30_langid" ->
       """WITH scored AS (
