@@ -177,7 +177,57 @@ object VectorOps {
       .select(col("qid"), col("vec_id").as("tbest"))
   }
 
+  /** k-means geometry (q68): K clusters, ITER Lloyd iterations. */
+  private val KM_K = 8
+  private val KM_ITER = 3
+
+  /** Squared distance ‖v−c‖² = v·v − 2 v·c + c·c, rounded to 6 BEFORE the
+    * argmin (ties → smallest cid) — the identical expression shape and
+    * rounding the DuckDB oracle uses, so assignments match exactly. */
+  private def assignStep(base: DataFrame, cents: DataFrame): DataFrame = {
+    val d2 = round(
+      dot(col("e"), col("e")) - lit(2.0) * dot(col("e"), col("c"))
+        + dot(col("c"), col("c")), 6)
+    val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))
+    base.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"), d2.as("d2"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select("vec_id", "cid", "d2")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // k-means over the embeddings (Lloyd, K=8, 3 iterations) — the
+    // canonical clustering primitive of a training-data pipeline
+    // (semantic bucketing / mixture balancing). Deterministic end-to-end:
+    // init = the first K vectors by id; per-iteration centroids are
+    // per-dimension means ROUNDED to 9 (summation-order noise) before the
+    // next assignment, distances rounded to 6 before each argmin.
+    // Iterative shape matches q65: one shuffle per step, lineage
+    // truncated with localCheckpoint; the DuckDB oracle unrolls the same
+    // three iterations as CTEs, so assignments agree exactly.
+    "q68_kmeans" -> ((s, dir) => {
+      val base = emb(s, dir).select(col("vec_id"), col("e"))
+      var cents = base.where(col("vec_id") < KM_K)
+        .select(col("vec_id").as("cid"), col("e").as("c"))
+      for (_ <- 1 to KM_ITER) {
+        val assigned = assignStep(base, cents).select("vec_id", "cid")
+        cents = assigned.join(base, "vec_id")
+          .select(col("cid"), posexplode(col("e")).as(Seq("pos", "v")))
+          .groupBy("cid", "pos").agg(round(avg("v"), 9).as("cv"))
+          .groupBy("cid")
+          .agg(transform(
+            array_sort(collect_list(struct(col("pos"), col("cv")))),
+            x => coalesce(x.getField("cv"), lit(Double.NaN))).as("c"))
+          .localCheckpoint()
+      }
+      assignStep(base, cents)
+        .groupBy("cid")
+        .agg(count(lit(1)).as("n_members"),
+          round(sum("d2"), 6).as("inertia"))
+        .orderBy("cid")
+    }),
 
     // Brute-force cosine top-3 for a bounded query set (vec_id < 10) —
     // the exactness baseline every ANN variant is judged against.
@@ -343,7 +393,47 @@ object VectorOps {
        |truth AS (SELECT qid, vec_id AS tbest FROM tranked WHERE rn = 1)"""
       .stripMargin
 
+  /** One unrolled Lloyd iteration for the q68 oracle. */
+  private def kmIterSql(i: Int): String = {
+    s"""d$i AS (
+       | SELECT v.vec_id, c.cid,
+       |  ROUND(list_dot_product(v.e, v.e)
+       |       - 2.0 * list_dot_product(v.e, c.c)
+       |       + list_dot_product(c.c, c.c), 6) AS d2
+       | FROM e v CROSS JOIN c${i - 1} c),
+       |a$i AS (
+       | SELECT vec_id, cid, d2 FROM (
+       |  SELECT vec_id, cid, d2,
+       |   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+       |  FROM d$i) WHERE rn = 1),
+       |c$i AS (
+       | SELECT cid, list(cv ORDER BY pos) AS c FROM (
+       |  SELECT a.cid, t.pos, ROUND(AVG(t.comp), 9) AS cv
+       |  FROM a$i a JOIN (
+       |   SELECT vec_id, generate_subscripts(e, 1) AS pos,
+       |    unnest(e) AS comp FROM e) t USING (vec_id)
+       |  GROUP BY a.cid, t.pos)
+       | GROUP BY cid)""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "q68_kmeans" ->
+      s"""WITH $E_CTE,
+         |c0 AS (SELECT vec_id AS cid, e AS c FROM e WHERE vec_id < $KM_K),
+         |${(1 to KM_ITER).map(kmIterSql).mkString(",\n")},
+         |dfin AS (
+         | SELECT v.vec_id, c.cid,
+         |  ROUND(list_dot_product(v.e, v.e)
+         |       - 2.0 * list_dot_product(v.e, c.c)
+         |       + list_dot_product(c.c, c.c), 6) AS d2
+         | FROM e v CROSS JOIN c$KM_ITER c),
+         |afin AS (
+         | SELECT vec_id, cid, d2 FROM (
+         |  SELECT vec_id, cid, d2,
+         |   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+         |  FROM dfin) WHERE rn = 1)
+         |SELECT cid, COUNT(*) AS n_members, ROUND(SUM(d2), 6) AS inertia
+         |FROM afin GROUP BY cid ORDER BY cid""".stripMargin,
     "q34_cosine_topk" ->
       s"""WITH $E_CTE,
          |scored AS (
