@@ -160,6 +160,45 @@ object VectorOps {
       .select(col("vec_id"), col("b.other").as("best"), col("b.cos").as("cos"))
   }
 
+  /** q68 core: the k-means codebook after KM_ITER Lloyd iterations. */
+  private def kmCentroids(s: SparkSession, dir: String): DataFrame = {
+    val base = emb(s, dir).select(col("vec_id"), col("e"))
+    var cents = base.where(col("vec_id") < KM_K)
+      .select(col("vec_id").as("cid"), col("e").as("c"))
+    for (_ <- 1 to KM_ITER) {
+      val assigned = assignStep(base, cents).select("vec_id", "cid")
+      cents = assigned.join(base, "vec_id")
+        .select(col("cid"), posexplode(col("e")).as(Seq("pos", "v")))
+        .groupBy("cid", "pos").agg(round(avg("v"), 9).as("cv"))
+        .groupBy("cid")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("cv")))),
+          x => coalesce(x.getField("cv"), lit(Double.NaN))).as("c"))
+        .localCheckpoint()
+    }
+    cents
+  }
+
+  /** q69 core: best in-cell neighbor under the k-means coarse quantizer
+    * (vec_id, cell, best, cos); singleton cells are absent, as in q35. */
+  private def ivfBest(s: SparkSession, dir: String): DataFrame = {
+    val base = emb(s, dir)
+    val cells = assignStep(base.select(col("vec_id"), col("e")),
+      kmCentroids(s, dir)).select(col("vec_id"), col("cid").as("cell"))
+    val a = base.join(cells, "vec_id")
+    val pairs = a.select(col("vec_id"), col("cell"), col("e"), col("nrm"))
+      .join(a.select(col("vec_id").as("bid"), col("cell"),
+        col("e").as("be"), col("nrm").as("bn")), Seq("cell"))
+      .where(col("vec_id") =!= col("bid"))
+      .select(col("cell"), col("vec_id"), col("bid"),
+        round(dot(col("e"), col("be")) / (col("nrm") * col("bn")), 6)
+          .as("cos"))
+    val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("bid"))
+    pairs.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("cell"), col("bid").as("best"), col("cos"))
+  }
+
   /** Brute-force best neighbor over the whole corpus for a bounded query
     * set — ground truth for recall@1. */
   private def bruteBest(s: SparkSession, dir: String, nq: Int): DataFrame = {
@@ -209,25 +248,20 @@ object VectorOps {
     // three iterations as CTEs, so assignments agree exactly.
     "q68_kmeans" -> ((s, dir) => {
       val base = emb(s, dir).select(col("vec_id"), col("e"))
-      var cents = base.where(col("vec_id") < KM_K)
-        .select(col("vec_id").as("cid"), col("e").as("c"))
-      for (_ <- 1 to KM_ITER) {
-        val assigned = assignStep(base, cents).select("vec_id", "cid")
-        cents = assigned.join(base, "vec_id")
-          .select(col("cid"), posexplode(col("e")).as(Seq("pos", "v")))
-          .groupBy("cid", "pos").agg(round(avg("v"), 9).as("cv"))
-          .groupBy("cid")
-          .agg(transform(
-            array_sort(collect_list(struct(col("pos"), col("cv")))),
-            x => coalesce(x.getField("cv"), lit(Double.NaN))).as("c"))
-          .localCheckpoint()
-      }
-      assignStep(base, cents)
+      assignStep(base, kmCentroids(s, dir))
         .groupBy("cid")
         .agg(count(lit(1)).as("n_members"),
           round(sum("d2"), 6).as("inertia"))
         .orderBy("cid")
     }),
+
+    // TRUE IVF ANN: the coarse quantizer is the q68 k-means codebook
+    // (data-driven centroids, not the sign heuristic of q35) — each
+    // vector searches only its nearest-centroid cell. |cell| ≈ n/K and
+    // the codebook grows with the corpus in a real deployment (K ∝ √n);
+    // recall@1 of this path is measured in q51 beside blocked and lsh.
+    "q69_ann_ivf" -> ((s, dir) =>
+      ivfBest(s, dir).orderBy("vec_id")),
 
     // Brute-force cosine top-3 for a bounded query set (vec_id < 10) —
     // the exactness baseline every ANN variant is judged against.
@@ -291,8 +325,12 @@ object VectorOps {
         .join(lshBest(s, dir).where(col("vec_id") < RECALL_Q)
           .select(col("vec_id").as("qid"), col("best").as("l_best")),
           Seq("qid"), "left")
+        .join(ivfBest(s, dir).where(col("vec_id") < RECALL_Q)
+          .select(col("vec_id").as("qid"), col("best").as("i_best")),
+          Seq("qid"), "left")
       joined.select(col("tbest"), explode(array(
           struct(lit("blocked").as("method"), col("b_best").as("best")),
+          struct(lit("ivf").as("method"), col("i_best").as("best")),
           struct(lit("lsh").as("method"), col("l_best").as("best")))).as("m"))
         .groupBy(col("m.method").as("method"))
         .agg(count(lit(1)).as("n_queries"),
@@ -416,7 +454,44 @@ object VectorOps {
        | GROUP BY cid)""".stripMargin
   }
 
+  /** k-means CTE chain (c0..cN) + the IVF best-neighbor CTEs, ending in
+    * `ivf(vec_id, cell, best, cos)` — shared by q69 and q51. */
+  private lazy val IVF_CTES =
+    s"""c0 AS (SELECT vec_id AS cid, e AS c FROM e WHERE vec_id < $KM_K),
+       |${(1 to KM_ITER).map(kmIterSql).mkString(",\n")},
+       |dcell AS (
+       | SELECT v.vec_id, c.cid,
+       |  ROUND(list_dot_product(v.e, v.e)
+       |       - 2.0 * list_dot_product(v.e, c.c)
+       |       + list_dot_product(c.c, c.c), 6) AS d2
+       | FROM e v CROSS JOIN c$KM_ITER c),
+       |vcell AS (
+       | SELECT vec_id, cid AS cell FROM (
+       |  SELECT vec_id, cid,
+       |   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+       |  FROM dcell) WHERE rn = 1),
+       |ipairs AS (
+       | SELECT a.cell, a.vec_id, b.vec_id AS bid,
+       |  ROUND(list_dot_product(ea.e, eb.e) / (ea.nrm * eb.nrm), 6) AS cos
+       | FROM vcell a JOIN vcell b
+       |   ON a.cell = b.cell AND a.vec_id != b.vec_id
+       | JOIN e ea ON a.vec_id = ea.vec_id
+       | JOIN e eb ON b.vec_id = eb.vec_id),
+       |iranked AS (
+       | SELECT vec_id, cell, bid, cos,
+       |  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, bid) AS rn
+       | FROM ipairs),
+       |ivf AS (
+       | SELECT vec_id, cell, bid AS best, cos FROM iranked WHERE rn = 1)"""
+      .stripMargin
+
   def oracles: Map[String, String] = Map(
+    "q69_ann_ivf" ->
+      s"""WITH $E_CTE,
+         |$IVF_CTES
+         |SELECT vec_id, cell, best, cos FROM ivf ORDER BY vec_id"""
+        .stripMargin,
+
     "q68_kmeans" ->
       s"""WITH $E_CTE,
          |c0 AS (SELECT vec_id AS cid, e AS c FROM e WHERE vec_id < $KM_K),
@@ -483,9 +558,14 @@ object VectorOps {
          |$TRUTH_CTES,
          |$BLOCKED_CTES,
          |$LSH_CTES,
+         |$IVF_CTES,
          |ev AS (
          | SELECT 'blocked' AS method, t.qid, m.best, t.tbest
          | FROM truth t LEFT JOIN blocked m
+         |   ON t.qid = m.vec_id AND m.vec_id < $RECALL_Q
+         | UNION ALL
+         | SELECT 'ivf', t.qid, m.best, t.tbest
+         | FROM truth t LEFT JOIN ivf m
          |   ON t.qid = m.vec_id AND m.vec_id < $RECALL_Q
          | UNION ALL
          | SELECT 'lsh', t.qid, m.best, t.tbest
