@@ -21,13 +21,14 @@ import graft.model.Tables
   * Catalyst HOFs (zip_with/aggregate) on the executors; nothing collects.
   *
   * Recall on THIS data: the synthetic embeddings are isotropic (no
-  * cluster structure), the hardest case for sign-based hashing — q51
-  * measures recall@1 ≈ 0.15 for the banded LSH and ≈ 0.02 for the coarse
-  * quantizer at sf0.01, against a random-pick baseline of 1/|corpus| =
-  * 0.002: a 10–75× lift while pruning ≳99% of candidate pairs. On real
-  * clustered embeddings both paths do far better; the eval query is the
-  * point — it ships WITH the ANN operators so the tradeoff is measured,
-  * not asserted.
+  * cluster structure), the hardest case for similarity hashing — q51
+  * measures recall@1 at sf0.1 of 0.305 for the k-means IVF path (q69),
+  * 0.205 for the banded LSH (q37), and 0.03 for the sign quantizer
+  * (q35), against a random-pick baseline of 1/|corpus| = 0.0005 — a
+  * 60–600× lift while pruning ≳87% of candidate pairs. On real
+  * clustered embeddings every path does far better; the eval query is
+  * the point — it ships WITH the ANN operators so the tradeoff is
+  * measured, not asserted.
   *
   * Determinism: cosines are rounded to 6 decimals BEFORE ranking, so the
   * ≤1e-15 cross-engine summation-order noise cannot flip an ordering;
