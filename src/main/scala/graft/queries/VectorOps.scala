@@ -22,13 +22,14 @@ import graft.model.Tables
   *
   * Recall on THIS data: the synthetic embeddings are isotropic (no
   * cluster structure), the hardest case for similarity hashing — q51
-  * measures recall@1 at sf0.1 of 0.305 for the k-means IVF path (q69),
-  * 0.205 for the banded LSH (q37), and 0.03 for the sign quantizer
-  * (q35), against a random-pick baseline of 1/|corpus| = 0.0005 — a
-  * 60–600× lift while pruning ≳87% of candidate pairs. On real
-  * clustered embeddings every path does far better; the eval query is
-  * the point — it ships WITH the ANN operators so the tradeoff is
-  * measured, not asserted.
+  * measures recall@1 = recall_strict at sf0.1 of 0.53 for the
+  * MULTI-PROBE k-means IVF path (q69: nprobe = 5 of K = 31 cells, 16 %
+  * candidate coverage ⇒ 84 % pruning, vs 0.305 for r4's single-probe
+  * K = 8), 0.205 for the banded LSH (q37), and 0.03 for the sign
+  * quantizer (q35), against a random-pick baseline of 1/|corpus| =
+  * 0.0005 — a 60–1000× lift. On real clustered embeddings every path
+  * does far better; the eval query is the point — it ships WITH the ANN
+  * operators so the tradeoff is measured, not asserted.
   *
   * Determinism: cosines are rounded to 6 decimals BEFORE ranking, so the
   * ≤1e-15 cross-engine summation-order noise cannot flip an ordering;
@@ -49,6 +50,13 @@ object VectorOps {
   private val BUCKET_CAP = 50
   /** Recall eval query-set bound: first RECALL_Q vec_ids. */
   private val RECALL_Q = 200
+
+  /** 48-bit md5 hash (mirror of TextOps.h48 — the engine-independent
+    * family): seeds the k-means init so centroid choice is deterministic
+    * but ordering-INDEPENDENT (the r4 `vec_id < K` init collapsed if low
+    * ids were correlated — one shard, one label). */
+  private def h48(prefix: String, c: Column): Column =
+    conv(substring(md5(concat(lit(prefix), c)), 1, 12), 16, 10).cast("long")
 
   /** Rademacher sign for (plane p, dimension pos): parity of the first
     * hex digit of md5("p,pos") — a public, engine-independent derivation.
@@ -161,10 +169,30 @@ object VectorOps {
       .select(col("vec_id"), col("b.other").as("best"), col("b.cos").as("cos"))
   }
 
-  /** q68 core: the k-means codebook after KM_ITER Lloyd iterations. */
-  private def kmCentroids(s: SparkSession, dir: String): DataFrame = {
+  /** Codebook geometry, scaled to the corpus: K = clamp(8, 64,
+    * round(0.7·√n)) centroids (K ∝ √n keeps both |cell| ≈ n/K and the
+    * assignment crossJoin ∝ n·K balanced as the corpus grows) and
+    * nprobe = max(3, round(0.16·K)) probed cells per query — a fixed
+    * ~16 % candidate coverage, i.e. ~84 % pruning, at every scale. The
+    * count() is a metadata-scale scan; the identical formulas run inside
+    * the oracle SQL (kk CTE), so both engines derive the same geometry
+    * from the data. */
+  private[graft] def kmGeom(s: SparkSession, dir: String): (Int, Int) = {
+    val n = Tables(s, dir).embeddings.count()
+    val k = math.max(8, math.min(64, math.round(0.7 * math.sqrt(n.toDouble)).toInt))
+    val np = math.max(3, math.round(0.16 * k).toInt)
+    (k, np)
+  }
+
+  /** q68 core: the k-means codebook after KM_ITER Lloyd iterations.
+    * Init: the K vectors with the smallest h48("km:", vec_id) — a
+    * deterministic hash reservoir (the q67 trick), planned as a
+    * distributed TakeOrderedAndProject, never a single-partition sort. */
+  private def kmCentroids(s: SparkSession, dir: String, k: Int): DataFrame = {
     val base = emb(s, dir).select(col("vec_id"), col("e"))
-    var cents = base.where(col("vec_id") < KM_K)
+    var cents = base
+      .withColumn("hk", h48("km:", col("vec_id").cast("string")))
+      .orderBy(col("hk"), col("vec_id")).limit(k)
       .select(col("vec_id").as("cid"), col("e").as("c"))
     for (_ <- 1 to KM_ITER) {
       val assigned = assignStep(base, cents).select("vec_id", "cid")
@@ -180,24 +208,42 @@ object VectorOps {
     cents
   }
 
-  /** q69 core: best in-cell neighbor under the k-means coarse quantizer
-    * (vec_id, cell, best, cos); singleton cells are absent, as in q35. */
+  /** q69 core: MULTI-PROBE IVF best neighbor (vec_id, best, cos, n_cand).
+    * Every vector lives in its nearest-centroid HOME cell; a query probes
+    * its `nprobe` nearest cells and scores only vectors homed there —
+    * single-probe recall was ceiling-limited at 0.305 on this isotropic
+    * data (r4), multi-probe recovers the neighbors that fell just across
+    * a cell boundary while still pruning ~84 % of the corpus (n_cand, the
+    * per-query candidate count, makes the pruning measurable in the
+    * output). Queries with no non-self candidate in any probed cell are
+    * absent, as in q35/q37. */
   private def ivfBest(s: SparkSession, dir: String): DataFrame = {
+    val (k, np) = kmGeom(s, dir)
     val base = emb(s, dir)
-    val cells = assignStep(base.select(col("vec_id"), col("e")),
-      kmCentroids(s, dir)).select(col("vec_id"), col("cid").as("cell"))
-    val a = base.join(cells, "vec_id")
-    val pairs = a.select(col("vec_id"), col("cell"), col("e"), col("nrm"))
-      .join(a.select(col("vec_id").as("bid"), col("cell"),
+    // Cell ranking per vector; home (rn=1) ⊆ probes (rn≤np), so one
+    // ranked pass serves both. Materialized: O(n·nprobe) id-only rows.
+    val probes = rankCells(base.select(col("vec_id"), col("e")),
+        kmCentroids(s, dir, k))
+      .where(col("rn") <= np)
+      .select(col("vec_id"), col("cid").as("cell"), col("rn"))
+      .localCheckpoint()
+    val home = probes.where(col("rn") === 1).drop("rn")
+    val qside = base.join(probes.drop("rn"), "vec_id")
+    val cside = base.join(home, "vec_id")
+    val pairs = qside.select(col("vec_id"), col("cell"), col("e"), col("nrm"))
+      .join(cside.select(col("vec_id").as("bid"), col("cell"),
         col("e").as("be"), col("nrm").as("bn")), Seq("cell"))
       .where(col("vec_id") =!= col("bid"))
-      .select(col("cell"), col("vec_id"), col("bid"),
+      .select(col("vec_id"), col("bid"),
         round(dot(col("e"), col("be")) / (col("nrm") * col("bn")), 6)
           .as("cos"))
-    val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("bid"))
-    pairs.withColumn("rn", row_number().over(w))
+    val p = Window.partitionBy("vec_id")
+    pairs
+      .withColumn("n_cand", count(lit(1)).over(p))
+      .withColumn("rn",
+        row_number().over(p.orderBy(col("cos").desc, col("bid"))))
       .where(col("rn") === 1)
-      .select(col("vec_id"), col("cell"), col("bid").as("best"), col("cos"))
+      .select(col("vec_id"), col("bid").as("best"), col("cos"), col("n_cand"))
   }
 
   /** Brute-force best neighbor over the whole corpus for a bounded query
@@ -217,14 +263,15 @@ object VectorOps {
       .select(col("qid"), col("vec_id").as("tbest"))
   }
 
-  /** k-means geometry (q68): K clusters, ITER Lloyd iterations. */
-  private val KM_K = 8
+  /** Lloyd iteration count (oracle unrolls the same number of CTEs). */
   private val KM_ITER = 3
 
-  /** Squared distance ‖v−c‖² = v·v − 2 v·c + c·c, rounded to 6 BEFORE the
-    * argmin (ties → smallest cid) — the identical expression shape and
-    * rounding the DuckDB oracle uses, so assignments match exactly. */
-  private def assignStep(base: DataFrame, cents: DataFrame): DataFrame = {
+  /** Rank every (vector, centroid) pair by squared distance ‖v−c‖² =
+    * v·v − 2 v·c + c·c, rounded to 6 BEFORE the rank (ties → smallest
+    * cid) — the identical expression shape and rounding the DuckDB
+    * oracle uses, so cell ranks match exactly. rn=1 is the home cell;
+    * rn ≤ nprobe is the multi-probe set. */
+  private def rankCells(base: DataFrame, cents: DataFrame): DataFrame = {
     val d2 = round(
       dot(col("e"), col("e")) - lit(2.0) * dot(col("e"), col("c"))
         + dot(col("c"), col("c")), 6)
@@ -232,35 +279,43 @@ object VectorOps {
     base.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cid"), d2.as("d2"))
       .withColumn("rn", row_number().over(w))
+  }
+
+  /** Home-cell assignment: the rn=1 slice of rankCells. */
+  private def assignStep(base: DataFrame, cents: DataFrame): DataFrame =
+    rankCells(base, cents)
       .where(col("rn") === 1)
       .select("vec_id", "cid", "d2")
-  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // k-means over the embeddings (Lloyd, K=8, 3 iterations) — the
+    // k-means over the embeddings (Lloyd, K ∝ √n, 3 iterations) — the
     // canonical clustering primitive of a training-data pipeline
-    // (semantic bucketing / mixture balancing). Deterministic end-to-end:
-    // init = the first K vectors by id; per-iteration centroids are
-    // per-dimension means ROUNDED to 9 (summation-order noise) before the
-    // next assignment, distances rounded to 6 before each argmin.
-    // Iterative shape matches q65: one shuffle per step, lineage
-    // truncated with localCheckpoint; the DuckDB oracle unrolls the same
-    // three iterations as CTEs, so assignments agree exactly.
+    // (semantic bucketing / mixture balancing). Deterministic end-to-end
+    // AND ordering-independent: init = the K vectors with the smallest
+    // md5-derived hash (not `vec_id < K`, which collapses when low ids
+    // are correlated); per-iteration centroids are per-dimension means
+    // ROUNDED to 9 (summation-order noise) before the next assignment,
+    // distances rounded to 6 before each argmin. Iterative shape matches
+    // q65: one shuffle per step, lineage truncated with localCheckpoint;
+    // the DuckDB oracle unrolls the same three iterations as CTEs, so
+    // assignments agree exactly.
     "q68_kmeans" -> ((s, dir) => {
+      val (k, _) = kmGeom(s, dir)
       val base = emb(s, dir).select(col("vec_id"), col("e"))
-      assignStep(base, kmCentroids(s, dir))
+      assignStep(base, kmCentroids(s, dir, k))
         .groupBy("cid")
         .agg(count(lit(1)).as("n_members"),
           round(sum("d2"), 6).as("inertia"))
         .orderBy("cid")
     }),
 
-    // TRUE IVF ANN: the coarse quantizer is the q68 k-means codebook
-    // (data-driven centroids, not the sign heuristic of q35) — each
-    // vector searches only its nearest-centroid cell. |cell| ≈ n/K and
-    // the codebook grows with the corpus in a real deployment (K ∝ √n);
-    // recall@1 of this path is measured in q51 beside blocked and lsh.
+    // TRUE IVF ANN, multi-probe: the coarse quantizer is the q68 k-means
+    // codebook (data-driven centroids, not the sign heuristic of q35);
+    // each query scores the vectors homed in its `nprobe` nearest cells.
+    // K ∝ √n and nprobe ∝ K keep coverage a fixed ~16 % of the corpus at
+    // any scale (n_cand in the output measures it); recall@1 of this
+    // path is measured in q51 beside blocked and lsh.
     "q69_ann_ivf" -> ((s, dir) =>
       ivfBest(s, dir).orderBy("vec_id")),
 
@@ -336,8 +391,13 @@ object VectorOps {
         .groupBy(col("m.method").as("method"))
         .agg(count(lit(1)).as("n_queries"),
           count(col("m.best")).as("n_answered"),
+          // per-answered rate: flatters a path that only answers easy
+          // queries, so it is NOT the headline —
           round(count(when(col("m.best") === col("tbest"), lit(1)))
-            .cast("double") / count(col("m.best")), 4).as("recall_at_1"))
+            .cast("double") / count(col("m.best")), 4).as("recall_at_1"),
+          // — standard recall (missing answer = miss) is:
+          round(count(when(col("m.best") === col("tbest"), lit(1)))
+            .cast("double") / count(lit(1)), 4).as("recall_strict"))
         .orderBy("method")
     }),
   )
@@ -455,47 +515,71 @@ object VectorOps {
        | GROUP BY cid)""".stripMargin
   }
 
-  /** k-means CTE chain (c0..cN) + the IVF best-neighbor CTEs, ending in
-    * `ivf(vec_id, cell, best, cos)` — shared by q69 and q51. */
+  /** Codebook geometry in SQL — the same K/nprobe formulas kmGeom
+    * evaluates in Scala, derived from the data inside the oracle. */
+  private val KK_CTE =
+    """kk AS (
+      | SELECT k, GREATEST(3, CAST(ROUND(0.16 * k, 0) AS BIGINT)) AS np
+      | FROM (SELECT GREATEST(8, LEAST(64,
+      |   CAST(ROUND(0.7 * SQRT(COUNT(*)), 0) AS BIGINT))) AS k FROM e))"""
+      .stripMargin
+
+  /** Hash-seeded init: the K vectors with the smallest 48-bit md5 hash —
+    * byte-identical to the Spark side's h48("km:", vec_id) reservoir. */
+  private val C0_CTE =
+    """c0 AS (
+      | SELECT vec_id AS cid, e AS c FROM (
+      |  SELECT vec_id, e, ROW_NUMBER() OVER (ORDER BY
+      |    CAST('0x' || substr(md5('km:' || vec_id), 1, 12) AS BIGINT),
+      |    vec_id) AS rn
+      |  FROM e)
+      | WHERE rn <= (SELECT k FROM kk))""".stripMargin
+
+  /** k-means CTE chain (c0..cN) + the multi-probe IVF best-neighbor CTEs,
+    * ending in `ivf(vec_id, best, cos, n_cand)` — shared by q69 and q51. */
   private lazy val IVF_CTES =
-    s"""c0 AS (SELECT vec_id AS cid, e AS c FROM e WHERE vec_id < $KM_K),
+    s"""$KK_CTE,
+       |$C0_CTE,
        |${(1 to KM_ITER).map(kmIterSql).mkString(",\n")},
-       |dcell AS (
-       | SELECT v.vec_id, c.cid,
-       |  ROUND(list_dot_product(v.e, v.e)
-       |       - 2.0 * list_dot_product(v.e, c.c)
-       |       + list_dot_product(c.c, c.c), 6) AS d2
-       | FROM e v CROSS JOIN c$KM_ITER c),
-       |vcell AS (
-       | SELECT vec_id, cid AS cell FROM (
-       |  SELECT vec_id, cid,
-       |   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-       |  FROM dcell) WHERE rn = 1),
+       |pr AS (
+       | SELECT vec_id, cid, ROW_NUMBER() OVER (
+       |   PARTITION BY vec_id ORDER BY d2, cid) AS rn
+       | FROM (
+       |  SELECT v.vec_id, c.cid,
+       |   ROUND(list_dot_product(v.e, v.e)
+       |        - 2.0 * list_dot_product(v.e, c.c)
+       |        + list_dot_product(c.c, c.c), 6) AS d2
+       |  FROM e v CROSS JOIN c$KM_ITER c)),
+       |vhome AS (SELECT vec_id, cid AS cell FROM pr WHERE rn = 1),
+       |vprobe AS (
+       | SELECT vec_id, cid AS cell FROM pr WHERE rn <= (SELECT np FROM kk)),
        |ipairs AS (
-       | SELECT a.cell, a.vec_id, b.vec_id AS bid,
+       | SELECT q.vec_id, h.vec_id AS bid,
        |  ROUND(list_dot_product(ea.e, eb.e) / (ea.nrm * eb.nrm), 6) AS cos
-       | FROM vcell a JOIN vcell b
-       |   ON a.cell = b.cell AND a.vec_id != b.vec_id
-       | JOIN e ea ON a.vec_id = ea.vec_id
-       | JOIN e eb ON b.vec_id = eb.vec_id),
+       | FROM vprobe q JOIN vhome h
+       |   ON q.cell = h.cell AND q.vec_id != h.vec_id
+       | JOIN e ea ON q.vec_id = ea.vec_id
+       | JOIN e eb ON h.vec_id = eb.vec_id),
        |iranked AS (
-       | SELECT vec_id, cell, bid, cos,
+       | SELECT vec_id, bid, cos,
+       |  COUNT(*) OVER (PARTITION BY vec_id) AS n_cand,
        |  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, bid) AS rn
        | FROM ipairs),
        |ivf AS (
-       | SELECT vec_id, cell, bid AS best, cos FROM iranked WHERE rn = 1)"""
+       | SELECT vec_id, bid AS best, cos, n_cand FROM iranked WHERE rn = 1)"""
       .stripMargin
 
   def oracles: Map[String, String] = Map(
     "q69_ann_ivf" ->
       s"""WITH $E_CTE,
          |$IVF_CTES
-         |SELECT vec_id, cell, best, cos FROM ivf ORDER BY vec_id"""
+         |SELECT vec_id, best, cos, n_cand FROM ivf ORDER BY vec_id"""
         .stripMargin,
 
     "q68_kmeans" ->
       s"""WITH $E_CTE,
-         |c0 AS (SELECT vec_id AS cid, e AS c FROM e WHERE vec_id < $KM_K),
+         |$KK_CTE,
+         |$C0_CTE,
          |${(1 to KM_ITER).map(kmIterSql).mkString(",\n")},
          |dfin AS (
          | SELECT v.vec_id, c.cid,
@@ -575,7 +659,9 @@ object VectorOps {
          |SELECT method, COUNT(*) AS n_queries,
          | COUNT(best) AS n_answered,
          | ROUND(CAST(COUNT(*) FILTER (best = tbest) AS DOUBLE)
-         |       / COUNT(best), 4) AS recall_at_1
+         |       / COUNT(best), 4) AS recall_at_1,
+         | ROUND(CAST(COUNT(*) FILTER (best = tbest) AS DOUBLE)
+         |       / COUNT(*), 4) AS recall_strict
          |FROM ev GROUP BY method ORDER BY method""".stripMargin,
   )
 }
