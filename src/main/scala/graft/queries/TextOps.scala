@@ -302,43 +302,20 @@ object TextOps {
 
     // Near-dup CLUSTER formation — the step AFTER pair detection in a
     // real dedup pipeline: connected components over the q29 similarity
-    // graph via iterative min-label propagation (each doc repeatedly
-    // adopts the smallest label among itself and its neighbors until a
-    // fixpoint; the fixpoint is the component-minimum id, which is
-    // UNIQUE, so the driver-side loop and the oracle's recursive CTE
-    // provably agree). Each iteration is one shuffle; lineage is
-    // truncated per round with localCheckpoint so the plan does not grow
-    // with the iteration count — the Pregel shape. At 100 TB swap the
-    // naive propagation for large-star/small-star; the loop and
-    // convergence test are unchanged. Output: (doc_id, cluster_id) for
-    // every doc in at least one near-dup pair.
+    // graph (the fixpoint label is the component-minimum id, which is
+    // UNIQUE, so any correct algorithm and the oracle's recursive CTE
+    // provably agree). Production path: large-star/small-star
+    // contraction (Components.scala) — rounds are O(log n) regardless of
+    // component DIAMETER, where the r4 min-label propagation needed
+    // O(diameter) rounds and silently returned partial labels past its
+    // cap. Both paths now fail loudly if un-converged; their equivalence
+    // and the diameter>cap failure mode are pinned in ComponentsSpec.
+    // Output: (doc_id, cluster_id) for every doc in ≥1 near-dup pair.
     "q65_dedup_clusters" -> ((s, dir) => {
-      val edges = jaccardPairs(s, dir).select("da", "db")
-      val und = edges.select(col("da").as("u"), col("db").as("v"))
-        .union(edges.select(col("db").as("u"), col("da").as("v")))
-        .localCheckpoint()
-      var labels = und.select(col("u").as("doc_id")).distinct()
-        .withColumn("label", col("doc_id"))
-        .localCheckpoint()
-      var changed = 1L
-      var iter = 0
-      while (changed > 0 && iter < 20) {
-        val nbrMin = und
-          .join(labels.select(col("doc_id").as("v"), col("label").as("nl")),
-            "v")
-          .groupBy(col("u").as("doc_id")).agg(min("nl").as("nbl"))
-        val next = labels.join(nbrMin, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            least(col("label"), coalesce(col("nbl"), col("label")))
-              .as("label"))
-          .localCheckpoint()
-        changed = next.join(labels.select(col("doc_id"),
-            col("label").as("old")), "doc_id")
-          .where(col("label") =!= col("old")).count()
-        labels = next
-        iter += 1
-      }
-      labels.select(col("doc_id"), col("label").as("cluster_id"))
+      val edges = jaccardPairs(s, dir)
+        .select(col("da").as("u"), col("db").as("v"))
+      Components.starContraction(edges)
+        .select(col("doc_id"), col("label").as("cluster_id"))
         .orderBy("doc_id")
     }),
 

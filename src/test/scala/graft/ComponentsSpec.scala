@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.Components
+
+/** Pins the q65 scale fix: large-star/small-star converges in O(log n)
+  * rounds on a graph whose DIAMETER exceeds the naive propagation cap,
+  * while the naive form now fails loudly instead of silently returning
+  * partial labels (the r4 defect).
+  */
+class ComponentsSpec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+
+  /** Path graph 0–1–2–…–30: diameter 30, component min 0. */
+  private def pathEdges = {
+    import s.implicits._
+    (0L until 30L).map(i => (i, i + 1)).toDF("u", "v")
+  }
+
+  test("naive min-label propagation fails loudly past its round cap") {
+    val e = intercept[IllegalStateException] {
+      Components.minLabelPropagation(pathEdges, maxIter = 20).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("star contraction converges on the 30-deep path in O(log n) rounds") {
+    val (labels, rounds) = Components.starContractionWithRounds(pathEdges)
+    val rows = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.size === 31)
+    assert(rows.values.forall(_ == 0L), s"all labels must be the component min: $rows")
+    assert(rounds <= 10, s"star contraction took $rounds rounds on a 31-node path")
+  }
+
+  test("star contraction matches naive propagation on a multi-component graph") {
+    import s.implicits._
+    // two cycles, a star, a chain and an isolated edge — mixed shapes,
+    // several components, ids deliberately non-contiguous
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L),             // triangle → min 1
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 10L), // 4-cycle → min 10
+      (20L, 25L), (20L, 26L), (20L, 27L),        // star → min 20
+      (30L, 31L), (31L, 32L), (32L, 33L),        // chain → min 30
+      (40L, 41L)                                 // edge → min 40
+    ).toDF("u", "v")
+    val star = Components.starContraction(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val naive = Components.minLabelPropagation(edges, maxIter = 50)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star === naive)
+    assert(star(3L) === 1L && star(13L) === 10L && star(27L) === 20L &&
+      star(33L) === 30L && star(41L) === 40L)
+  }
+}
