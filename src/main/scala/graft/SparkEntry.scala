@@ -6,6 +6,12 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
   * The catalog is assembled from one object per operator family under
   * `graft.queries`; every entry has a DuckDB oracle unless the operator is
   * genuinely not SQL-expressible (those get the driver's rows-only check).
+  *
+  * Session contract for externally-built sessions: running any `events`
+  * query sets `spark.sql.legacy.parquet.nanosAsLong=true` for the REST of
+  * the session (required by parquet timestamp[ns] data and not scopeable —
+  * see Tables.events). Queries register graft's native functions/rules
+  * idempotently via GraftExtensions.ensureRegistered.
   */
 object SparkEntry {
   private def catalogs = Seq(

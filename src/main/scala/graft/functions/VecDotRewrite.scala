@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{ArrayType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Optimizer rule (the §2.9 `Rule[LogicalPlan]` surface, registered via
   * SparkSessionExtensions): rewrites the declarative dot-product pattern
@@ -23,6 +23,17 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
   * reassociation that changes results, and the sequential fold order is
   * preserved: VecDot accumulates left-to-right exactly like
   * ArrayAggregate). Idempotent — the rewritten tree no longer matches.
+  *
+  * RAGGED ARRAYS: zip_with pads the shorter array with NULLs, so the HOF
+  * form returns NULL whenever the lengths differ (the null element nulls
+  * the product, which nulls the running sum), while bare vec_dot would
+  * return the min-length prefix dot. The rewrite therefore emits the
+  * guarded form `IF(size(l) = size(r), vec_dot(l, r), NULL)` — exactly
+  * the HOF semantics for every input, including NULL arrays (size(NULL)
+  * is NULL ⇒ the IF falls through to NULL, as the HOF does). The rule is
+  * injected into EVERY session via GraftExtensions, so this equivalence
+  * has to hold for arbitrary user data, not just this catalog's
+  * fixed-width embeddings.
   */
 object VecDotRewrite extends Rule[LogicalPlan] {
 
@@ -54,6 +65,7 @@ object VecDotRewrite extends Rule[LogicalPlan] {
           nonNullDoubleArray(l) && nonNullDoubleArray(r) &&
           commutes(mx, my, zx, zy) && commutes(ax, ay, aa, ab) &&
           isVar(fin, fv) =>
-        VecDot(l, r)
+        If(EqualTo(Size(l), Size(r)), VecDot(l, r),
+          Literal(null, DoubleType: DataType))
     }
 }

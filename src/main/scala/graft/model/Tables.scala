@@ -44,6 +44,18 @@ final case class Tables(spark: SparkSession, sfDir: String) {
     * which equals floor truncation for the all-positive (post-1970)
     * timestamps in this data; pre-epoch values would differ by 1µs. Every
     * events query inherits this conversion.
+    *
+    * DELIBERATE SESSION-WIDE EFFECT: the conf stays set after this call.
+    * It CANNOT be scoped — parquet schema inference reads it at
+    * `spark.read` time and execution snapshots it again into the scan's
+    * hadoopConf at physical-planning time (there is no per-read option;
+    * probed on 4.1.2: `.option("nanosAsLong", true)` still throws
+    * PARQUET_TYPE_ILLEGAL), so a save/restore around this accessor would
+    * break the very query being built. Consequence for a shared session:
+    * any LATER parquet read of a timestamp[ns] column — graft or not —
+    * gets a LongType instead of an AnalysisException. Documented as the
+    * SparkEntry session contract; micro/milli/second timestamps and all
+    * other types are unaffected.
     */
   def events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

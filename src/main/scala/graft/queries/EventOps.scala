@@ -199,15 +199,19 @@ object EventOps {
 
     "q62_session_window" ->
       """WITH flagged AS (
-        | SELECT user_id, ts,
+        | SELECT user_id, ts, event_id,
         |  CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w IS NULL
         |         OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= 1800000000
         |       THEN 1 ELSE 0 END AS new_sess
         | FROM events
         | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |sess AS (
+        | -- the cumulative sum orders on the SAME (ts, event_id) total
+        | -- order as the LAG flag above: with duplicate (user_id, ts)
+        | -- rows at a session boundary, a ts-only sort could split tied
+        | -- rows across sessions nondeterministically
         | SELECT user_id, ts,
-        |  SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |  SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |                      ROWS UNBOUNDED PRECEDING) AS sid
         | FROM flagged)
         |SELECT user_id, MIN(ts) AS first_ts, COUNT(*) AS n_events

@@ -27,6 +27,23 @@ class VecDotRewriteSpec extends AnyFunSuite {
       direct.collect().map(_.getDouble(0)).toSeq)
   }
 
+  test("ragged arrays keep the HOF's NULL semantics after the rewrite") {
+    // zip_with pads the shorter side with NULLs → the HOF dot is NULL on
+    // unequal lengths; the rewritten guarded form must agree (not return
+    // vec_dot's min-length prefix product).
+    val df = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(nonNull("embedding").as("a"),
+        slice(nonNull("embedding"), 1, 63).as("b"))
+    val hof = df.select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x).as("d"))
+    val optimized = hof.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("vec_dot"), s"rule did not fire:\n$optimized")
+    val rows = hof.collect()
+    assert(rows.nonEmpty && rows.forall(_.isNullAt(0)),
+      "unequal-length arrays must yield NULL, as the unrewritten HOF does")
+  }
+
   test("non-dot-product folds are left alone") {
     import s.implicits._
     val df = Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b")
