@@ -67,9 +67,10 @@ object Extras {
     // through the shuffle (~|distinct| entries per map task — 6.9 s at
     // sf0.1 and memory-unbounded in the distinct count); this form
     // shuffles each row once into a per-group sort and carries O(groups)
-    // rows afterwards. The documented scale swap stays approx_percentile
-    // (t-digest, constant state) once single groups outgrow a sort
-    // partition's spill budget.
+    // rows afterwards. The declared scale swap — approx_percentile with
+    // constant mergeable state, once single groups outgrow a sort
+    // partition's spill budget — now EXISTS as q70 below, with
+    // ApproxPercentileSpec pinning its error against this exact form.
     "q50_percentiles" -> ((s, dir) => {
       val w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
       val ranked = Tables(s, dir).lineitem
@@ -97,6 +98,25 @@ object Extras {
         .groupBy("l_returnflag")
         .agg(max("n").as("n"), med.value.as("median_price"),
           p90.value.as("p90_price"))
+        .orderBy("l_returnflag")
+    }),
+
+    // The DECLARED 100 TB swap for q50: approx_percentile (t-digest-like
+    // quantile summary, CONSTANT state per group, mergeable map-side)
+    // replaces the per-group sort once a single group outgrows a sort
+    // partition's spill budget. Values are implementation-specific
+    // (Spark's summary, not DuckDB's), so the driver records a rows-only
+    // check; ApproxPercentileSpec pins |approx − exact| ≤ 0.5 % against
+    // q50 on the bench-scale data, which is the contract that matters.
+    "q70_percentiles_approx" -> ((s, dir) => {
+      Tables(s, dir).lineitem
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          percentile_approx(col("l_extendedprice"),
+            array(lit(0.5), lit(0.9)), lit(10000)).as("q"))
+        .select(col("l_returnflag"), col("n"),
+          round(element_at(col("q"), 1), 6).as("median_approx"),
+          round(element_at(col("q"), 2), 6).as("p90_approx"))
         .orderBy("l_returnflag")
     }),
 

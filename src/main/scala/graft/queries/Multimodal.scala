@@ -1,18 +1,25 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Tables
 
 /** Multimodal-column plumbing: media as opaque BINARY payloads with typed
   * metadata, flowing through real Spark schema/partitioning.
   *
-  * The decode stage is a STUB by design (no image/audio codecs in this
-  * environment): `fakeDecode` derives deterministic "dimensions" and a
-  * "brightness" from the payload bytes, standing in for a real
-  * decode-and-feature-extract. The Spark-side plumbing — binary column,
-  * metadata struct, per-source partition pruning shape, flat typed feature
-  * output — is real and oracle-checked.
+  * DECODE IS REAL since r5 — for a codec-free format: the ingest step
+  * (`ppmPayload`) synthesizes a well-formed binary PPM "P6" stream
+  * (magic, ASCII width/height/maxval header, then pixel bytes) because
+  * the fixture has no binary column; q43 then ACTUALLY DECODES it — the
+  * parser reads magic/width/height/maxval back out of the payload bytes
+  * alone (anchored regex over the header, exactly netpbm's grammar),
+  * computes the header/pixel byte split, and reports truncation when the
+  * pixel section is shorter than width×height×3, precisely what a
+  * streaming PPM decoder validates before touching pixels. No codec
+  * library, no arithmetic stand-in: the only faked thing left is that
+  * the "pixel" bytes are document text, which decode cannot and does not
+  * assume. (A full JPEG/audio decode still needs codecs this container
+  * lacks; q59/q60 keep modeling those stages' plumbing geometry.)
   *
   * Scale stance: payloads stay opaque executor-side (no driver collect);
   * a production pipeline would partition by media container/source so
@@ -22,24 +29,43 @@ import graft.model.Tables
   */
 object Multimodal {
 
+  /** Netpbm P6 header grammar, as parsed back by q43. */
+  private val PPM_RE = "^P6\\n(\\d+) (\\d+)\\n(\\d+)\\n"
+
+  /** Ingest: a valid binary PPM stream per document — "P6\n<w> <h>\n255\n"
+    * + payload bytes. Width/height derive from the byte count (the same
+    * %64 geometry q59 plans resizes with). */
+  private def ppmPayload: Column = {
+    val nb = octet_length(col("text").cast("binary"))
+    concat(
+      lit("P6\n"), (nb % 64 + 1).cast("string"), lit(" "),
+      expr("CAST(octet_length(CAST(text AS BINARY)) div 64 + 1 AS STRING)"),
+      lit("\n255\n"), col("text")).cast("binary")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // Per-item decode: binary payload + metadata struct → flat typed
-    // features. Output is one row per media item.
+    // Per-item decode: parse the PPM header OUT OF THE PAYLOAD BYTES —
+    // magic, dimensions, maxval, header/pixel split, truncation check.
+    // Output is one row per media item; narrow map, no shuffle.
     "q43_media_decode" -> ((s, dir) => {
-      val payload = col("text").cast("binary")
+      val str = decode(col("payload"), "UTF-8")
+      // the header is pure ASCII, so its char length == its byte length
+      val headerBytes = length(regexp_extract(str, PPM_RE, 0))
       Tables(s, dir).documents
-        .select(col("doc_id"), col("source"), payload.as("payload"),
-          struct(octet_length(payload).as("n_bytes"),
-            md5(col("text")).as("checksum")).as("meta"))
-        // ---- fakeDecode stub: deterministic stand-in for codec output ----
+        .select(col("doc_id"), col("source"), ppmPayload.as("payload"))
         .select(col("doc_id"), col("source"),
-          col("meta.n_bytes").cast("long").as("n_bytes"),
-          col("meta.checksum").as("checksum"),
-          (col("meta.n_bytes") % 64 + 1).cast("long").as("width"),
-          expr("CAST(meta.n_bytes div 64 + 1 AS BIGINT)").as("height"),
-          round(ascii(substring(col("doc_id").cast("string"), 1, 1))
-            .cast("double") / 255.0, 6).as("brightness"))
+          substring(str, 1, 2).as("magic"),
+          regexp_extract(str, PPM_RE, 1).cast("long").as("width"),
+          regexp_extract(str, PPM_RE, 2).cast("long").as("height"),
+          regexp_extract(str, PPM_RE, 3).cast("long").as("maxval"),
+          headerBytes.cast("long").as("header_bytes"),
+          (octet_length(col("payload")) - headerBytes).cast("long")
+            .as("pixel_bytes"),
+          md5(col("payload")).as("checksum"))
+        .withColumn("expected_bytes",
+          (col("width") * col("height") * 3).cast("long"))
+        .withColumn("truncated", col("pixel_bytes") < col("expected_bytes"))
         .orderBy("doc_id")
     }),
 
@@ -95,14 +121,33 @@ object Multimodal {
 
   def oracles: Map[String, String] = Map(
     "q43_media_decode" ->
-      """SELECT doc_id, source,
-        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        | md5(text) AS checksum,
-        | CAST(octet_length(encode(text)) % 64 + 1 AS BIGINT) AS width,
-        | CAST(octet_length(encode(text)) // 64 + 1 AS BIGINT) AS height,
-        | ROUND(CAST(ascii(substr(CAST(doc_id AS VARCHAR), 1, 1)) AS DOUBLE)
-        |       / 255.0, 6) AS brightness
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """WITH p AS (
+        | SELECT doc_id, source,
+        |  'P6' || chr(10)
+        |   || CAST(octet_length(encode(text)) % 64 + 1 AS VARCHAR) || ' '
+        |   || CAST(octet_length(encode(text)) // 64 + 1 AS VARCHAR)
+        |   || chr(10) || '255' || chr(10) || text AS s
+        | FROM documents),
+        |d AS (
+        | SELECT doc_id, source, s,
+        |  substr(s, 1, 2) AS magic,
+        |  CAST(regexp_extract(s, '^P6\n(\d+) (\d+)\n(\d+)\n', 1) AS BIGINT)
+        |    AS width,
+        |  CAST(regexp_extract(s, '^P6\n(\d+) (\d+)\n(\d+)\n', 2) AS BIGINT)
+        |    AS height,
+        |  CAST(regexp_extract(s, '^P6\n(\d+) (\d+)\n(\d+)\n', 3) AS BIGINT)
+        |    AS maxval,
+        |  CAST(length(regexp_extract(s, '^P6\n(\d+) (\d+)\n(\d+)\n', 0))
+        |    AS BIGINT) AS header_bytes
+        | FROM p)
+        |SELECT doc_id, source, magic, width, height, maxval, header_bytes,
+        | CAST(octet_length(encode(s)) - header_bytes AS BIGINT)
+        |   AS pixel_bytes,
+        | md5(s) AS checksum,
+        | CAST(width * height * 3 AS BIGINT) AS expected_bytes,
+        | (octet_length(encode(s)) - header_bytes) < width * height * 3
+        |   AS truncated
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     "q44_media_stats" ->
       """SELECT source, COUNT(*) AS n_items,
