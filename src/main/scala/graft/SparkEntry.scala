@@ -23,6 +23,7 @@ object SparkEntry {
     _root_.graft.queries.Multimodal.queries,
     _root_.graft.queries.PosterScale.queries,
     _root_.graft.queries.Extras.queries,
+    _root_.graft.queries.Sinks.queries,
   )
   private def oracleCatalogs = Seq(
     _root_.graft.queries.Relational.oracles,
@@ -33,6 +34,7 @@ object SparkEntry {
     _root_.graft.queries.Multimodal.oracles,
     _root_.graft.queries.PosterScale.oracles,
     _root_.graft.queries.Extras.oracles,
+    _root_.graft.queries.Sinks.oracles,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,65 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+
+/** The engine's WRITE surface over real tables (SURVEY §2.1's sink side):
+  * until r5 the only sink was Verify's flat parquet dump — this adds the
+  * layout a 100 TB deployment actually writes: `documents` PARTITIONED BY
+  * lang (partition pruning for per-language pipeline stages) and BUCKETED
+  * by doc_id (the join/dedup key), so every downstream doc_id equi-join —
+  * near-dup verification, split assignment, metadata joins — plans with
+  * NO shuffle exchange on the pre-bucketed side. The pay-once-at-write,
+  * join-free-forever trade is proven on this real table in BucketingSpec
+  * (no `Exchange hashpartitioning` in the read-back self-join plan, and
+  * partition pruning visible for a lang predicate).
+  *
+  * q71 is the oracle-checkable round trip: write → read back → per-lang
+  * count + id-hash sum, compared against DuckDB computing the same
+  * aggregate on the ORIGINAL parquet — equal output proves the
+  * partitioned/bucketed layout preserved every row and every doc_id.
+  */
+object Sinks {
+
+  /** Mirror of TextOps.h48 (engine-independent md5-derived 48-bit hash):
+    * bounded by 2⁴⁸, so a per-group SUM over even billions of rows stays
+    * far inside signed-64 in both engines. */
+  private def h48(prefix: String, c: org.apache.spark.sql.Column) =
+    conv(substring(md5(concat(lit(prefix), c)), 1, 12), 16, 10).cast("long")
+
+  /** Write `documents` partitioned by lang + bucketed/sorted by doc_id as
+    * a managed-metadata external table; shared by q71 and BucketingSpec. */
+  private[graft] def writeDocumentsBucketed(s: SparkSession, dir: String,
+      path: String, table: String, buckets: Int = 8): DataFrame = {
+    Tables(s, dir).documents.write
+      .partitionBy("lang")
+      .bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .option("path", path)
+      .mode("overwrite")
+      .saveAsTable(table)
+    s.table(table)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q71_partitioned_roundtrip" -> ((s, dir) => {
+      val path = sys.props("java.io.tmpdir") + "/graft_rt_documents"
+      val rt = writeDocumentsBucketed(s, dir, path, "graft_docs_bucketed")
+      rt.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(h48("rt:", col("doc_id").cast("string"))).as("id_hash_sum"),
+          min("doc_id").as("min_doc_id"), max("doc_id").as("max_doc_id"))
+        .orderBy("lang")
+    }),
+  )
+
+  def oracles: Map[String, String] = Map(
+    // computed on the ORIGINAL table: only a lossless round trip matches
+    "q71_partitioned_roundtrip" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        | CAST(SUM(CAST('0x' || substr(md5('rt:' || doc_id), 1, 12)
+        |   AS BIGINT)) AS BIGINT) AS id_hash_sum,
+        | MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+  )
+}

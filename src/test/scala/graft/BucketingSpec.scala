@@ -49,4 +49,42 @@ class BucketingSpec extends AnyFunSuite {
       s.sql("DROP TABLE IF EXISTS ord_bucketed")
     }
   }
+
+  test("documents written partitioned(lang)+bucketed(doc_id) prune and join shuffle-free") {
+    val dir = Files.createTempDirectory("graft_docs_rt").toString
+    val prevThreshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    try {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val sf = "/root/testdata/sf0.001"
+      val rt = graft.queries.Sinks.writeDocumentsBucketed(
+        s, sf, s"$dir/docs", "docs_rt_spec")
+
+      // the doc_id self-join (the near-dup verify / metadata-join shape)
+      // must read bucket-aligned files: SMJ with NO exchange on either side
+      val joined = rt.select("doc_id", "source")
+        .join(rt.select(col("doc_id"), col("lang")), "doc_id")
+      val plan = joined.queryExecution.sparkPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ in:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle either side:\n$plan")
+
+      // a lang predicate must become a PARTITION filter (pruned
+      // directories), not a data filter over every file
+      val pruned = rt.where(col("lang") === "en")
+      val scan = pruned.queryExecution.executedPlan.toString
+      assert(scan.contains("PartitionFilters") &&
+        scan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+          .contains("lang"),
+        s"lang must appear as a partition filter:\n$scan")
+
+      // and the round trip is lossless
+      val orig = s.read.parquet(s"$sf/documents.parquet")
+      assert(rt.count() === orig.count())
+      assert(pruned.count() ===
+        orig.where(col("lang") === "en").count())
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      s.sql("DROP TABLE IF EXISTS docs_rt_spec")
+    }
+  }
 }
