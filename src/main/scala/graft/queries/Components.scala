@@ -52,7 +52,9 @@ object Components {
 
   /** Large-star: for every node x, connect each STRICTLY LARGER neighbor
     * v to m(x) = min(Γ(x) ∪ {x}). Output stays (u > v)-normalized since
-    * v > x ≥ m(x). */
+    * v > x ≥ m(x), and is NOT deduped here — the following small-star's
+    * min aggregate is duplicate-insensitive and dedupes its own output,
+    * so large-star saves one exchange per round. */
   private def largeStar(e: DataFrame): DataFrame = {
     val und = undirected(e)
     val mins = und.groupBy(col("u").as("x")).agg(min("v").as("mn"))
@@ -60,8 +62,6 @@ object Components {
     und.join(mins, col("u") === col("x"))
       .where(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v"))
-      .where(col("u") =!= col("v"))
-      .distinct()
   }
 
   /** Small-star: for every node u (the larger end of each normalized
