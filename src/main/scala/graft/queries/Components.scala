@@ -85,17 +85,20 @@ object Components {
   private[graft] def starContractionWithRounds(edges: DataFrame,
       maxIter: Int = 30): (DataFrame, Int) = {
     val nodes = undirected(edges).select(col("u").as("doc_id")).distinct()
+    // lazy checkpoints: the sig() aggregate is the action that
+    // materializes each round's edge set, so every round costs ONE job
+    // (an eager checkpoint + separate sig would cost two)
     var e = edges
       .select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
       .where(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
     var prevSig = sig(e)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint()
+      val next = smallStar(largeStar(e)).localCheckpoint(false)
       val nextSig = sig(next)
       converged = nextSig == prevSig
       prevSig = nextSig
@@ -136,11 +139,12 @@ object Components {
         .join(labels.select(col("doc_id").as("v"), col("label").as("nl")),
           "v")
         .groupBy(col("u").as("doc_id")).agg(min("nl").as("nbl"))
+      // lazy: the `changed` count below is the materializing action
       val next = labels.join(nbrMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nbl"), col("label")))
             .as("label"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       changed = next.join(labels.select(col("doc_id"),
           col("label").as("old")), "doc_id")
         .where(col("label") =!= col("old")).count()

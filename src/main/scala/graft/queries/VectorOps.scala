@@ -203,7 +203,11 @@ object VectorOps {
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), col("cv")))),
           x => coalesce(x.getField("cv"), lit(Double.NaN))).as("c"))
-        .localCheckpoint()
+        // lazy: plan truncation happens immediately (LogicalRDD), but the
+        // 3-round chain materializes in ONE job at the single consumer
+        // (each round's cents feeds exactly one broadcast) instead of one
+        // eager job per round
+        .localCheckpoint(false)
     }
     cents
   }
