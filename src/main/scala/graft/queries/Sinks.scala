@@ -41,6 +41,17 @@ object Sinks {
     s.table(table)
   }
 
+  /** Round-trip integrity aggregate, computed on whatever frame comes
+    * back from a sink: only a byte-exact text round trip reproduces the
+    * md5-derived hash sum the oracle computes on the ORIGINAL parquet. */
+  private def roundTripSummary(rt: DataFrame): DataFrame =
+    rt.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(h48("rt:", col("text"))).as("text_hash_sum"),
+        sum(length(col("text"))).as("sum_chars"),
+        min("doc_id").as("min_doc_id"), max("doc_id").as("max_doc_id"))
+      .orderBy("lang")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q71_partitioned_roundtrip" -> ((s, dir) => {
       val path = sys.props("java.io.tmpdir") + "/graft_rt_documents"
@@ -51,7 +62,40 @@ object Sinks {
           min("doc_id").as("min_doc_id"), max("doc_id").as("max_doc_id"))
         .orderBy("lang")
     }),
+
+    // Non-parquet source/sink formats: the same documents table pushed
+    // through JSON-lines and CSV and read back with an EXPLICIT schema
+    // (no inference — the production contract). The oracle computes the
+    // identical per-lang text-hash aggregate from the original parquet,
+    // so any escaping/encoding loss in either format fails the hash.
+    "q72_json_roundtrip" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val path = sys.props("java.io.tmpdir") + "/graft_rt_json"
+      docs.write.mode("overwrite").json(path)
+      roundTripSummary(s.read.schema(docs.schema).json(path))
+    }),
+
+    "q73_csv_roundtrip" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val path = sys.props("java.io.tmpdir") + "/graft_rt_csv"
+      docs.write.mode("overwrite")
+        .option("header", "true").option("quoteAll", "true")
+        .csv(path)
+      roundTripSummary(s.read.schema(docs.schema)
+        .option("header", "true").option("multiLine", "true")
+        .csv(path))
+    }),
   )
+
+  /** The per-lang text-integrity aggregate over the ORIGINAL parquet —
+    * shared by the JSON and CSV round-trip oracles. */
+  private val RT_SUMMARY_SQL =
+    """SELECT lang, COUNT(*) AS n_docs,
+      | CAST(SUM(CAST('0x' || substr(md5('rt:' || text), 1, 12)
+      |   AS BIGINT)) AS BIGINT) AS text_hash_sum,
+      | CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+      | MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
   def oracles: Map[String, String] = Map(
     // computed on the ORIGINAL table: only a lossless round trip matches
@@ -61,5 +105,7 @@ object Sinks {
         |   AS BIGINT)) AS BIGINT) AS id_hash_sum,
         | MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q72_json_roundtrip" -> RT_SUMMARY_SQL,
+    "q73_csv_roundtrip" -> RT_SUMMARY_SQL,
   )
 }
