@@ -85,6 +85,13 @@ object Sinks {
         .option("header", "true").option("multiLine", "true")
         .csv(path))
     }),
+
+    "q74_orc_roundtrip" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val path = sys.props("java.io.tmpdir") + "/graft_rt_orc"
+      docs.write.mode("overwrite").orc(path)
+      roundTripSummary(s.read.schema(docs.schema).orc(path))
+    }),
   )
 
   /** The per-lang text-integrity aggregate over the ORIGINAL parquet —
@@ -107,5 +114,6 @@ object Sinks {
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q72_json_roundtrip" -> RT_SUMMARY_SQL,
     "q73_csv_roundtrip" -> RT_SUMMARY_SQL,
+    "q74_orc_roundtrip" -> RT_SUMMARY_SQL,
   )
 }
