@@ -50,6 +50,9 @@ object VectorOps {
   private val BUCKET_CAP = 50
   /** Recall eval query-set bound: first RECALL_Q vec_ids. */
   private val RECALL_Q = 200
+  /** Embedding near-dup threshold: a pair is a duplicate when its exact
+    * cosine (rounded to 6 before the test, both engines) is ≥ TAU. */
+  private val TAU = 0.40
 
   /** 48-bit md5 hash (mirror of TextOps.h48 — the engine-independent
     * family): seeds the k-means init so centroid choice is deterministic
@@ -127,7 +130,21 @@ object VectorOps {
     * BANDS bands × BITS md5-sign hyperplane bits; candidates are vectors
     * sharing any band bucket of size 2..BUCKET_CAP; candidates verified
     * with the exact cosine; best = max (cos, then smallest id). */
-  private def lshBest(s: SparkSession, dir: String): DataFrame = {
+  private def lshBest(s: SparkSession, dir: String): DataFrame =
+    lshScored(s, dir).select(explode(array(
+        struct(col("da").as("vec_id"), col("db").as("other"), col("cos")),
+        struct(col("db").as("vec_id"), col("da").as("other"), col("cos"))))
+        .as("x"))
+      .groupBy(col("x.vec_id").as("vec_id"))
+      .agg(max(struct(col("x.cos").as("cos"), (-col("x.other")).as("no"),
+        col("x.other").as("other"))).as("b"))
+      .select(col("vec_id"), col("b.other").as("best"), col("b.cos").as("cos"))
+
+  /** Shared LSH candidate pipeline: exact-cosine-scored unordered pairs
+    * (da < db, cos) whose members share any 2..BUCKET_CAP band bucket —
+    * the candidate generator behind both q37 (best neighbor) and q75
+    * (near-dup dedup). */
+  private def lshScored(s: SparkSession, dir: String): DataFrame = {
     val base = emb(s, dir)
     val withBands = base.select((col("vec_id") +: col("e") +: col("nrm") +:
       (0 until BANDS).map { b =>
@@ -151,7 +168,7 @@ object VectorOps {
       .select(col("pr.da"), col("pr.db"))
       .distinct()
     val v = base.select(col("vec_id"), col("e"), col("nrm"))
-    val scored = cands
+    cands
       .join(v.select(col("vec_id").as("da"), col("e").as("ea"),
         col("nrm").as("na")), "da")
       .join(v.select(col("vec_id").as("db"), col("e").as("eb"),
@@ -159,14 +176,6 @@ object VectorOps {
       .select(col("da"), col("db"),
         round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6)
           .as("cos"))
-    scored.select(explode(array(
-        struct(col("da").as("vec_id"), col("db").as("other"), col("cos")),
-        struct(col("db").as("vec_id"), col("da").as("other"), col("cos"))))
-        .as("x"))
-      .groupBy(col("x.vec_id").as("vec_id"))
-      .agg(max(struct(col("x.cos").as("cos"), (-col("x.other")).as("no"),
-        col("x.other").as("other"))).as("b"))
-      .select(col("vec_id"), col("b.other").as("best"), col("b.cos").as("cos"))
   }
 
   /** Codebook geometry, scaled to the corpus: K = clamp(8, 64,
@@ -367,6 +376,23 @@ object VectorOps {
     // Candidates union across bands; exact-cosine verify; oracle-checked.
     "q37_ann_lsh" -> ((s, dir) =>
       lshBest(s, dir).orderBy("vec_id")),
+
+    // Embedding-cosine near-dup DEDUP (the fifth dedup family beside
+    // exact/MinHash/SimHash/Jaccard): LSH band buckets generate the
+    // candidates (never all-pairs), the exact cosine ≥ TAU verifies, and
+    // the dedup decision is keep-smallest-id — a vector is a duplicate
+    // iff some retained (smaller-id) vector is within TAU; dup_of is the
+    // smallest such partner, n_dups the number of them. Fully
+    // oracle-checked: DuckDB rebuilds the identical bucketed candidate
+    // set from the same inlined hyperplane signs.
+    "q75_embedding_near_dup" -> ((s, dir) =>
+      lshScored(s, dir).where(col("cos") >= TAU)
+        .groupBy("db")
+        .agg(min(struct(col("da").as("da"), col("cos").as("cos"))).as("m"),
+          count(lit(1)).as("n_dups"))
+        .select(col("db").as("vec_id"), col("m.da").as("dup_of"),
+          col("m.cos").as("cos"), col("n_dups"))
+        .orderBy("vec_id")),
 
     // Recall@1 of both ANN paths against the brute-force answer on a
     // 200-query sample — the offline-eval query a production ANN pipeline
@@ -641,6 +667,17 @@ object VectorOps {
       s"""WITH $E_CTE,
          |$LSH_CTES
          |SELECT vec_id, best, cos FROM lsh ORDER BY vec_id""".stripMargin,
+
+    "q75_embedding_near_dup" ->
+      s"""WITH $E_CTE,
+         |$LSH_CTES,
+         |ndup AS (
+         | SELECT db AS vec_id, MIN(da) AS dup_of, COUNT(*) AS n_dups
+         | FROM lscored WHERE cos >= $TAU GROUP BY db)
+         |SELECT d.vec_id, d.dup_of, s.cos, d.n_dups
+         |FROM ndup d JOIN lscored s
+         |  ON s.db = d.vec_id AND s.da = d.dup_of
+         |ORDER BY d.vec_id""".stripMargin,
 
     "q51_ann_recall" ->
       s"""WITH $E_CTE,
