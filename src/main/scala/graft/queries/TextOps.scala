@@ -349,6 +349,46 @@ object TextOps {
         .orderBy("lang", "doc_id")
     }),
 
+    // Capstone: the end-to-end corpus-curation pipeline as ONE
+    // declarative query — quality filter (q31's exact score formula,
+    // keep ≥ 0.6) → exact dedup (keep the smallest doc_id per
+    // md5(lower(trim(text))) group, q25/q26's key) → deterministic
+    // train/val/test split (q66's md5 bucketing) → per-(lang, split)
+    // document and character counts. Composition is the point: every
+    // stage is a column expression or a single keyed shuffle, the whole
+    // funnel is one Catalyst plan (filter pushed to the scan, dedup =
+    // one window on the text-hash, split = a pure hash column), and the
+    // same pipeline runs unchanged on a 100 TB corpus.
+    "q76_corpus_pipeline" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      val nTok = size(toks)
+      val stopRatio = round(
+        size(array_intersect(toks, array(EN_STOP.map(lit): _*)))
+          .cast("double") / nTok, 6)
+      val digitRatio = round(
+        (length(col("text"))
+          - length(regexp_replace(col("text"), "[0-9]", ""))).cast("double")
+          / length(col("text")), 6)
+      val score = round(
+        least(nTok.cast("double") / 50, lit(1.0)) * 0.5
+          + (lit(1.0) - digitRatio) * 0.3
+          + least(stopRatio * 10, lit(1.0)) * 0.2, 6)
+      val kept = docs(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          md5(lower(trim(col("text")))).as("h"), score.as("score"))
+        .where(col("score") >= 0.6)
+      val deduped = kept
+        .withColumn("mn", min("doc_id").over(Window.partitionBy("h")))
+        .where(col("doc_id") === col("mn"))
+      val b = pmod(h48("split:", col("doc_id").cast("string")), lit(100L))
+      val part = when(b < 80, "train").when(b < 90, "val").otherwise("test")
+      deduped
+        .select(col("lang"), part.as("split"), col("n_chars"))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+        .orderBy("lang", "split")
+    }),
+
     // Language-ID heuristic (deterministic scorer): stopword hit ratio +
     // CJK detection. groupBy(lang, predicted) keeps the output bounded.
     "q30_langid" -> ((s, dir) => {
@@ -634,6 +674,34 @@ object TextOps {
          | SELECT e.v, r.label FROM reach r JOIN und e ON e.u = r.u)
          |SELECT u AS doc_id, MIN(label) AS cluster_id FROM reach
          |GROUP BY u ORDER BY doc_id""".stripMargin,
+
+    "q76_corpus_pipeline" ->
+      """WITH f AS (
+        | SELECT doc_id, lang, n_chars, md5(lower(trim(text))) AS h,
+        |  ROUND(LEAST(CAST(len(string_split(text,' ')) AS DOUBLE)/50, 1.0)*0.5
+        |   + (1.0 - ROUND(CAST(length(text)
+        |        - length(regexp_replace(text,'[0-9]','','g')) AS DOUBLE)
+        |        / length(text), 6))*0.3
+        |   + LEAST(ROUND(CAST(len(list_intersect(string_split(text,' '),
+        |        ['the','a','and','of','to','in','is'])) AS DOUBLE)
+        |        / len(string_split(text,' ')), 6)*10, 1.0)*0.2, 6) AS score
+        | FROM documents),
+        |k AS (SELECT * FROM f WHERE score >= 0.6),
+        |d AS (
+        | SELECT *, MIN(doc_id) OVER (PARTITION BY h) AS mn FROM k),
+        |dd AS (SELECT * FROM d WHERE doc_id = mn),
+        |sp AS (
+        | SELECT lang, n_chars,
+        |  CASE WHEN CAST('0x' || substr(md5('split:' ||
+        |         CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) % 100 < 80
+        |        THEN 'train'
+        |       WHEN CAST('0x' || substr(md5('split:' ||
+        |         CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) % 100 < 90
+        |        THEN 'val' ELSE 'test' END AS split
+        | FROM dd)
+        |SELECT lang, split, COUNT(*) AS n_docs,
+        | CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM sp GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
 
     "q66_hash_split" ->
       """WITH b AS (
