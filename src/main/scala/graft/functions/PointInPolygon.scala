@@ -111,6 +111,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.entries.foreach(e.injectFunction)
     e.injectOptimizerRule(_ => VecDotRewrite)
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
 
@@ -141,5 +142,8 @@ object GraftExtensions {
     val exp = spark.experimental
     if (!exp.extraOptimizations.contains(VecDotRewrite))
       exp.extraOptimizations = exp.extraOptimizations :+ VecDotRewrite
+    // same runtime-mutable escape hatch for the planner strategy
+    if (!exp.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+      exp.extraStrategies = exp.extraStrategies :+ graft.plans.AsOfJoinStrategy
   }
 }

@@ -1,0 +1,160 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute,
+  Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection,
+  UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution,
+  Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan,
+  SparkStrategy}
+
+/** Whole-operator custom plan (SURVEY §2.9 tier c): a native backward
+  * AS-OF JOIN — for every left row, attach the single right row with the
+  * same key and the greatest timestamp ≤ the left timestamp (LEFT OUTER:
+  * unmatched left rows keep nulls). Spark has no such operator; q47
+  * composes the semantics from a window over a union, which forces BOTH
+  * event classes through one window sort and cannot prune the right
+  * columns independently. This node gives the same answer with a
+  * one-pass merge over the two co-partitioned, time-sorted sides —
+  * the classic sort-merge as-of, O(|L| + |R|) per partition with O(1)
+  * state (ONE buffered right row), no window buffer at all.
+  *
+  * Scale: the key is the shuffle key (ClusteredDistribution on both
+  * children, exactly like SortMergeJoin), so a 100 TB event log as-of
+  * joins with one exchange per side and constant per-task memory; skew
+  * remedies (AQE split, salting with range-replicated right side) apply
+  * unchanged.
+  *
+  * Restrictions (deliberate, for a compact exec): single join key and
+  * timestamp per side, both long-backed (LongType / TimestampType);
+  * `rightTie` breaks ties among equal (key, ts) right rows — the row
+  * LAST in (ts, tie) ascending order wins, making the match
+  * deterministic when timestamps collide.
+  */
+final case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
+    leftKey: Expression, rightKey: Expression,
+    leftTs: Expression, rightTs: Expression,
+    rightTie: Expression) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(newLeft: LogicalPlan,
+      newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans AsOfJoinPlan into AsOfJoinExec; injected via GraftExtensions
+  * (and runtime-added through experimental.extraStrategies for
+  * externally-built sessions). */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, rk, lts, rts, tie) =>
+      AsOfJoinExec(lk, rk, lts, rts, tie, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Physical backward as-of join: children arrive hash-clustered on the
+  * key (one exchange each, same machinery as SortMergeJoin) and sorted
+  * by (key, ts[, tie]); each partition is then a single linear merge.
+  * The only retained state is the latest matching right row — the
+  * operator never buffers a window, a bucket, or a group. */
+final case class AsOfJoinExec(leftKey: Expression, rightKey: Expression,
+    leftTs: Expression, rightTs: Expression, rightTie: Expression,
+    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) ::
+      ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending),
+      SortOrder(rightTie, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override def outputOrdering: Seq[SortOrder] =
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending))
+
+  override protected def withNewChildrenInternal(newLeft: SparkPlan,
+      newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val outAttrs = output
+    val lKeyTs: Seq[Expression] = Seq(leftKey, leftTs)
+    val rKeyTs: Seq[Expression] = Seq(rightKey, rightTs)
+    left.execute().zipPartitions(right.execute()) { (li, ri) =>
+      val lProj = UnsafeProjection.create(lKeyTs, lOut)
+      val rProj = UnsafeProjection.create(rKeyTs, rOut)
+      // bind against the nullability-relaxed output so the null right row
+      // is written as nulls, not read through non-null fast paths
+      val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
+      val nullRight = new GenericInternalRow(rOut.size)
+      val joined = new JoinedRow
+      var matchRow: UnsafeRow = null
+      var matchKey = 0L
+      var rNext: InternalRow = null
+      var rNextKey = 0L
+      var rNextTs = 0L
+      def advance(): Unit =
+        if (ri.hasNext) {
+          rNext = ri.next()
+          val kt = rProj(rNext)
+          rNextKey = kt.getLong(0)
+          rNextTs = kt.getLong(1)
+        } else rNext = null
+      advance()
+      li.map { l =>
+        val kt = lProj(l)
+        val lk = kt.getLong(0)
+        val lts = kt.getLong(1)
+        if (matchRow != null && matchKey != lk) matchRow = null
+        // consume right rows up to (key, ts): rows of earlier keys can
+        // never match again; rows of THIS key at ts ≤ lts each overwrite
+        // the candidate, so the last one in (ts, tie) order wins
+        while (rNext != null &&
+            (rNextKey < lk || (rNextKey == lk && rNextTs <= lts))) {
+          if (rNextKey == lk) {
+            matchRow = rNext.asInstanceOf[UnsafeRow].copy()
+            matchKey = lk
+          }
+          advance()
+        }
+        resultProj(joined(l, if (matchRow != null) matchRow else nullRight))
+      }
+    }
+  }
+}
+
+/** DataFrame surface: `AsOf.join(purchases, clicks, "user_id", "user_id",
+  * "ts", "click_ts", "click_id")`. Children are taken at their ANALYZED
+  * plans; name the right side's columns apart from the left's before
+  * calling (the node's output is the concatenation). */
+object AsOf {
+  def join(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String, rightTie: String): DataFrame = {
+    val spark: SparkSession = left.sparkSession
+    graft.functions.GraftExtensions.ensureRegistered(spark)
+    val lp = left.queryExecution.analyzed
+    val rp = right.queryExecution.analyzed
+    def attr(p: LogicalPlan, n: String, side: String): Attribute =
+      p.output.find(_.name == n).getOrElse(throw new IllegalArgumentException(
+        s"as-of $side column '$n' not in [${p.output.map(_.name).mkString(", ")}]"))
+    org.apache.spark.sql.graft.PlanBridge.ofRows(spark,
+      AsOfJoinPlan(lp, rp,
+        attr(lp, leftKey, "left"), attr(rp, rightKey, "right"),
+        attr(lp, leftTs, "left"), attr(rp, rightTs, "right"),
+        attr(rp, rightTie, "right")))
+  }
+}

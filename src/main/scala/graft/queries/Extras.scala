@@ -33,6 +33,31 @@ object Extras {
         .orderBy("event_id")
     }),
 
+    // The SAME as-of semantics through the custom whole-operator plan
+    // (graft.plans: AsOfJoinPlan → AsOfJoinStrategy → AsOfJoinExec —
+    // SURVEY §2.9 tier c): purchases as-of-join clicks per user with the
+    // inclusive ≤ backward match, tie on click event_id. Unlike q47's
+    // window composition, the native exec merges two independently-pruned,
+    // co-partitioned sorted sides with O(1) state per partition — no
+    // union, no window buffer. Oracle-checked with its own windowed SQL
+    // (clicks sort before purchases at equal ts, so ≤ is expressible).
+    "q77_asof_native" -> ((s, dir) => {
+      val ev = Tables(s, dir).events
+      val p = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val c = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"),
+          col("user_id").as("c_user"), col("ts").as("click_ts"))
+      graft.plans.AsOf
+        .join(p, c, "user_id", "c_user", "ts", "click_ts", "click_id")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("click_ts").as("asof_click_ts"),
+          col("click_id").as("asof_click_id"),
+          (unix_micros(col("ts")) - unix_micros(col("click_ts")))
+            .as("gap_us"))
+        .orderBy("event_id")
+    }),
+
     // Levenshtein over BANDED document pairs (same lang, doc_id within a
     // window of 5): edit distance on the 20-char prefix. The band join is
     // keyed on (lang, doc_id-block): the left side emits its block and the
@@ -147,6 +172,30 @@ object Extras {
         |   OVER (PARTITION BY user_id ORDER BY ts, event_id
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
         |   AS asof_click_ts
+        | FROM events WHERE event_type IN ('click', 'purchase')) t
+        |WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
+
+    "q77_asof_native" ->
+      """SELECT event_id, user_id, ts, asof_click_ts, asof_click_id,
+        | epoch_us(ts) - epoch_us(asof_click_ts) AS gap_us
+        |FROM (
+        | SELECT event_id, user_id, ts, event_type,
+        |  LAST_VALUE(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+        |   OVER (PARTITION BY user_id
+        |         ORDER BY ts,
+        |           CASE WHEN event_type = 'click' THEN 0 ELSE 1 END,
+        |           event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |   AS asof_click_ts,
+        |  LAST_VALUE(CASE WHEN event_type = 'click' THEN event_id END
+        |             IGNORE NULLS)
+        |   OVER (PARTITION BY user_id
+        |         ORDER BY ts,
+        |           CASE WHEN event_type = 'click' THEN 0 ELSE 1 END,
+        |           event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |   AS asof_click_id
         | FROM events WHERE event_type IN ('click', 'purchase')) t
         |WHERE event_type = 'purchase'
         |ORDER BY event_id""".stripMargin,

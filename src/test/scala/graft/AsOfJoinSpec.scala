@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.scalatest.funsuite.AnyFunSuite
+import graft.plans.{AsOf, AsOfJoinExec}
+
+/** The custom whole-operator plan (AsOfJoinPlan → AsOfJoinStrategy →
+  * AsOfJoinExec): semantics pinned against an independently-composed
+  * window form, plan shape pinned to the native exec with one exchange
+  * per side. */
+class AsOfJoinSpec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+  import s.implicits._
+
+  // left: (key, ts, lv); covers no-match (ts before any right), exact-ts
+  // tie (inclusive ≤), and a key with no right rows at all
+  private lazy val left = Seq(
+    (1L, 5L, "a"), (1L, 10L, "b"), (1L, 20L, "c"),
+    (2L, 7L, "d"), (3L, 9L, "e")
+  ).toDF("k", "ts", "lv")
+
+  // right: (rk, rts, tie, rv); key 1 has a ts collision (10) resolved by
+  // the larger tie; key 3 has no rows
+  private lazy val right = Seq(
+    (1L, 6L, 1L, "r1"), (1L, 10L, 2L, "r2"), (1L, 10L, 3L, "r3"),
+    (2L, 7L, 4L, "r4"), (2L, 8L, 5L, "r5")
+  ).toDF("rk", "rts", "tie", "rv")
+
+  private def viaOperator =
+    AsOf.join(left, right, "k", "rk", "ts", "rts", "tie")
+      .select("k", "ts", "lv", "rts", "tie", "rv")
+
+  /** Independent reference: union both sides, one window ordered by
+    * (ts, right-before-left, tie), last right row over the preceding
+    * frame — the q47 composition generalized to carry the whole row. */
+  private def viaWindow = {
+    val l = left.select(col("k"), col("ts"), col("lv"),
+      lit(null).cast("long").as("rts"), lit(null).cast("long").as("tie"),
+      lit(null).cast("string").as("rv"), lit(1).as("side"))
+    val r = right.select(col("rk").as("k"), col("rts").as("ts"),
+      lit(null).cast("string").as("lv"), col("rts"), col("tie"),
+      col("rv"), lit(0).as("side"))
+    val w = Window.partitionBy("k")
+      .orderBy(col("ts"), col("side"), col("tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.union(r)
+      .withColumn("m_rts", last(when(col("side") === 0, col("rts")), true).over(w))
+      .withColumn("m_tie", last(when(col("side") === 0, col("tie")), true).over(w))
+      .withColumn("m_rv", last(when(col("side") === 0, col("rv")), true).over(w))
+      .where(col("side") === 1)
+      .select(col("k"), col("ts"), col("lv"), col("m_rts").as("rts"),
+        col("m_tie").as("tie"), col("m_rv").as("rv"))
+  }
+
+  test("as-of operator matches the window-composed reference") {
+    val a = viaOperator.collect().map(_.toSeq).toSet
+    val b = viaWindow.collect().map(_.toSeq).toSet
+    assert(a === b)
+    // spot-pin the interesting rows: inclusive ≤ with tie → r3 at ts=10;
+    // no preceding right row → nulls; key without right rows → nulls
+    val m = viaOperator.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> Option(r.getAs[String]("rv")))
+      .toMap
+    assert(m((1L, 5L)) === None)
+    assert(m((1L, 10L)) === Some("r3"))
+    assert(m((1L, 20L)) === Some("r3"))
+    assert(m((2L, 7L)) === Some("r4"))
+    assert(m((3L, 9L)) === None)
+  }
+
+  test("plans as the native exec: one exchange per side, no window, no join") {
+    val qe = viaOperator.queryExecution
+    assert(qe.sparkPlan.exists(_.isInstanceOf[AsOfJoinExec]))
+    // exchanges are inserted by EnsureRequirements → inspect the
+    // prepared plan, not the bare strategy output
+    val plan = qe.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), s"native exec missing:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("Window"),
+      s"expected the native as-of exec only:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 2,
+      s"expected one exchange per side:\n$plan")
+  }
+}
