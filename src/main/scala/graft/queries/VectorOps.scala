@@ -332,6 +332,54 @@ object VectorOps {
     "q69_ann_ivf" -> ((s, dir) =>
       ivfBest(s, dir).orderBy("vec_id")),
 
+    // The production serving shape of the SAME index: build once — the
+    // k-means assignment persisted as a parquet table PARTITIONED BY its
+    // IVF cell — then probe the prebuilt table (multi-probe rank from the
+    // tiny centroid set, join on cell). Probing never touches the
+    // k-means chain, and a selective online probe reads only its
+    // nprobe/K cell directories (partition pruning on the layout q71
+    // proves). Answers are bit-identical to q69 (double vectors
+    // round-trip parquet exactly), so the ORACLE IS q69's.
+    "q78_ann_ivf_prebuilt" -> ((s, dir) => {
+      val (k, np) = kmGeom(s, dir)
+      val base = emb(s, dir)
+      val cents = kmCentroids(s, dir, k)
+      val home = rankCells(base.select(col("vec_id"), col("e")), cents)
+        .where(col("rn") === 1)
+        .select(col("vec_id"), col("cid").as("cell"))
+      val path = sys.props("java.io.tmpdir") + "/graft_ivf_index"
+      base.join(home, "vec_id")
+        .select(col("vec_id"), col("e"), col("nrm"), col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(path)
+      val idx = s.read
+        .schema("vec_id LONG, e ARRAY<DOUBLE>, nrm DOUBLE, cell INT")
+        .parquet(path)
+      val probes = rankCells(base.select(col("vec_id"), col("e")), cents)
+        .where(col("rn") <= np)
+        .select(col("vec_id"), col("cid").as("cell"))
+      val pairs = base.join(probes, "vec_id")
+        .select(col("vec_id"), col("cell"), col("e"), col("nrm"))
+        .join(idx.select(col("vec_id").as("bid"), col("cell"),
+          // the read-back schema has nullable elements — re-pin the
+          // `double NOT NULL` element type vec_dot requires (same
+          // NaN-arm trick as emb; components are never actually null)
+          transform(col("e"), x => coalesce(x, lit(Double.NaN))).as("be"),
+          col("nrm").as("bn")), Seq("cell"))
+        .where(col("vec_id") =!= col("bid"))
+        .select(col("vec_id"), col("bid"),
+          round(dot(col("e"), col("be")) / (col("nrm") * col("bn")), 6)
+            .as("cos"))
+      val p = Window.partitionBy("vec_id")
+      pairs
+        .withColumn("n_cand", count(lit(1)).over(p))
+        .withColumn("rn",
+          row_number().over(p.orderBy(col("cos").desc, col("bid"))))
+        .where(col("rn") === 1)
+        .select(col("vec_id"), col("bid").as("best"), col("cos"),
+          col("n_cand"))
+        .orderBy("vec_id")
+    }),
+
     // Brute-force cosine top-3 for a bounded query set (vec_id < 10) —
     // the exactness baseline every ANN variant is judged against.
     "q34_cosine_topk" -> ((s, dir) => {
@@ -601,6 +649,13 @@ object VectorOps {
 
   def oracles: Map[String, String] = Map(
     "q69_ann_ivf" ->
+      s"""WITH $E_CTE,
+         |$IVF_CTES
+         |SELECT vec_id, best, cos, n_cand FROM ivf ORDER BY vec_id"""
+        .stripMargin,
+
+    // bit-identical to q69 by construction (see the query's scaladoc)
+    "q78_ann_ivf_prebuilt" ->
       s"""WITH $E_CTE,
          |$IVF_CTES
          |SELECT vec_id, best, cos, n_cand FROM ivf ORDER BY vec_id"""
