@@ -27,14 +27,22 @@ class AsOfJoinSpec extends AnyFunSuite {
     (2L, 7L, 4L, "r4"), (2L, 8L, 5L, "r5")
   ).toDF("rk", "rts", "tie", "rv")
 
-  private def viaOperator =
-    AsOf.join(left, right, "k", "rk", "ts", "rts", "tie")
+  private def viaOperator: org.apache.spark.sql.DataFrame =
+    viaOperator(left, right)
+
+  private def viaOperator(l: org.apache.spark.sql.DataFrame,
+      r: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    AsOf.join(l, r, "k", "rk", "ts", "rts", "tie")
       .select("k", "ts", "lv", "rts", "tie", "rv")
+
+  private def viaWindow: org.apache.spark.sql.DataFrame =
+    viaWindow(left, right)
 
   /** Independent reference: union both sides, one window ordered by
     * (ts, right-before-left, tie), last right row over the preceding
     * frame — the q47 composition generalized to carry the whole row. */
-  private def viaWindow = {
+  private def viaWindow(left: org.apache.spark.sql.DataFrame,
+      right: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val l = left.select(col("k"), col("ts"), col("lv"),
       lit(null).cast("long").as("rts"), lit(null).cast("long").as("tie"),
       lit(null).cast("string").as("rv"), lit(1).as("side"))
@@ -67,6 +75,27 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(m((1L, 20L)) === Some("r3"))
     assert(m((2L, 7L)) === Some("r4"))
     assert(m((3L, 9L)) === None)
+  }
+
+  test("fuzz: operator matches the window reference on seeded random data") {
+    // narrow key/ts domains force heavy collisions — the hard cases
+    // (shared ts across sides, multi-row ties, keys missing on one side)
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val lRows = Seq.fill(300)((rnd.nextInt(20).toLong,
+        rnd.nextInt(50).toLong, s"l${rnd.nextInt(1000)}"))
+      val rRows = Seq.tabulate(300)(i => (rnd.nextInt(20).toLong,
+        rnd.nextInt(50).toLong, i.toLong, s"r${rnd.nextInt(1000)}"))
+      val l = lRows.toDF("k", "ts", "lv")
+      val r = rRows.toDF("rk", "rts", "tie", "rv")
+      val a = viaOperator(l, r).collect().map(_.toSeq)
+      val b = viaWindow(l, r).collect().map(_.toSeq)
+      // multiset compare: duplicate left rows are legal and must each
+      // surface with the same match
+      assert(a.groupBy(identity).view.mapValues(_.size).toMap ===
+        b.groupBy(identity).view.mapValues(_.size).toMap,
+        s"mismatch at seed $seed")
+    }
   }
 
   test("plans as the native exec: one exchange per side, no window, no join") {
