@@ -17,6 +17,7 @@ class BareSessionSpec extends AnyFunSuite {
     // strip everything the builders normally provide
     bare.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
     bare.experimental.extraOptimizations = Nil
+    bare.experimental.extraStrategies = Nil
     Seq("point_in_polygon", "vec_dot").foreach { f =>
       bare.sessionState.functionRegistry.dropFunction(FunctionIdentifier(f))
     }
@@ -27,6 +28,9 @@ class BareSessionSpec extends AnyFunSuite {
     assert(SparkEntry.queries("q45_pip_expr")(bare, sf).count() > 0)
     // vector path: requires runtime vec_dot registration
     assert(SparkEntry.queries("q34_cosine_topk")(bare, sf).count() > 0)
+    // custom-plan path: requires the as-of strategy (runtime
+    // extraStrategies injection when the static extensions are absent)
+    assert(SparkEntry.queries("q77_asof_native")(bare, sf).count() > 0)
     // flagship driver smoke
     assert(SparkEntry.entry(bare).count() > 0)
   }
