@@ -405,6 +405,28 @@ object Poster {
           col("b"), col("a"), col("sh_blob"), col("sh_v"), col("sh_a"))
         .orderBy("y", "x")
     }),
+
+    // P8 polar→Cartesian EXECUTED (VERDICT r5 #4): recompute every vertex
+    // px = cx + rr·cos(θ), py = cy + rr·sin(θ) (app.py:143-144) from the
+    // fixture's frozen (angle, rr) + params (cx, cy), and pin the trig
+    // against the numpy-frozen x/y at 6 dp — matches_frozen = 1 on every
+    // row, asserted identically by the DuckDB oracle, so a libm
+    // divergence in ANY engine flips the hash. Closes SURVEY §2.2 P8's
+    // "frozen-by-design" partial: the trig now runs under the oracle
+    // gate instead of only inside the scalacheck generator.
+    "q79_polar_vertices" -> ((s, _) => {
+      val px = col("cx") + col("rr") * cos(col("angle"))
+      val py = col("cy") + col("rr") * sin(col("angle"))
+      fx(s, "blob_vertices")
+        .join(broadcast(fx(s, "blob_params").select("blob_id", "cx", "cy")),
+          "blob_id")
+        .select(col("blob_id"), col("idx").cast("long").as("idx"),
+          round(px, 6).as("px"), round(py, 6).as("py"),
+          (round(px, 6) === round(col("x"), 6) &&
+           round(py, 6) === round(col("y"), 6)).cast("long")
+            .as("matches_frozen"))
+        .orderBy("blob_id", "idx")
+    }),
   )
 
   // ------------------------------------------------------------- oracles
@@ -662,5 +684,16 @@ object Poster {
          |FROM bl FULL OUTER JOIN shadow
          |  ON bl.y = shadow.y AND bl.x = shadow.x
          |ORDER BY y, x""".stripMargin,
+
+    // the same trig + frozen-value pin, in DuckDB's libm
+    "q79_polar_vertices" ->
+      s"""SELECT v.blob_id, CAST(v.idx AS BIGINT) AS idx,
+         | ROUND(p.cx + v.rr * cos(v.angle), 6) AS px,
+         | ROUND(p.cy + v.rr * sin(v.angle), 6) AS py,
+         | CAST(ROUND(p.cx + v.rr * cos(v.angle), 6) = ROUND(v.x, 6)
+         |  AND ROUND(p.cy + v.rr * sin(v.angle), 6) = ROUND(v.y, 6)
+         |  AS BIGINT) AS matches_frozen
+         |FROM $V v JOIN $P p USING (blob_id)
+         |ORDER BY v.blob_id, v.idx""".stripMargin,
   )
 }

@@ -22,6 +22,20 @@ import graft.model.Tables
   */
 object Sinks {
 
+  /** Per-JVM run token suffixed onto every side-effect path and catalog
+    * table name the catalog queries create (VERDICT r5 #6): two bench or
+    * verify sessions sharing one host's tmpdir no longer overwrite each
+    * other's indexes/round-trip dirs or fight over the bucketed table
+    * name. Stable within a JVM, so build-once memoization (q78) still
+    * reuses the same path across samples. */
+  private[graft] lazy val runToken: String =
+    java.lang.Long.toHexString(
+      ProcessHandle.current().pid() ^ (System.nanoTime() << 16))
+
+  /** A tmpdir path unique to this run: `<tmpdir>/<stem>_<runToken>`. */
+  private[graft] def runPath(stem: String): String =
+    sys.props("java.io.tmpdir") + "/" + stem + "_" + runToken
+
   /** Mirror of TextOps.h48 (engine-independent md5-derived 48-bit hash):
     * bounded by 2⁴⁸, so a per-group SUM over even billions of rows stays
     * far inside signed-64 in both engines. */
@@ -54,8 +68,8 @@ object Sinks {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q71_partitioned_roundtrip" -> ((s, dir) => {
-      val path = sys.props("java.io.tmpdir") + "/graft_rt_documents"
-      val rt = writeDocumentsBucketed(s, dir, path, "graft_docs_bucketed")
+      val path = runPath("graft_rt_documents")
+      val rt = writeDocumentsBucketed(s, dir, path, s"graft_docs_bucketed_$runToken")
       rt.groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
           sum(h48("rt:", col("doc_id").cast("string"))).as("id_hash_sum"),
@@ -70,14 +84,14 @@ object Sinks {
     // so any escaping/encoding loss in either format fails the hash.
     "q72_json_roundtrip" -> ((s, dir) => {
       val docs = Tables(s, dir).documents
-      val path = sys.props("java.io.tmpdir") + "/graft_rt_json"
+      val path = runPath("graft_rt_json")
       docs.write.mode("overwrite").json(path)
       roundTripSummary(s.read.schema(docs.schema).json(path))
     }),
 
     "q73_csv_roundtrip" -> ((s, dir) => {
       val docs = Tables(s, dir).documents
-      val path = sys.props("java.io.tmpdir") + "/graft_rt_csv"
+      val path = runPath("graft_rt_csv")
       docs.write.mode("overwrite")
         .option("header", "true").option("quoteAll", "true")
         .csv(path)
@@ -88,7 +102,7 @@ object Sinks {
 
     "q74_orc_roundtrip" -> ((s, dir) => {
       val docs = Tables(s, dir).documents
-      val path = sys.props("java.io.tmpdir") + "/graft_rt_orc"
+      val path = runPath("graft_rt_orc")
       docs.write.mode("overwrite").orc(path)
       roundTripSummary(s.read.schema(docs.schema).orc(path))
     }),

@@ -259,6 +259,35 @@ object VectorOps {
       .select(col("vec_id"), col("bid").as("best"), col("cos"), col("n_cand"))
   }
 
+  /** Build-once registry for the q78 serving index (VERDICT r5 #2): per
+    * (session, sfDir), the eagerly-checkpointed k-means codebook plus the
+    * path of the cell-PARTITIONED parquet index it produced. The first
+    * call pays the whole build — k-means chain, home-cell assignment,
+    * partitioned write — and every later call probes only, so "build
+    * once, probe many" is a measurable property: Bench's 2nd..nth samples
+    * of q78 time the probe phase alone. Paths carry the per-JVM run token
+    * (Sinks.runToken) so concurrent sessions never collide. */
+  private val ivfIndexMemo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), (DataFrame, String)]
+
+  private def ivfIndex(s: SparkSession, dir: String): (DataFrame, String) =
+    ivfIndexMemo.getOrElseUpdate((System.identityHashCode(s), dir), {
+      val (k, _) = kmGeom(s, dir)
+      val base = emb(s, dir)
+      // Eager checkpoint: the k-means chain runs here, at build time, and
+      // its 37..64-row codebook is what probe invocations rank against.
+      val cents = kmCentroids(s, dir, k).localCheckpoint()
+      val home = rankCells(base.select(col("vec_id"), col("e")), cents)
+        .where(col("rn") === 1)
+        .select(col("vec_id"), col("cid").as("cell"))
+      val path = Sinks.runPath("graft_ivf_index") + "_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      base.join(home, "vec_id")
+        .select(col("vec_id"), col("e"), col("nrm"), col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(path)
+      (cents, path)
+    })
+
   /** Brute-force best neighbor over the whole corpus for a bounded query
     * set — ground truth for recall@1. */
   private def bruteBest(s: SparkSession, dir: String, nq: Int): DataFrame = {
@@ -334,23 +363,18 @@ object VectorOps {
 
     // The production serving shape of the SAME index: build once — the
     // k-means assignment persisted as a parquet table PARTITIONED BY its
-    // IVF cell — then probe the prebuilt table (multi-probe rank from the
-    // tiny centroid set, join on cell). Probing never touches the
-    // k-means chain, and a selective online probe reads only its
-    // nprobe/K cell directories (partition pruning on the layout q71
-    // proves). Answers are bit-identical to q69 (double vectors
-    // round-trip parquet exactly), so the ORACLE IS q69's.
+    // IVF cell (ivfIndex, memoized per session+sfDir) — then probe the
+    // prebuilt table. The probe phase never touches the k-means chain:
+    // it ranks queries against the tiny CHECKPOINTED codebook (one
+    // broadcast crossJoin against ≤64 rows) and joins the index on cell;
+    // a selective online probe reads only its nprobe/K cell directories
+    // (partition pruning on the layout q71 proves). Answers are
+    // bit-identical to q69 (double vectors round-trip parquet exactly),
+    // so the ORACLE IS q69's.
     "q78_ann_ivf_prebuilt" -> ((s, dir) => {
-      val (k, np) = kmGeom(s, dir)
+      val (_, np) = kmGeom(s, dir)
       val base = emb(s, dir)
-      val cents = kmCentroids(s, dir, k)
-      val home = rankCells(base.select(col("vec_id"), col("e")), cents)
-        .where(col("rn") === 1)
-        .select(col("vec_id"), col("cid").as("cell"))
-      val path = sys.props("java.io.tmpdir") + "/graft_ivf_index"
-      base.join(home, "vec_id")
-        .select(col("vec_id"), col("e"), col("nrm"), col("cell"))
-        .write.mode("overwrite").partitionBy("cell").parquet(path)
+      val (cents, path) = ivfIndex(s, dir) // build once, memoized
       val idx = s.read
         .schema("vec_id LONG, e ARRAY<DOUBLE>, nrm DOUBLE, cell INT")
         .parquet(path)

@@ -52,4 +52,19 @@ class SaltingSpec extends AnyFunSuite {
       s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     }
   }
+
+  test("q80 catalog query plans the salted two-phase aggregate") {
+    // The remedy must be visible in the PLAN: a first aggregate keyed on
+    // (event_type, salt) — its exchange spreads each hot key 16 ways —
+    // then a second keyed on event_type alone merging the partials.
+    val df = SparkEntry.queries("q80_salted_agg")(s, "/root/testdata/sf0.001")
+    // executedPlan: EnsureRequirements has inserted the exchanges
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("salt"), s"salt key missing from plan:\n$plan")
+    val exchanges = "hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges >= 2,
+      s"expected both aggregate exchanges (salted partial + final):\n$plan")
+    assert("hashpartitioning\\([^)]*salt".r.findFirstIn(plan).isDefined,
+      s"first exchange must carry the salt:\n$plan")
+  }
 }
