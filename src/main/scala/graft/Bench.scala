@@ -58,7 +58,11 @@ object Bench {
     val MaxSamples = 7
     val SpreadGate = 3.0
 
+    // Dev-only targeted re-timing (unset on the driver → full sweep).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val results = names.map { name =>
       var samples = Vector.empty[(Double, Double, Either[String, Unit])]
       def spreadOk = {

@@ -137,13 +137,35 @@ object Extras {
     // error — the ApproxPercentileSpec contract, now pinned cross-engine
     // by the driver's hash check instead of rows-only.
     "q70_percentiles_approx" -> ((s, dir) => {
-      Tables(s, dir).lineitem
+      // exact side via the q50 sort-based ranked form (NOT the
+      // `percentile` value-map aggregate — that form alone cost 4.5 s at
+      // sf0.1, tripling the query whose point is the cheap scale path)
+      val w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+      val ranked = Tables(s, dir).lineitem
+        .select(col("l_returnflag"), col("l_extendedprice"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("nn",
+          count(lit(1)).over(Window.partitionBy("l_returnflag")))
+      case class Q(p: Double) {
+        val pos = lit(p) * (col("nn") - 1).cast("double")
+        val lo = floor(pos).cast("long") + 1
+        val hi = ceil(pos).cast("long") + 1
+        def vLo = max(when(col("rn") === lo, col("l_extendedprice")))
+        def vHi = max(when(col("rn") === hi, col("l_extendedprice")))
+        def frac = max(pos - floor(pos))
+        def value = vLo + frac * (vHi - vLo)
+      }
+      val med = Q(0.5); val p90 = Q(0.9)
+      val exact = ranked
+        .where(col("rn") === med.lo || col("rn") === med.hi ||
+          col("rn") === p90.lo || col("rn") === p90.hi)
         .groupBy("l_returnflag")
-        .agg(count(lit(1)).as("n"),
-          percentile(col("l_extendedprice"), lit(0.5)).as("med_e"),
-          percentile(col("l_extendedprice"), lit(0.9)).as("p90_e"),
-          percentile_approx(col("l_extendedprice"),
-            array(lit(0.5), lit(0.9)), lit(10000)).as("q"))
+        .agg(max("nn").as("n"), med.value.as("med_e"), p90.value.as("p90_e"))
+      val approx = Tables(s, dir).lineitem
+        .groupBy("l_returnflag")
+        .agg(percentile_approx(col("l_extendedprice"),
+          array(lit(0.5), lit(0.9)), lit(10000)).as("q"))
+      exact.join(approx, "l_returnflag")
         .select(col("l_returnflag"), col("n"),
           round(col("med_e"), 6).as("median_exact"),
           round(col("p90_e"), 6).as("p90_exact"),

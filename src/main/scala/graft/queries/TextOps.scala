@@ -389,6 +389,88 @@ object TextOps {
         .orderBy("lang", "split")
     }),
 
+    // Decontamination — the eval-integrity pass every training-data
+    // pipeline runs before shipping a split: find val/test documents
+    // whose shingle sets overlap a TRAIN document (exact n-gram Jaccard
+    // ≥ 0.2 over the q29 df-capped posting lists) and report each
+    // contaminated eval doc with its strongest train-side match
+    // (ties → smallest train doc id; rank taken on the ROUNDED jaccard,
+    // the cross-engine determinism rule). One jaccardPairs subtree,
+    // oriented with CASE after joining both split assignments — no
+    // union, so the expensive self-join isn't duplicated. Scale: the
+    // pair generation is the bucketed q29 plan; the split join is a
+    // broadcast-size id→split map per side at any corpus size.
+    "q81_decontamination" -> ((s, dir) => {
+      val b = pmod(h48("split:", col("doc_id").cast("string")), lit(100L))
+      val sp = when(b < 80, "train").when(b < 90, "val").otherwise("test")
+      val assign = docs(s, dir).select(col("doc_id"), sp.as("split"))
+      val oriented = jaccardPairs(s, dir)
+        .join(assign.select(col("doc_id").as("da"), col("split").as("sa")),
+          "da")
+        .join(assign.select(col("doc_id").as("db"), col("split").as("sb")),
+          "db")
+        .where((col("sa") === "train") =!= (col("sb") === "train"))
+        .where(col("jaccard") >= 0.2)
+        .select(
+          when(col("sa") === "train", col("db")).otherwise(col("da"))
+            .as("eval_id"),
+          when(col("sa") === "train", col("sb")).otherwise(col("sa"))
+            .as("split"),
+          when(col("sa") === "train", col("da")).otherwise(col("db"))
+            .as("train_id"),
+          col("jaccard"))
+      val w = Window.partitionBy("eval_id")
+        .orderBy(col("jaccard").desc, col("train_id"))
+      oriented
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") === 1)
+        .select("eval_id", "split", "train_id", "jaccard")
+        .orderBy("eval_id")
+    }),
+
+    // Unigram language-model scoring — the KenLM-style quality filter
+    // reduced to its relational core: corpus unigram frequencies →
+    // per-token log p(tok) = ln(tf) − ln(total) → per-doc mean log-prob.
+    // Low scores mark rare-token-heavy (gibberish-leaning) documents.
+    // Cross-engine exactness: each token's log-prob is pinned to
+    // DECIMAL(28,12) BEFORE the per-doc sum (decimal addition is
+    // summation-order-free, the asD discipline), sum→double→/n→round 4
+    // at the output boundary. Scale: two hash shuffles (tok freq, doc
+    // regroup); the 1-row total is a broadcast rejoin (J2 pattern).
+    "q82_unigram_logprob" -> ((s, dir) => {
+      val toks = docs(s, dir)
+        .select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("tok"))
+      val freq = toks.groupBy("tok").agg(count(lit(1)).as("tf"))
+      val tot = freq.agg(sum("tf").as("tot"))
+      val lp = freq.crossJoin(broadcast(tot))
+        .select(col("tok"),
+          (log(col("tf").cast("double")) - log(col("tot").cast("double")))
+            .cast("decimal(28,12)").as("lp"))
+      toks.join(lp, "tok")
+        .groupBy("doc_id", "lang")
+        .agg(count(lit(1)).as("n_toks"),
+          round((sum("lp").cast("double") / count(lit(1))), 4)
+            .as("avg_logprob"))
+        .orderBy("doc_id")
+    }),
+
+    // Mixture report — per-(source, lang) document and character counts
+    // with corpus share: the dashboard every curation run ends with
+    // (what fraction of the corpus does each source contribute?). The
+    // global-share window runs over the AGGREGATED frame (|sources| ×
+    // |langs| rows), so the unpartitioned window is bounded at any
+    // corpus size.
+    "q83_source_mix" -> ((s, dir) => {
+      val agg = docs(s, dir)
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+      agg
+        .withColumn("doc_share", round(col("n_docs").cast("double")
+          / sum("n_docs").over(Window.partitionBy()), 6))
+        .orderBy("source", "lang")
+    }),
+
     // Language-ID heuristic (deterministic scorer): stopword hit ratio +
     // CJK detection. groupBy(lang, predicted) keeps the output bounded.
     "q30_langid" -> ((s, dir) => {
@@ -661,6 +743,62 @@ object TextOps {
     "q29_jaccard_pairs" ->
       s"""WITH $JPAIRS_CTES
          |SELECT da, db, jaccard FROM jpairs ORDER BY da, db""".stripMargin,
+
+    "q82_unigram_logprob" ->
+      """WITH toks AS (
+        | SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        | FROM documents),
+        |freq AS (SELECT tok, COUNT(*) AS tf FROM toks GROUP BY tok),
+        |tot AS (SELECT SUM(tf) AS tot FROM freq),
+        |lp AS (
+        | SELECT tok,
+        |  CAST(ln(CAST(tf AS DOUBLE)) - ln(CAST(tot AS DOUBLE))
+        |    AS DECIMAL(28,12)) AS lp
+        | FROM freq, tot)
+        |SELECT t.doc_id, t.lang, COUNT(*) AS n_toks,
+        | ROUND(CAST(SUM(l.lp) AS DOUBLE) / COUNT(*), 4) AS avg_logprob
+        |FROM toks t JOIN lp l USING (tok)
+        |GROUP BY t.doc_id, t.lang ORDER BY t.doc_id""".stripMargin,
+
+    "q83_source_mix" ->
+      """WITH agg AS (
+        | SELECT source, lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        | FROM documents GROUP BY source, lang)
+        |SELECT source, lang, n_docs, total_chars,
+        | ROUND(CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER (), 6)
+        |   AS doc_share
+        |FROM agg ORDER BY source, lang""".stripMargin,
+
+    "q81_decontamination" ->
+      s"""WITH $JPAIRS_CTES,
+         |assign AS (
+         | SELECT doc_id,
+         |  CASE WHEN CAST('0x' || substr(md5('split:' ||
+         |         CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) % 100 < 80
+         |       THEN 'train'
+         |       WHEN CAST('0x' || substr(md5('split:' ||
+         |         CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) % 100 < 90
+         |       THEN 'val' ELSE 'test' END AS split
+         | FROM documents),
+         |oriented AS (
+         | SELECT
+         |  CASE WHEN sa.split = 'train' THEN j.db ELSE j.da END AS eval_id,
+         |  CASE WHEN sa.split = 'train' THEN sb.split ELSE sa.split END
+         |    AS split,
+         |  CASE WHEN sa.split = 'train' THEN j.da ELSE j.db END AS train_id,
+         |  j.jaccard
+         | FROM jpairs j
+         | JOIN assign sa ON sa.doc_id = j.da
+         | JOIN assign sb ON sb.doc_id = j.db
+         | WHERE (sa.split = 'train') <> (sb.split = 'train')
+         |  AND j.jaccard >= 0.2),
+         |ranked AS (
+         | SELECT *, ROW_NUMBER() OVER (PARTITION BY eval_id
+         |    ORDER BY jaccard DESC, train_id) AS rk
+         | FROM oriented)
+         |SELECT eval_id, split, train_id, jaccard FROM ranked
+         |WHERE rk = 1 ORDER BY eval_id""".stripMargin,
 
     "q65_dedup_clusters" ->
       s"""WITH RECURSIVE $JPAIRS_CTES,
