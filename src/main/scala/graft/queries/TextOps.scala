@@ -455,6 +455,50 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Sequence packing — the concat-then-chunk batching every trainer
+    // runs: documents stream per-lang in doc_id order into fixed
+    // 512-token bins; a doc belongs to the bin its START offset falls in
+    // (bin = ⌊(cum − n_tok)/B⌋ over the running token count). Pure
+    // integer window arithmetic — deterministic on any cluster — and the
+    // output is per-(lang, bin) stats, bounded by corpus_tokens/B. At
+    // 100 TB the window partitions by lang (high-cardinality shard key
+    // in production: (lang, shard)); no global sort anywhere.
+    "q84_sequence_packing" -> ((s, dir) => {
+      val B = 512L
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs(s, dir)
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .withColumn("cum", sum("n_tok").over(w))
+        .select(col("lang"), col("n_tok"),
+          floor((col("cum") - col("n_tok")) / B).as("bin"))
+        .groupBy("lang", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("total_toks"))
+        .orderBy("lang", "bin")
+    }),
+
+    // Intra-document repetition — the Gopher/FineWeb quality rule that
+    // kills boilerplate and degenerate generations: the fraction of a
+    // doc's word-3-grams that are repeats (1 − distinct/total). Null for
+    // docs too short to have a 3-gram, so short docs aren't conflated
+    // with clean ones.
+    "q85_repetition" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .select(col("doc_id"), col("lang"),
+          greatest(size(split(col("text"), " ")) - 2, lit(0)).cast("long")
+            .as("n_shingles"))
+      val dist = shingles(docs(s, dir))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_distinct"))
+      d.join(dist, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"), col("n_shingles"),
+          coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+          when(col("n_shingles") > 0,
+            round(lit(1.0) - coalesce(col("n_distinct"), lit(0L))
+              .cast("double") / col("n_shingles"), 6)).as("dup_ratio"))
+        .orderBy("doc_id")
+    }),
+
     // Mixture report — per-(source, lang) document and character counts
     // with corpus share: the dashboard every curation run ends with
     // (what fraction of the corpus does each source contribute?). The
@@ -759,6 +803,37 @@ object TextOps {
         | ROUND(CAST(SUM(l.lp) AS DOUBLE) / COUNT(*), 4) AS avg_logprob
         |FROM toks t JOIN lp l USING (tok)
         |GROUP BY t.doc_id, t.lang ORDER BY t.doc_id""".stripMargin,
+
+    "q84_sequence_packing" ->
+      """WITH t AS (
+        | SELECT doc_id, lang,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        | FROM documents),
+        |c AS (
+        | SELECT lang, n_tok,
+        |  SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS cum
+        | FROM t)
+        |SELECT lang, CAST(FLOOR((cum - n_tok) / 512.0) AS BIGINT) AS bin,
+        | COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS total_toks
+        |FROM c GROUP BY 1, 2 ORDER BY lang, bin""".stripMargin,
+
+    "q85_repetition" ->
+      s"""WITH $SH_CTE,
+         |dist AS (SELECT doc_id, COUNT(*) AS n_distinct FROM sh
+         |         GROUP BY doc_id),
+         |base AS (
+         | SELECT doc_id, lang,
+         |  CAST(greatest(len(string_split(text, ' ')) - 2, 0) AS BIGINT)
+         |    AS n_shingles
+         | FROM documents)
+         |SELECT b.doc_id, b.lang, b.n_shingles,
+         | CAST(COALESCE(d.n_distinct, 0) AS BIGINT) AS n_distinct,
+         | CASE WHEN b.n_shingles > 0 THEN
+         |  ROUND(1.0 - CAST(COALESCE(d.n_distinct, 0) AS DOUBLE)
+         |    / b.n_shingles, 6) END AS dup_ratio
+         |FROM base b LEFT JOIN dist d ON d.doc_id = b.doc_id
+         |ORDER BY b.doc_id""".stripMargin,
 
     "q83_source_mix" ->
       """WITH agg AS (
