@@ -502,16 +502,18 @@ object TextOps {
     // Mixture report — per-(source, lang) document and character counts
     // with corpus share: the dashboard every curation run ends with
     // (what fraction of the corpus does each source contribute?). The
-    // global-share window runs over the AGGREGATED frame (|sources| ×
-    // |langs| rows), so the unpartitioned window is bounded at any
-    // corpus size.
+    // corpus total is a 1-row aggregate rejoined by broadcast (the J2
+    // pattern) — no single-partition window anywhere in the plan.
     "q83_source_mix" -> ((s, dir) => {
       val agg = docs(s, dir)
         .groupBy("source", "lang")
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
-      agg
-        .withColumn("doc_share", round(col("n_docs").cast("double")
-          / sum("n_docs").over(Window.partitionBy()), 6))
+      val tot = agg.agg(sum("n_docs").as("tot_docs"))
+      agg.crossJoin(broadcast(tot))
+        .select(col("source"), col("lang"), col("n_docs"),
+          col("total_chars"),
+          round(col("n_docs").cast("double") / col("tot_docs"), 6)
+            .as("doc_share"))
         .orderBy("source", "lang")
     }),
 
