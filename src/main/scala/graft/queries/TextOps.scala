@@ -442,7 +442,12 @@ object TextOps {
         .select(col("doc_id"), col("lang"),
           explode(split(col("text"), " ")).as("tok"))
       val freq = toks.groupBy("tok").agg(count(lit(1)).as("tf"))
-      val tot = freq.agg(sum("tf").as("tot"))
+      // Σ tf over the vocab ≡ total token count — computed straight off
+      // the documents scan (size(split), no explode), which keeps the
+      // freq subtree from being planned twice (one consumer each).
+      val tot = docs(s, dir)
+        .select(size(split(col("text"), " ")).cast("long").as("nt"))
+        .agg(sum("nt").as("tot"))
       val lp = freq.crossJoin(broadcast(tot))
         .select(col("tok"),
           (log(col("tf").cast("double")) - log(col("tot").cast("double")))
