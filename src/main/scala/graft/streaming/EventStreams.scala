@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.GroupStateTimeout
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 
 /** Structured Streaming slice (SURVEY §2.10): the batch event analytics
   * re-expressed as unbounded-stream transforms. Each function takes the
@@ -90,6 +90,68 @@ object EventStreams {
           state.setTimeoutTimestamp(maxTs + 3600L * 1000L)
           (user, n, total)
         }
+      }
+  }
+
+  final case class StreamDoc(doc_id: Long, ts: java.sql.Timestamp, fp: Long)
+  /** −1 sentinels = "no retained near-duplicate in the bucket". */
+  final case class DupVerdict(doc_id: Long, bucket: Long, dup_of: Long,
+      hamming: Int)
+  final case class BucketState(docs: List[(Long, Long)])
+
+  /** Streaming INGEST-TIME near-dup filter via flatMapGroupsWithState —
+    * the streaming twin of the q54 batch SimHash near-dup: documents
+    * arrive with a precomputed 48-bit SimHash fingerprint (the same
+    * md5-derived family q28 computes), are keyed by the fingerprint's
+    * top-12-bit band bucket, and each incoming doc is checked against
+    * the bucket's RETAINED set (hamming ≤ `hammingMax` ⇒ duplicate of
+    * the smallest-id retainer; otherwise it is itself retained).
+    *
+    * flatMapGroupsWithState (not mapGroups...) because one group emits
+    * one verdict PER DOCUMENT per micro-batch, not one per group.
+    *
+    * Scale/state bounds, same discipline as the batch side: state per
+    * bucket is a ≤ `cap`-entry list (the q27/q37 bucket-cap rule: a hot
+    * bucket degrades recall, never memory), and event-time timeout
+    * drops a bucket's state one hour past its last arrival once the
+    * watermark passes — on an unbounded corpus the state is
+    * O(active buckets × cap), not O(documents). Within a micro-batch
+    * docs are processed in doc_id order, so verdicts are deterministic
+    * under any partitioning. Single-band bucketing trades recall for
+    * one stateful operator (no multi-band union → no chained stateful
+    * aggregation); candidates missed across buckets are exactly those
+    * the batch q54 banding would also need another band for. */
+  def streamingNearDup(docs: Dataset[StreamDoc], hammingMax: Int = 3,
+      cap: Int = 64): Dataset[DupVerdict] = {
+    import docs.sparkSession.implicits._
+    docs
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.fp >>> 36)
+      .flatMapGroupsWithState[BucketState, DupVerdict](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (bucket, rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var kept = state.getOption.map(_.docs).getOrElse(Nil)
+            var maxTs = Long.MinValue
+            val out = Vector.newBuilder[DupVerdict]
+            rows.toSeq.sortBy(_.doc_id).foreach { d =>
+              if (d.ts.getTime > maxTs) maxTs = d.ts.getTime
+              kept.filter(k => java.lang.Long.bitCount(k._2 ^ d.fp)
+                  <= hammingMax)
+                .sortBy(_._1).headOption match {
+                case Some((kid, kfp)) =>
+                  out += DupVerdict(d.doc_id, bucket, kid,
+                    java.lang.Long.bitCount(kfp ^ d.fp))
+                case None =>
+                  out += DupVerdict(d.doc_id, bucket, -1L, -1)
+                  if (kept.size < cap) kept = kept :+ ((d.doc_id, d.fp))
+              }
+            }
+            state.update(BucketState(kept))
+            state.setTimeoutTimestamp(maxTs + 3600L * 1000L)
+            out.result().iterator
+          }
       }
   }
 }
