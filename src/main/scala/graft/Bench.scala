@@ -57,6 +57,11 @@ object Bench {
     val MinSamples = 3
     val MaxSamples = 7
     val SpreadGate = 3.0
+    // Global re-sample budget: under SUSTAINED contention every query
+    // trips the spread gate, and 7 samples × 85 queries would ~2.3× the
+    // sweep's wall-clock. 100 extra draws cover the realistic case
+    // (the r6 quiet sweep used ~30) while bounding the worst one.
+    var extraBudget = 100
 
     // Dev-only targeted re-timing (unset on the driver → full sweep).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -70,7 +75,8 @@ object Bench {
         ts.max / math.max(ts.min, 1e-9) <= SpreadGate
       }
       while (samples.size < MinSamples ||
-             (samples.size < MaxSamples && !spreadOk)) {
+             (samples.size < MaxSamples && !spreadOk && extraBudget > 0)) {
+        if (samples.size >= MinSamples) extraBudget -= 1
         val la = loadAvg()
         val t0 = System.nanoTime()
         val ok = run(name)
