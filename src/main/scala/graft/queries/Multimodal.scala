@@ -101,6 +101,53 @@ object Multimodal {
         .orderBy("doc_id")
     }),
 
+    // The media INGEST SOURCE itself: raw per-item binary files read
+    // back through Spark's `binaryFile` datasource — (path, length,
+    // content) rows, the schema every image/audio corpus enters a
+    // pipeline with. The query first EXPORTS each document's PPM
+    // payload as an individual `doc_<id>.ppm` (executor-side java.nio
+    // writes in foreachPartition — Spark has no one-file-per-row binary
+    // sink; in production the identical pattern targets object storage),
+    // then re-ingests the directory via format("binaryFile") with a
+    // pathGlobFilter, parses doc_id from the filename and the PPM header
+    // from the BYTES, and emits a per-item digest. The md5 checksum ties
+    // the round trip byte-for-byte to the DuckDB oracle computing the
+    // same digest from the original table — any loss in export, listing,
+    // or ingest breaks the hash. Scale: listing parallelizes over
+    // executors, content is never collected, and pathGlobFilter prunes
+    // non-media files at the source (the container/source partitioning
+    // stance above).
+    "q86_binary_ingest" -> ((s, dir) => {
+      val outDir = Sinks.runPath("graft_media") + "_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      val p = java.nio.file.Paths.get(outDir)
+      if (java.nio.file.Files.exists(p)) {
+        val it = java.nio.file.Files.list(p).iterator()
+        while (it.hasNext) java.nio.file.Files.delete(it.next())
+      } else java.nio.file.Files.createDirectories(p)
+      Tables(s, dir).documents
+        .select(col("doc_id"), ppmPayload.as("payload"))
+        .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+          rows.foreach { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(outDir, s"doc_${r.getLong(0)}.ppm"),
+              r.getAs[Array[Byte]](1))
+          }
+        }
+      val str = decode(col("content"), "UTF-8")
+      s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.ppm")
+        .load(outDir)
+        .select(
+          regexp_extract(col("path"), "doc_(\\d+)\\.ppm$", 1)
+            .cast("long").as("doc_id"),
+          col("length").cast("long").as("n_bytes"),
+          regexp_extract(str, PPM_RE, 1).cast("long").as("width"),
+          regexp_extract(str, PPM_RE, 2).cast("long").as("height"),
+          md5(col("content")).as("checksum"))
+        .orderBy("doc_id")
+    }),
+
     // Frame-sampling plumbing: treat the payload as a frame container
     // (16 bytes/frame in the stub geometry) and emit every 8th frame's
     // (index, byte offset) — the explode/sequence shape of video frame
@@ -173,6 +220,25 @@ object Multimodal {
         | CAST(GREATEST(FLOOR(w * scale), 1)
         |    * GREATEST(FLOOR(h * scale), 1) AS BIGINT) AS out_pixels
         |FROM scaled ORDER BY doc_id""".stripMargin,
+
+    // the same digest from the ORIGINAL table: only a byte-exact
+    // export → list → ingest chain reproduces every md5
+    "q86_binary_ingest" ->
+      """WITH p AS (
+        | SELECT doc_id,
+        |  'P6' || chr(10)
+        |   || CAST(octet_length(encode(text)) % 64 + 1 AS VARCHAR) || ' '
+        |   || CAST(octet_length(encode(text)) // 64 + 1 AS VARCHAR)
+        |   || chr(10) || '255' || chr(10) || text AS s
+        | FROM documents)
+        |SELECT doc_id,
+        | CAST(octet_length(encode(s)) AS BIGINT) AS n_bytes,
+        | CAST(regexp_extract(s, '^P6\n(\d+) (\d+)\n(\d+)\n', 1) AS BIGINT)
+        |   AS width,
+        | CAST(regexp_extract(s, '^P6\n(\d+) (\d+)\n(\d+)\n', 2) AS BIGINT)
+        |   AS height,
+        | md5(s) AS checksum
+        |FROM p ORDER BY doc_id""".stripMargin,
 
     "q60_frame_sample" ->
       """WITH f AS (
