@@ -24,6 +24,7 @@ object SparkEntry {
     _root_.graft.queries.PosterScale.queries,
     _root_.graft.queries.Extras.queries,
     _root_.graft.queries.Sinks.queries,
+    _root_.graft.queries.Curation.queries,
   )
   private def oracleCatalogs = Seq(
     _root_.graft.queries.Relational.oracles,
@@ -35,6 +36,7 @@ object SparkEntry {
     _root_.graft.queries.PosterScale.oracles,
     _root_.graft.queries.Extras.oracles,
     _root_.graft.queries.Sinks.oracles,
+    _root_.graft.queries.Curation.oracles,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

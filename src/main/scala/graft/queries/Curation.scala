@@ -1,0 +1,239 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.model.Tables
+
+/** Round-6 curation extensions — the remaining operators a production
+  * training-data pipeline runs between raw ingest and tokenization:
+  * PII redaction, exact-substring (chunk) dedup, percentile-gated
+  * quality filtering, and tokenizer-vocabulary coverage.
+  *
+  * Scale stance mirrors TextOps: every corpus-wide statistic is ONE
+  * hash-keyed shuffle (groupBy on chunk/token) whose result is either
+  * re-joined on the same key (ReuseExchange keeps it a single exchange)
+  * or reduced to a small frame and broadcast back. No global windows
+  * over unbounded frames; the one top-k (vocabulary) is a distributed
+  * TakeOrdered, not a single-partition sort.
+  *
+  * Determinism: outputs are integer counts, md5 digests, and ratios
+  * rounded to 6 decimals — nothing order-dependent crosses the engine
+  * boundary. The PII corpus is SYNTHESIZED deterministically per doc
+  * (the q43 multimodal pattern: the fixture data carries no natural
+  * PII, so the query plants spans and then genuinely detects them with
+  * the regexes a real redaction pass would use).
+  */
+object Curation {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).documents
+
+  /** Email/phone regexes — deliberately restricted to syntax shared by
+    * Java regex (Spark) and RE2 (DuckDB): char classes, +, {n}, literal
+    * escapes only. */
+  private val EMAIL_RE = "[a-z0-9]+@[a-z0-9.]+\\.[a-z]+"
+  private val PHONE_RE = "\\+1-555-[0-9]{4}"
+
+  /** Chunk width for exact-substring dedup (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better" — their unit is a
+    * 50-token span; 3 fits this corpus's 10–100-token docs). Must match
+    * the literal 3s in the q88 oracle. */
+  private val CHUNK = 3
+
+  /** Vocabulary size for the coverage report; must match the oracle's
+    * LIMIT. Small on purpose — the fixture corpus has 31 distinct
+    * tokens, and 8 leaves a non-degenerate OOV tail. */
+  private val VOCAB_K = 8
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- PII detection + redaction -------------------------------------
+    // A redaction pass over text that contains planted contact spans:
+    // emails on docs with doc_id % 3 != 0, phones on even doc_ids, so the
+    // detector sees present/absent/both combinations. Detection uses
+    // regexp_extract_all (not a UDF), redaction is two codegen'd
+    // regexp_replace calls, and the output pins BOTH the counts and the
+    // md5 of the redacted text — a wrong replacement span flips the hash.
+    "q87_pii_redaction" -> ((s, dir) => {
+      val email = concat(lit("user"), col("doc_id").cast("string"),
+        lit("@"), col("lang"), lit(".example.com"))
+      val phone = concat(lit("+1-555-"),
+        lpad((col("doc_id") % 1000).cast("string"), 4, "0"))
+      val aug = concat(col("text"),
+        when(col("doc_id") % 3 =!= 0, concat(lit(" contact "), email))
+          .otherwise(lit("")),
+        when(col("doc_id") % 2 === 0, concat(lit(" call "), phone))
+          .otherwise(lit("")))
+      docs(s, dir)
+        .select(col("doc_id"), aug.as("s"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("s"), lit(EMAIL_RE), lit(0)))
+            .cast("long").as("n_emails"),
+          size(regexp_extract_all(col("s"), lit(PHONE_RE), lit(0)))
+            .cast("long").as("n_phones"),
+          md5(regexp_replace(
+            regexp_replace(col("s"), EMAIL_RE, "<EMAIL>"),
+            PHONE_RE, "<PHONE>")).as("red_hash"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- Exact-substring (chunk-level) dedup ---------------------------
+    // Non-overlapping CHUNK-token spans hashed corpus-wide; a span seen in
+    // ≥2 distinct docs is boilerplate. One shuffle keyed by chunk builds
+    // the document-frequency table; the join back rides the same key.
+    // Per-doc output: chunk counts + boilerplate ratio (null when a doc is
+    // too short to produce a chunk — same contract as q85).
+    "q88_chunk_dedup" -> ((s, dir) => {
+      val base = docs(s, dir)
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
+        .withColumn("nch", (size(col("toks")) / CHUNK).cast("int"))
+      // guard: sequence(0, -1) DESCENDS in Spark — short docs must yield
+      // an empty chunk array (cf. TextOps.shingles).
+      val ch = base.select(col("doc_id"),
+        explode(when(col("nch") >= 1,
+          transform(sequence(lit(0), col("nch") - 1),
+            i => concat_ws(" ",
+              (0 until CHUNK).map(k => element_at(col("toks"), i * CHUNK + k + 1)): _*)))
+          .otherwise(array().cast("array<string>"))).as("chunk"))
+      val df = ch.groupBy("chunk").agg(countDistinct("doc_id").as("nd"))
+      val perdoc = ch.join(df, Seq("chunk"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_boiler"))
+      base.select("doc_id", "lang")
+        .join(perdoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"),
+          coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+          coalesce(col("n_boiler"), lit(0L)).as("n_boiler"))
+        .withColumn("boiler_ratio",
+          when(col("n_chunks") > 0,
+            round(col("n_boiler").cast("double") / col("n_chunks"), 6)))
+        .orderBy("doc_id")
+    }),
+
+    // ---- Percentile-gated quality filter -------------------------------
+    // Keep docs at or above the per-lang exact p25 of length. The cutoff
+    // uses q50's sort-based ranked form (rank ceil(n/4) under a total
+    // order with doc_id tiebreak — engine-definition-independent), is a
+    // ≤|langs|-row frame, and rejoins by broadcast (the J2 pattern).
+    "q89_quality_gate" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "lang", "n_chars")
+      val ranked = d
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("lang").orderBy("n_chars", "doc_id")))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+      // ceil(n/4) in pure integer arithmetic: (n+3) div 4
+      val cut = ranked
+        .where(col("rn") === floor((col("n") + 3) / 4))
+        .select(col("lang"), col("n_chars").as("cutoff"))
+      d.join(broadcast(cut), Seq("lang"))
+        .groupBy("lang")
+        .agg(max("cutoff").as("cutoff"),
+          count(lit(1)).as("n_total"),
+          sum(when(col("n_chars") >= col("cutoff"), 1L).otherwise(0L))
+            .as("n_kept"),
+          sum(when(col("n_chars") >= col("cutoff"), col("n_chars"))
+            .otherwise(lit(0L))).as("kept_chars"))
+        .withColumn("kept_ratio",
+          round(col("n_kept").cast("double") / col("n_total"), 6))
+        .orderBy("lang")
+    }),
+
+    // ---- Tokenizer-vocabulary coverage ---------------------------------
+    // Build the top-K token vocabulary (count desc, token asc — a total
+    // order) as a distributed TakeOrdered (orderBy+limit — NO
+    // single-partition window), broadcast it, and report per-doc OOV
+    // occupancy — the "how much of my corpus does this tokenizer cover"
+    // report that precedes any BPE training run.
+    "q90_vocab_coverage" -> ((s, dir) => {
+      val tok = docs(s, dir)
+        .select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("tok"))
+      val vocab = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok")).limit(VOCAB_K)
+        .select(col("tok"), lit(1).as("in_v"))
+      tok.join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy("doc_id", "lang")
+        .agg(count(lit(1)).as("n_tok"),
+          sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .withColumn("oov_rate",
+          round(col("n_oov").cast("double") / col("n_tok"), 6))
+        .orderBy("doc_id")
+    }),
+  )
+
+  def oracles: Map[String, String] = Map(
+
+    "q87_pii_redaction" ->
+      """WITH aug AS (
+        | SELECT doc_id,
+        |  text ||
+        |  CASE WHEN doc_id % 3 <> 0
+        |   THEN ' contact user' || doc_id || '@' || lang || '.example.com'
+        |   ELSE '' END ||
+        |  CASE WHEN doc_id % 2 = 0
+        |   THEN ' call +1-555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 4, '0')
+        |   ELSE '' END AS s
+        | FROM documents)
+        |SELECT doc_id,
+        | CAST(len(regexp_extract_all(s, '[a-z0-9]+@[a-z0-9.]+\.[a-z]+')) AS BIGINT) AS n_emails,
+        | CAST(len(regexp_extract_all(s, '\+1-555-[0-9]{4}')) AS BIGINT) AS n_phones,
+        | md5(regexp_replace(
+        |   regexp_replace(s, '[a-z0-9]+@[a-z0-9.]+\.[a-z]+', '<EMAIL>', 'g'),
+        |   '\+1-555-[0-9]{4}', '<PHONE>', 'g')) AS red_hash
+        |FROM aug ORDER BY doc_id""".stripMargin,
+
+    "q88_chunk_dedup" ->
+      """WITH t AS (
+        | SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+        |u AS (
+        | SELECT doc_id, toks,
+        |  unnest(generate_series(0, len(toks) // 3 - 1)) AS i
+        | FROM t),
+        |ch AS (
+        | SELECT doc_id,
+        |  toks[i*3+1] || ' ' || toks[i*3+2] || ' ' || toks[i*3+3] AS chunk
+        | FROM u),
+        |df AS (SELECT chunk, COUNT(DISTINCT doc_id) AS nd FROM ch GROUP BY chunk),
+        |pd AS (
+        | SELECT c.doc_id, COUNT(*) AS n_chunks,
+        |  SUM(CASE WHEN df.nd >= 2 THEN 1 ELSE 0 END) AS n_boiler
+        | FROM ch c JOIN df USING (chunk) GROUP BY c.doc_id)
+        |SELECT t.doc_id, t.lang,
+        | CAST(COALESCE(pd.n_chunks, 0) AS BIGINT) AS n_chunks,
+        | CAST(COALESCE(pd.n_boiler, 0) AS BIGINT) AS n_boiler,
+        | CASE WHEN COALESCE(pd.n_chunks, 0) > 0
+        |  THEN ROUND(CAST(pd.n_boiler AS DOUBLE) / pd.n_chunks, 6) END AS boiler_ratio
+        |FROM t LEFT JOIN pd ON t.doc_id = pd.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+
+    "q89_quality_gate" ->
+      """WITH d AS (SELECT doc_id, lang, n_chars FROM documents),
+        |r AS (
+        | SELECT lang, doc_id, n_chars,
+        |  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+        |  COUNT(*) OVER (PARTITION BY lang) AS n
+        | FROM d),
+        |cut AS (SELECT lang, n_chars AS cutoff FROM r WHERE rn = (n + 3) // 4)
+        |SELECT d.lang, MAX(cut.cutoff) AS cutoff, COUNT(*) AS n_total,
+        | CAST(SUM(CASE WHEN d.n_chars >= cut.cutoff THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        | CAST(SUM(CASE WHEN d.n_chars >= cut.cutoff THEN d.n_chars ELSE 0 END) AS BIGINT) AS kept_chars,
+        | ROUND(CAST(SUM(CASE WHEN d.n_chars >= cut.cutoff THEN 1 ELSE 0 END) AS DOUBLE)
+        |       / COUNT(*), 6) AS kept_ratio
+        |FROM d JOIN cut USING (lang) GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+
+    "q90_vocab_coverage" ->
+      """WITH tok AS (
+        | SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        | FROM documents),
+        |vc AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
+        |v AS (SELECT tok FROM vc ORDER BY cnt DESC, tok LIMIT 8)
+        |SELECT t.doc_id, t.lang, COUNT(*) AS n_tok,
+        | CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        | ROUND(CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |       / COUNT(*), 6) AS oov_rate
+        |FROM tok t LEFT JOIN v ON t.tok = v.tok
+        |GROUP BY t.doc_id, t.lang ORDER BY t.doc_id""".stripMargin,
+  )
+}

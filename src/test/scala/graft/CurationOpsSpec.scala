@@ -64,4 +64,75 @@ class CurationOpsSpec extends AnyFunSuite {
     out.foreach(r => assert(r.getString(1) != "train"))
     out.foreach(r => assert(r.getDouble(3) >= 0.2))
   }
+
+  test("q87 detects exactly the planted PII spans and redaction moves the hash") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("q87_pii_redaction")(s, sfDir).collect()
+    assert(out.length === 500)
+    // the fixture corpus has no '@' and no digits, so the ONLY matches are
+    // the planted spans: one email iff doc_id % 3 != 0, one phone iff even
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) === (if (id % 3 != 0) 1L else 0L),
+        s"doc $id: email count")
+      assert(r.getLong(2) === (if (id % 2 == 0) 1L else 0L),
+        s"doc $id: phone count")
+    }
+    // redacted text of a doc with PII must not hash like its raw text
+    val raw = graft.model.Tables(s, sfDir).documents
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.filter(r => r.getLong(1) + r.getLong(2) > 0)
+      .foreach(r => assert(r.getString(3) != raw(r.getLong(0))))
+  }
+
+  test("q88 chunk counts follow floor(n_tok/3) and ratios are bounded") {
+    import org.apache.spark.sql.functions._
+    val expected = graft.model.Tables(s, sfDir).documents
+      .select(col("doc_id"),
+        (size(split(col("text"), " ")) / 3).cast("long").as("nch"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val out = SparkEntry.queries("q88_chunk_dedup")(s, sfDir).collect()
+    assert(out.length === 500)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(2) === expected(id), s"doc $id: chunk count")
+      assert(r.getLong(3) <= r.getLong(2), s"doc $id: boiler > chunks")
+      if (r.getLong(2) > 0) {
+        val ratio = r.getDouble(4)
+        assert(ratio >= 0.0 && ratio <= 1.0, s"doc $id: ratio $ratio")
+      } else assert(r.isNullAt(4), s"doc $id: null ratio expected")
+    }
+  }
+
+  test("q89 keeps at least the top three quartiles per lang") {
+    val out = SparkEntry.queries("q89_quality_gate")(s, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, kept) = (r.getLong(2), r.getLong(3))
+      // rows below the cutoff are exactly those ranked before ceil(n/4)
+      assert(kept >= n - (n + 3) / 4 + 1,
+        s"${r.getString(0)}: kept $kept of $n")
+      assert(kept <= n)
+      assert(r.getLong(4) > 0, "kept_chars must be positive")
+    }
+  }
+
+  test("q90 OOV totals reconcile with a direct token count") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("q90_vocab_coverage")(s, sfDir).collect()
+    assert(out.length === 500)
+    val totalTok = graft.model.Tables(s, sfDir).documents
+      .select(sum(size(split(col("text"), " "))).cast("long"))
+      .collect()(0).getLong(0)
+    assert(out.map(_.getLong(2)).sum === totalTok, "token conservation")
+    out.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2))
+      val rate = r.getDouble(4)
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+    // with an 8-token vocab over a 31-token vocabulary, some doc must
+    // contain at least one OOV token
+    assert(out.exists(_.getLong(3) > 0), "degenerate: no OOV anywhere")
+  }
 }
