@@ -106,6 +106,30 @@ object Sinks {
       docs.write.mode("overwrite").orc(path)
       roundTripSummary(s.read.schema(docs.schema).orc(path))
     }),
+
+    // Dynamic partition overwrite — the incremental-batch pattern every
+    // production pipeline runs nightly: re-land ONE partition's corrected
+    // data without touching (or even listing) the others. Write the full
+    // snapshot partitioned by lang, then overwrite only lang=en with a
+    // revised batch (text amended, odd doc_ids dropped — an update+delete
+    // in one partition swap) using the PER-WRITE partitionOverwriteMode
+    // option, not a session conf. The read-back aggregate matches the
+    // oracle's original ∖ en ∪ revised-en state only if the swap replaced
+    // exactly the en partition and left every other partition byte-intact.
+    "q91_partition_overwrite" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val path = runPath("graft_rt_dynpart")
+      docs.write.mode("overwrite").partitionBy("lang").parquet(path)
+      val revised = docs
+        .where(col("lang") === "en" && col("doc_id") % 2 === 0)
+        .withColumn("text", concat(col("text"), lit(" v2")))
+      revised.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("lang").parquet(path)
+      roundTripSummary(
+        s.read.schema(docs.schema).parquet(path)
+          .select(docs.columns.map(col): _*))
+    }),
   )
 
   /** The per-lang text-integrity aggregate over the ORIGINAL parquet —
@@ -129,5 +153,20 @@ object Sinks {
     "q72_json_roundtrip" -> RT_SUMMARY_SQL,
     "q73_csv_roundtrip" -> RT_SUMMARY_SQL,
     "q74_orc_roundtrip" -> RT_SUMMARY_SQL,
+
+    // expected post-swap state: everything but en, plus the revised en
+    // batch (even ids, ' v2' suffix) — computed from the ORIGINAL table
+    "q91_partition_overwrite" ->
+      """WITH merged AS (
+        | SELECT doc_id, text, lang FROM documents WHERE lang <> 'en'
+        | UNION ALL
+        | SELECT doc_id, text || ' v2', lang FROM documents
+        | WHERE lang = 'en' AND doc_id % 2 = 0)
+        |SELECT lang, COUNT(*) AS n_docs,
+        | CAST(SUM(CAST('0x' || substr(md5('rt:' || text), 1, 12)
+        |   AS BIGINT)) AS BIGINT) AS text_hash_sum,
+        | CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+        | MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+        |FROM merged GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }
