@@ -107,6 +107,31 @@ object Sinks {
       roundTripSummary(s.read.schema(docs.schema).orc(path))
     }),
 
+    // Compression-codec round trip — at 100 TB the codec is a first-order
+    // cost lever (zstd ≈ 30 % smaller than snappy at similar scan speed;
+    // gzip for cold JSON archives). Same byte-exactness contract as
+    // q72–q74, once per codec path, with the codec as an output column so
+    // ONE hash check covers both; CodecSpec pins that the files on disk
+    // really carry the codec extension (a silently-ignored option would
+    // still round-trip).
+    "q92_codec_roundtrip" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val pz = runPath("graft_rt_zstd")
+      val pg = runPath("graft_rt_jsongz")
+      docs.write.mode("overwrite").option("compression", "zstd").parquet(pz)
+      docs.write.mode("overwrite").option("compression", "gzip").json(pg)
+      val a = s.read.schema(docs.schema).parquet(pz)
+        .withColumn("codec", lit("parquet_zstd"))
+      val b = s.read.schema(docs.schema).json(pg)
+        .withColumn("codec", lit("json_gzip"))
+      a.unionByName(b)
+        .groupBy("codec", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(h48("rt:", col("text"))).as("text_hash_sum"),
+          sum(length(col("text"))).as("sum_chars"))
+        .orderBy("codec", "lang")
+    }),
+
     // Dynamic partition overwrite — the incremental-batch pattern every
     // production pipeline runs nightly: re-land ONE partition's corrected
     // data without touching (or even listing) the others. Write the full
@@ -153,6 +178,17 @@ object Sinks {
     "q72_json_roundtrip" -> RT_SUMMARY_SQL,
     "q73_csv_roundtrip" -> RT_SUMMARY_SQL,
     "q74_orc_roundtrip" -> RT_SUMMARY_SQL,
+
+    // one row-group per (codec, lang): identical per-lang aggregates,
+    // fanned out over the two codec labels
+    "q92_codec_roundtrip" ->
+      """WITH c(codec) AS (VALUES ('json_gzip'), ('parquet_zstd'))
+        |SELECT codec, lang, COUNT(*) AS n_docs,
+        | CAST(SUM(CAST('0x' || substr(md5('rt:' || text), 1, 12)
+        |   AS BIGINT)) AS BIGINT) AS text_hash_sum,
+        | CAST(SUM(length(text)) AS BIGINT) AS sum_chars
+        |FROM documents CROSS JOIN c
+        |GROUP BY codec, lang ORDER BY codec, lang""".stripMargin,
 
     // expected post-swap state: everything but en, plus the revised en
     // batch (even ids, ' v2' suffix) — computed from the ORIGINAL table
