@@ -132,6 +132,58 @@ object Sinks {
         .orderBy("codec", "lang")
     }),
 
+    // Schema evolution across landed batches — the second production
+    // parquet reality after codecs: batch 1 landed before the pipeline
+    // computed n_tok, batch 2 carries it. mergeSchema=true reconciles the
+    // union schema at read (absent columns null-filled), and the batch=N
+    // directory layout doubles as partition discovery. The aggregate pins
+    // WHICH rows carry which columns — a wrong merge (dropped column,
+    // wrong null-fill) shifts a count.
+    "q93_schema_merge" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val path = runPath("graft_rt_evolve")
+      docs.where(col("doc_id") % 2 === 0)
+        .select("doc_id", "text", "lang")
+        .write.mode("overwrite").parquet(path + "/batch=1")
+      docs.where(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .write.mode("overwrite").parquet(path + "/batch=2")
+      s.read.option("mergeSchema", "true").parquet(path)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("text")).as("n_with_text"),
+          count(col("n_tok")).as("n_with_ntok"),
+          sum(coalesce(col("n_tok"), lit(0L))).as("sum_ntok"))
+        .orderBy("lang")
+    }),
+
+    // Corrupt-record-tolerant ingest — real JSON feeds carry malformed
+    // lines, and dropping them silently (DROPMALFORMED) loses data
+    // accounting. Lines for doc_id ≡ 0 (mod 7) are deliberately broken;
+    // the PERMISSIVE read routes them to _corrupt_record (null lang), and
+    // the aggregate proves every input line is accounted for: valid rows
+    // per lang plus one null-lang row carrying exactly the corrupt count.
+    "q94_corrupt_records" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val path = runPath("graft_rt_corrupt")
+      docs.select(
+        when(col("doc_id") % 7 === 0, lit("{broken json"))
+          .otherwise(to_json(struct(col("doc_id"), col("lang"))))
+          .as("value"))
+        .write.mode("overwrite").text(path)
+      s.read
+        .schema("doc_id BIGINT, lang STRING, _corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("_corrupt_record")).as("n_corrupt"),
+          count(col("doc_id")).as("n_parsed"))
+        .orderBy(col("lang").asc_nulls_first)
+    }),
+
     // Dynamic partition overwrite — the incremental-batch pattern every
     // production pipeline runs nightly: re-land ONE partition's corrected
     // data without touching (or even listing) the others. Write the full
@@ -189,6 +241,29 @@ object Sinks {
         | CAST(SUM(length(text)) AS BIGINT) AS sum_chars
         |FROM documents CROSS JOIN c
         |GROUP BY codec, lang ORDER BY codec, lang""".stripMargin,
+
+    // which batch carries which columns is a pure doc_id-parity function
+    "q93_schema_merge" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        | CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_with_text,
+        | CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_with_ntok,
+        | CAST(SUM(CASE WHEN doc_id % 2 = 1
+        |   THEN len(string_split(text, ' ')) ELSE 0 END) AS BIGINT)
+        |   AS sum_ntok
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // corrupt lines lose their lang (and doc_id) by construction
+    "q94_corrupt_records" ->
+      """WITH rows_ AS (
+        | SELECT CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang,
+        |        CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS corrupt
+        | FROM documents)
+        |SELECT lang, COUNT(*) AS n_rows,
+        | CAST(SUM(corrupt) AS BIGINT) AS n_corrupt,
+        | CAST(SUM(1 - corrupt) AS BIGINT) AS n_parsed
+        |FROM rows_ GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin,
 
     // expected post-swap state: everything but en, plus the revised en
     // batch (even ids, ' v2' suffix) — computed from the ORIGINAL table
