@@ -33,7 +33,37 @@ object Relational {
   // enough that both engines convert correctly rounded.
   private def asD(c: Column)    = c.cast("decimal(38,6)").cast("double")
 
+  /** Fixed lang domain of the documents table (stable across every SF —
+    * pivot needs an explicit value list for a deterministic schema; an
+    * inferred list would be a driver-side distinct scan anyway). Must
+    * match the q95/q96 oracles' column/VALUES lists. */
+  private val LANGS = Seq("de", "en", "es", "fr", "zh")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Pivot — long→wide reshape (the numpy grid ↔ long-form duality the
+    // poster recast exercises daily, as a first-class relational op).
+    // Explicit value list ⇒ no extra distinct job and a static schema;
+    // the pivot itself is one partial-agg shuffle keyed by source.
+    "q95_pivot_reshape" -> ((s, dir) => {
+      val p = Tables(s, dir).documents
+        .groupBy("source").pivot("lang", LANGS).agg(count(lit(1)))
+      p.select(col("source") +:
+        LANGS.map(l => coalesce(col(l), lit(0L)).as(s"n_$l")): _*)
+        .orderBy("source")
+    }),
+
+    // Unpivot — the inverse reshape via stack(): wide back to long with
+    // zero-combos retained, proving the round trip is lossless. Runs on
+    // top of the q95 frame, so the pair shares one plan shape.
+    "q96_unpivot_reshape" -> ((s, dir) => {
+      val wide = queries("q95_pivot_reshape")(s, dir)
+      val stackExpr = "stack(" + LANGS.length + ", " +
+        LANGS.map(l => s"'$l', n_$l").mkString(", ") + ") as (lang, n)"
+      wide.select(col("source"), expr(stackExpr))
+        .orderBy("source", "lang")
+    }),
+
     "q01_pricing_summary" -> ((s, dir) => {
       val l = Tables(s, dir).lineitem
         .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
@@ -240,6 +270,23 @@ object Relational {
 
   // DuckDB dialect of each query, value-identical by construction.
   def oracles: Map[String, String] = Map(
+    "q95_pivot_reshape" ->
+      s"""SELECT source,
+         |${LANGS.map(l =>
+             s" CAST(SUM(CASE WHEN lang='$l' THEN 1 ELSE 0 END) AS BIGINT) AS n_$l")
+           .mkString(",\n")}
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q96_unpivot_reshape" ->
+      s"""WITH l(lang) AS (VALUES ${LANGS.map(l => s"('$l')").mkString(", ")}),
+         |s AS (SELECT DISTINCT source FROM documents),
+         |c AS (SELECT source, lang, COUNT(*) AS n FROM documents
+         |      GROUP BY source, lang)
+         |SELECT s.source, l.lang, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+         |FROM s CROSS JOIN l
+         |LEFT JOIN c ON c.source = s.source AND c.lang = l.lang
+         |ORDER BY s.source, l.lang""".stripMargin,
+
     "q63_histogram" ->
       """SELECT CAST(LEAST(GREATEST(
         |   FLOOR((l_extendedprice - 900.0) / ((105000.0 - 900.0) / 20)),
