@@ -46,37 +46,42 @@ object Curation {
     * tokens, and 8 leaves a non-degenerate OOV tail. */
   private val VOCAB_K = 8
 
+  /** The q87 redaction pass as a frame transform: STATELESS, so it
+    * applies to a micro-batch exactly as to a batch frame —
+    * StreamCurationSpec runs this same projection over a file-source
+    * stream and pins batch/stream output parity (the unified-engine
+    * contract a curation pipeline relies on when it moves from backfill
+    * to ingest). Plants contact spans (emails on doc_id % 3 != 0, phones
+    * on even doc_ids — present/absent/both combinations), then detects
+    * with regexp_extract_all and redacts with two codegen'd
+    * regexp_replace calls; downstream pins BOTH the counts and the md5
+    * of the redacted text, so a wrong replacement span flips the hash. */
+  private[graft] def piiRedaction(d: DataFrame): DataFrame = {
+    val email = concat(lit("user"), col("doc_id").cast("string"),
+      lit("@"), col("lang"), lit(".example.com"))
+    val phone = concat(lit("+1-555-"),
+      lpad((col("doc_id") % 1000).cast("string"), 4, "0"))
+    val aug = concat(col("text"),
+      when(col("doc_id") % 3 =!= 0, concat(lit(" contact "), email))
+        .otherwise(lit("")),
+      when(col("doc_id") % 2 === 0, concat(lit(" call "), phone))
+        .otherwise(lit("")))
+    d.select(col("doc_id"), aug.as("s"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("s"), lit(EMAIL_RE), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("s"), lit(PHONE_RE), lit(0)))
+          .cast("long").as("n_phones"),
+        md5(regexp_replace(
+          regexp_replace(col("s"), EMAIL_RE, "<EMAIL>"),
+          PHONE_RE, "<PHONE>")).as("red_hash"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // ---- PII detection + redaction -------------------------------------
-    // A redaction pass over text that contains planted contact spans:
-    // emails on docs with doc_id % 3 != 0, phones on even doc_ids, so the
-    // detector sees present/absent/both combinations. Detection uses
-    // regexp_extract_all (not a UDF), redaction is two codegen'd
-    // regexp_replace calls, and the output pins BOTH the counts and the
-    // md5 of the redacted text — a wrong replacement span flips the hash.
-    "q87_pii_redaction" -> ((s, dir) => {
-      val email = concat(lit("user"), col("doc_id").cast("string"),
-        lit("@"), col("lang"), lit(".example.com"))
-      val phone = concat(lit("+1-555-"),
-        lpad((col("doc_id") % 1000).cast("string"), 4, "0"))
-      val aug = concat(col("text"),
-        when(col("doc_id") % 3 =!= 0, concat(lit(" contact "), email))
-          .otherwise(lit("")),
-        when(col("doc_id") % 2 === 0, concat(lit(" call "), phone))
-          .otherwise(lit("")))
-      docs(s, dir)
-        .select(col("doc_id"), aug.as("s"))
-        .select(col("doc_id"),
-          size(regexp_extract_all(col("s"), lit(EMAIL_RE), lit(0)))
-            .cast("long").as("n_emails"),
-          size(regexp_extract_all(col("s"), lit(PHONE_RE), lit(0)))
-            .cast("long").as("n_phones"),
-          md5(regexp_replace(
-            regexp_replace(col("s"), EMAIL_RE, "<EMAIL>"),
-            PHONE_RE, "<PHONE>")).as("red_hash"))
-        .orderBy("doc_id")
-    }),
+    // ---- PII detection + redaction (see piiRedaction above) ------------
+    "q87_pii_redaction" -> ((s, dir) =>
+      piiRedaction(docs(s, dir)).orderBy("doc_id")),
 
     // ---- Exact-substring (chunk-level) dedup ---------------------------
     // Non-overlapping CHUNK-token spans hashed corpus-wide; a span seen in
