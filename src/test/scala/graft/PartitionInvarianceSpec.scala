@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Partition-independence, tested rather than asserted: the queries whose
+  * semantics could most plausibly leak partitioning (hash-bucket split,
+  * reservoir sampling, hash-seeded k-means, LSH banding with caps,
+  * vocabulary tie-breaks, star-contraction rounds) are run twice — once
+  * under the normal test layout and once with the input split into many
+  * tiny file partitions and a co-prime shuffle partition count — and must
+  * produce row-identical output. At 100 TB the partition layout is never
+  * under the query author's control, so any layout-sensitivity is a
+  * correctness bug, not a nuisance.
+  */
+class PartitionInvarianceSpec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private val QUERIES = Seq(
+    "q66_hash_split",
+    "q67_stratified_sample",
+    "q68_kmeans",
+    "q27_minhash_near_dup",
+    "q65_dedup_clusters",
+    "q90_vocab_coverage")
+
+  private def run(name: String): Array[Row] =
+    SparkEntry.queries(name)(s, sfDir).collect()
+
+  test("partition layout does not change any partition-sensitive query") {
+    val conf = s.conf
+    val prevBytes = conf.get("spark.sql.files.maxPartitionBytes", "128MB")
+    val prevShuffle = conf.get("spark.sql.shuffle.partitions")
+    val baseline = QUERIES.map(q => q -> run(q)).toMap
+    try {
+      // ~64 KB splits shatter even sf0.001 parquet into many input
+      // partitions; 7 is co-prime to the default 4 so every shuffle
+      // re-buckets differently
+      conf.set("spark.sql.files.maxPartitionBytes", "65536")
+      conf.set("spark.sql.shuffle.partitions", "7")
+      QUERIES.foreach { q =>
+        assert(run(q).toSeq === baseline(q).toSeq,
+          s"$q changed under a different partition layout")
+      }
+    } finally {
+      conf.set("spark.sql.files.maxPartitionBytes", prevBytes)
+      conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
+  }
+}
