@@ -164,9 +164,120 @@ object Multimodal {
         .withColumn("byte_offset", col("frame_idx") * 16)
         .orderBy("doc_id", "frame_idx")
     }),
+
+    // Audio metadata decode — completes the image/audio/video modality
+    // triple (q43 image, q60 video frames). Synthesizes a canonical
+    // 44-byte PCM RIFF/WAVE header per doc (LITTLE-ENDIAN fields built
+    // byte-for-byte via hex assembly, not an arithmetic stand-in) over
+    // the text bytes as sample data, then GENUINELY PARSES every field
+    // back out of the binary payload alone: tag positions checked at
+    // their exact byte offsets, u16le/u32le fields byte-reversed out of
+    // the payload hex. The oracle constructs the same bytes
+    // independently and emits the CLOSED-FORM field values + payload
+    // md5 — a wrong construction flips the checksum, a wrong parse
+    // flips a field. Narrow map, no shuffle.
+    "q97_audio_meta" -> ((s, dir) => {
+      def le32(c: Column): Column = {
+        val h = lpad(hex(c), 8, "0")
+        concat(substring(h, 7, 2), substring(h, 5, 2),
+          substring(h, 3, 2), substring(h, 1, 2))
+      }
+      def le16(c: Column): Column = {
+        val h = lpad(hex(c), 4, "0")
+        concat(substring(h, 3, 2), substring(h, 1, 2))
+      }
+      val base = Tables(s, dir).documents.select(
+        col("doc_id"),
+        octet_length(col("text").cast("binary")).cast("long").as("dlen"),
+        (col("doc_id") % 2 + 1).as("ch"),
+        (lit(8000) + (col("doc_id") % 3) * 4000).as("rate"))
+        .withColumn("brate", col("rate") * col("ch") * 2)
+        .withColumn("balign", col("ch") * 2)
+      // RIFF<size>WAVEfmt <16><pcm=1><ch><rate><brate><balign><16>data<dlen>
+      val headerHex = concat(
+        lit("52494646"), le32(col("dlen") + 36),
+        lit("57415645"), lit("666D7420"), lit("10000000"), lit("0100"),
+        le16(col("ch")), le32(col("rate")), le32(col("brate")),
+        le16(col("balign")), lit("1000"), lit("64617461"),
+        le32(col("dlen")))
+      val withPayload = base
+        .join(Tables(s, dir).documents.select("doc_id", "text"), "doc_id")
+        .select(col("doc_id"),
+          concat(unhex(headerHex), col("text").cast("binary"))
+            .as("payload"))
+      val hx = hex(col("payload"))
+      def u16(p: Int): Column = conv(concat(
+        substring(hx, 2 * p + 1, 2), substring(hx, 2 * p - 1, 2)),
+        16, 10).cast("long")
+      def u32(p: Int): Column = conv(concat(
+        substring(hx, 2 * p + 5, 2), substring(hx, 2 * p + 3, 2),
+        substring(hx, 2 * p + 1, 2), substring(hx, 2 * p - 1, 2)),
+        16, 10).cast("long")
+      withPayload.select(col("doc_id"),
+        (substring(hx, 1, 8) === "52494646" &&
+          substring(hx, 17, 8) === "57415645" &&
+          substring(hx, 25, 8) === "666D7420" &&
+          substring(hx, 73, 8) === "64617461").as("fmt_ok"),
+        u16(23).as("n_channels"), u32(25).as("sample_rate"),
+        u32(29).as("byte_rate"), u16(35).as("bits_per_sample"),
+        u32(41).as("data_len"), md5(hx).as("checksum"))
+        .withColumn("duration_ms",
+          floor(col("data_len") * 1000 / col("byte_rate")).cast("long"))
+        .select("doc_id", "fmt_ok", "n_channels", "sample_rate",
+          "byte_rate", "bits_per_sample", "data_len", "duration_ms",
+          "checksum")
+        .orderBy("doc_id")
+    }),
   )
 
   def oracles: Map[String, String] = Map(
+    // independent byte construction (hex assembly) + CLOSED-FORM fields:
+    // Spark must parse back exactly the values the header planted, and
+    // its payload hex must md5-match these independently assembled bytes
+    "q97_audio_meta" ->
+      """WITH p AS (
+        | SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS dlen,
+        |  doc_id % 2 + 1 AS ch,
+        |  8000 + (doc_id % 3) * 4000 AS rate,
+        |  text
+        | FROM documents),
+        |f AS (
+        | SELECT *, rate * ch * 2 AS brate, ch * 2 AS balign,
+        |  lpad(hex(dlen + 36), 8, '0') AS h_riff,
+        |  lpad(hex(rate), 8, '0') AS h_rate,
+        |  lpad(hex(rate * ch * 2), 8, '0') AS h_brate,
+        |  lpad(hex(dlen), 8, '0') AS h_dlen,
+        |  lpad(hex(ch), 4, '0') AS h_ch,
+        |  lpad(hex(ch * 2), 4, '0') AS h_ba
+        | FROM p),
+        |hx AS (
+        | SELECT doc_id, dlen, ch, rate, brate,
+        |  '52494646'
+        |  || substr(h_riff,7,2) || substr(h_riff,5,2)
+        |  || substr(h_riff,3,2) || substr(h_riff,1,2)
+        |  || '57415645' || '666D7420' || '10000000' || '0100'
+        |  || substr(h_ch,3,2) || substr(h_ch,1,2)
+        |  || substr(h_rate,7,2) || substr(h_rate,5,2)
+        |  || substr(h_rate,3,2) || substr(h_rate,1,2)
+        |  || substr(h_brate,7,2) || substr(h_brate,5,2)
+        |  || substr(h_brate,3,2) || substr(h_brate,1,2)
+        |  || substr(h_ba,3,2) || substr(h_ba,1,2)
+        |  || '1000' || '64617461'
+        |  || substr(h_dlen,7,2) || substr(h_dlen,5,2)
+        |  || substr(h_dlen,3,2) || substr(h_dlen,1,2)
+        |  || hex(encode(text)) AS hx
+        | FROM f)
+        |SELECT doc_id, CAST(1 AS BOOLEAN) AS fmt_ok,
+        | CAST(ch AS BIGINT) AS n_channels,
+        | CAST(rate AS BIGINT) AS sample_rate,
+        | CAST(brate AS BIGINT) AS byte_rate,
+        | CAST(16 AS BIGINT) AS bits_per_sample,
+        | dlen AS data_len,
+        | dlen * 1000 // brate AS duration_ms,
+        | md5(hx) AS checksum
+        |FROM hx ORDER BY doc_id""".stripMargin,
+
     "q43_media_decode" ->
       """WITH p AS (
         | SELECT doc_id, source,
