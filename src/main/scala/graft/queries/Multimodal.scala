@@ -187,7 +187,7 @@ object Multimodal {
         concat(substring(h, 3, 2), substring(h, 1, 2))
       }
       val base = Tables(s, dir).documents.select(
-        col("doc_id"),
+        col("doc_id"), col("text"),
         octet_length(col("text").cast("binary")).cast("long").as("dlen"),
         (col("doc_id") % 2 + 1).as("ch"),
         (lit(8000) + (col("doc_id") % 3) * 4000).as("rate"))
@@ -201,7 +201,6 @@ object Multimodal {
         le16(col("balign")), lit("1000"), lit("64617461"),
         le32(col("dlen")))
       val withPayload = base
-        .join(Tables(s, dir).documents.select("doc_id", "text"), "doc_id")
         .select(col("doc_id"),
           concat(unhex(headerHex), col("text").cast("binary"))
             .as("payload"))
