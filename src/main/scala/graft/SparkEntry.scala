@@ -25,6 +25,7 @@ object SparkEntry {
     _root_.graft.queries.Extras.queries,
     _root_.graft.queries.Sinks.queries,
     _root_.graft.queries.Curation.queries,
+    _root_.graft.queries.ScaleOps.queries,
   )
   private def oracleCatalogs = Seq(
     _root_.graft.queries.Relational.oracles,
@@ -37,6 +38,7 @@ object SparkEntry {
     _root_.graft.queries.Extras.oracles,
     _root_.graft.queries.Sinks.oracles,
     _root_.graft.queries.Curation.oracles,
+    _root_.graft.queries.ScaleOps.oracles,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

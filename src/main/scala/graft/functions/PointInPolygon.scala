@@ -123,7 +123,21 @@ object GraftExtensions {
         PointInPolygon(args(0), args(1), args(2), args(3)): Expression),
     (new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
-      (args: Seq[Expression]) => VecDot(args(0), args(1)): Expression))
+      (args: Seq[Expression]) => VecDot(args(0), args(1)): Expression),
+    // Spark ships BloomFilterMightContain for its internal runtime-filter
+    // rewrite but does not expose it in the public registry; surfacing it
+    // lets a query probe an explicitly-built `util.sketch.BloomFilter`
+    // (serialized bytes as a literal) inside whole-stage codegen — the
+    // shuffle-avoiding membership prefilter q100 is built on. Contract
+    // matches the runtime filter's: arg0 = serialized bloom (binary),
+    // arg1 = the LONG the build side inserted (here xxhash64 of the key).
+    (new FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "bloom_might_contain"),
+      (args: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          args(0), args(1)): Expression))
 
   /** Runtime registration for sessions NOT built with the static
     * `spark.sql.extensions` conf (the SparkEntry contract hands the

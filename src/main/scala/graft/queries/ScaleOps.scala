@@ -1,0 +1,276 @@
+package graft.queries
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.CountMinSketch
+
+import graft.model.Tables
+
+/** Round-6 closing family — the sketch/serving tier a 100 TB pipeline
+  * puts AROUND the exact operators: frequency sketches for heavy-hitter
+  * detection (q98), int8 scalar quantization for the embedding serving
+  * tier (q99), Bloom-filter membership prefilters that replace a shuffle
+  * with a broadcast of a few megabytes (q100), and temperature-weighted
+  * deterministic source resampling for training-mix construction (q101).
+  *
+  * Scale stance: every sketch here is CONSTANT-SIZE mergeable state —
+  * the Count-Min table and the Bloom bitset aggregate tree-wise across
+  * partitions and come back to the driver as one small object (the same
+  * sanctioned driver-side materialization as the 37-row kernel table:
+  * O(1) in the data), then travel back OUT as a literal inside
+  * whole-stage codegen. Nothing corpus-sized ever reaches the driver.
+  *
+  * Determinism stance (what makes these oracle-checkable): sketch
+  * internals never cross the engine boundary — q98/q100 emit the exact
+  * metric plus an asserted bound (the q40 bounded-error form), q99's
+  * quantizer is pure closed-form IEEE arithmetic reproduced verbatim in
+  * DuckDB, and q101's sampler draws from the md5-derived uniform family
+  * shared with q66/q67.
+  */
+object ScaleOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).documents
+
+  /** md5-derived 48-bit hash — the engine-portable family shared with
+    * TextOps.h48 (kept private there; duplicated signature, same
+    * construction, so the q101 oracle reuses the q66 SQL idiom). */
+  private def h48(prefix: String, c: Column): Column =
+    conv(substring(md5(concat(lit(prefix), c)), 1, 12), 16, 10).cast("long")
+
+  /** Double-cast embedding with non-null elements (the q34 construction:
+    * vec_dot rejects nullable elements at type-check; the generated
+    * embeddings carry no nulls, so the NaN branch never fires). */
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).embeddings
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => coalesce(x.cast("double"), lit(Double.NaN))).as("e"))
+      .withColumn("nrm", sqrt(call_function("vec_dot", col("e"), col("e"))))
+
+  /** CMS parameters — must match the literals in the q98 scaladoc and
+    * bound check. eps 0.001 ⇒ width 2000 counters; confidence 0.99 ⇒
+    * depth 7 rows: a ~112 KB sketch regardless of corpus size. */
+  private val CMS_EPS  = 0.001
+  private val CMS_CONF = 0.99
+  private val CMS_SEED = 42
+  private val TOP_K    = 8
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // A8 sketch family, frequency side (next to q40's cardinality side):
+    // Count-Min heavy-hitter verification. One distributed pass builds
+    // the CMS (partial sketches merge associatively below the final
+    // aggregate — constant ~112 KB state per partition, like HLL) plus
+    // the total token count; a distributed TakeOrdered (the q90 vocab
+    // pattern) picks the top-8 exact heavy hitters; the driver then asks
+    // the sketch for each candidate's estimate. OUTPUT is the q40
+    // bounded-error form: within_bound = est ≥ exact AND est ≤ exact +
+    // ⌈eps·N⌉ (the CMS contract: never undercounts, overcount ≤ eps·N
+    // w.p. ≥ confidence) — the DuckDB oracle computes the exact side and
+    // asserts the bound, hash-pinning the sketch contract cross-engine.
+    // At 100 TB the same plan holds: the sketch and the K-row candidate
+    // frame are O(1); only the two token-keyed aggregates scale.
+    "q98_cms_heavy_hitters" -> ((s, dir) => {
+      import s.implicits._
+      val toks = docs(s, dir)
+        .select(explode(split(col("text"), " ")).as("tok"))
+      val sk = toks.agg(
+        count(lit(1)).as("n_total"),
+        count_min_sketch(col("tok"), lit(CMS_EPS), lit(CMS_CONF),
+          lit(CMS_SEED)).as("cms")).head()
+      val nTotal = sk.getLong(0)
+      val cms = CountMinSketch.readFrom(
+        new ByteArrayInputStream(sk.getAs[Array[Byte]](1)))
+      val bound = math.ceil(CMS_EPS * nTotal).toLong
+      val top = toks.groupBy("tok")
+        .agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("tok"))
+        .limit(TOP_K)
+        .as[(String, Long)].collect() // ≤ TOP_K rows, O(1) in the corpus
+      top.toSeq.map { case (tok, exact) =>
+        val est = cms.estimateCount(tok)
+        (tok, exact, if (est >= exact && est <= exact + bound) 1L else 0L)
+      }.toDF("tok", "n_exact", "within_bound").orderBy("tok")
+    }),
+
+    // Embedding quantization for the serving tier: int8 scalar
+    // quantization with ONE corpus-wide absmax scale (a 1-row broadcast,
+    // never a shuffle), reconstruction, and the fidelity metric a real
+    // pipeline gates on — cos(original, dequantized) per vector. The
+    // whole quantize→reconstruct→score path is closed-form arithmetic
+    // inside one whole-stage-codegen projection (floor/multiply/divide +
+    // vec_dot), reproduced operation-for-operation in DuckDB lambdas, so
+    // the rounded cosine is hash-checked EXACTLY — not a bounded claim.
+    // within_bound additionally asserts the int8 fidelity floor
+    // (cos ≥ 0.999) that makes 4×-smaller vectors safe for ANN serving.
+    "q99_embedding_quantization" -> ((s, dir) => {
+      val base = emb(s, dir)
+      val sm = base.agg(
+        max(array_max(transform(col("e"), x => abs(x)))).as("smax"))
+      base.crossJoin(broadcast(sm))
+        .withColumn("qs", lit(127.0) / col("smax"))
+        .withColumn("eq",
+          // coalesce pins containsNull=false for vec_dot's type check —
+          // qs is formally nullable (aggregate result); the NaN branch
+          // never fires on the non-empty corpus
+          transform(col("e"), x => coalesce(
+            floor(x * col("qs") + lit(0.5)) / col("qs"), lit(Double.NaN))))
+        .withColumn("cos_q",
+          round(call_function("vec_dot", col("e"), col("eq")) /
+            (col("nrm") *
+              sqrt(call_function("vec_dot", col("eq"), col("eq")))), 6))
+        .select(col("vec_id"), col("cos_q"),
+          (col("cos_q") >= 0.999).cast("long").as("within_bound"))
+        .orderBy("vec_id")
+    }),
+
+    // Bloom-filter membership prefilter — the broadcast-not-shuffle join
+    // reduction: build a Bloom over the urgent-order keys (constant-size
+    // mergeable bitset, built distributed via stat.bloomFilter, ~1.2 MB
+    // at 1 % fpp per million keys), ship it back as a LITERAL into the
+    // probe scan's codegen (bloom_might_contain — Spark's own runtime-
+    // filter expression, surfaced in GraftExtensions), and only THEN run
+    // the exact semi-join over the ~fpp-inflated survivor set. At 100 TB
+    // the bloom removes ~82 % of probe rows BEFORE the join shuffle; the
+    // false positives are swept out by the exact join, so the answer —
+    // and the DuckDB oracle, a plain IN-subquery semi-join — is
+    // unchanged: the remedy changes the plan, not the answer (the q80
+    // principle). BloomPrefilterSpec pins no-false-negatives and that
+    // the prefilter actually drops rows.
+    "q100_bloom_prefilter" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val urgent = t.orders
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val hashed = urgent.select(xxhash64(col("o_orderkey")).as("h"))
+      val nk = hashed.count() // one scalar: sizes the bloom
+      val bf = hashed.stat.bloomFilter("h", math.max(nk, 1L), 0.01)
+      val bos = new ByteArrayOutputStream()
+      bf.writeTo(bos)
+      val pre = t.lineitem.where(
+        call_function("bloom_might_contain",
+          lit(bos.toByteArray), xxhash64(col("l_orderkey"))))
+      val dimU = t.dim(urgent)
+      pre.join(dimU, pre("l_orderkey") === dimU("o_orderkey"), "left_semi")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_extendedprice").cast("decimal(12,2)"))
+            .cast("decimal(38,6)").cast("double").as("sum_price"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Temperature-weighted source resampling (the training-mix builder):
+    // per-source share of the kept CORPUS VOLUME ∝ vol^T over character
+    // volume (T = 0.7 flattens the head, fattens the tail — the
+    // multilingual-mix standard; volume, not doc count, is what a token
+    // budget actually rations), target kept volume M = V/2, per-source
+    // keep rate r_s = min(1, M·w_s/vol_s), and a DETERMINISTIC Bernoulli
+    // draw from the md5-uniform family (q66) — the same docs survive at
+    // any parallelism on any cluster. Plan shape: one tiny per-source
+    // aggregate (|sources| rows), one 1-row normalizer (integer/decimal
+    // sums → order-free), rates broadcast back onto the corpus — the
+    // corpus itself is touched by exactly one scan and one final
+    // aggregate.
+    "q101_source_mix_resample" -> ((s, dir) => {
+      val c = docs(s, dir).groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("double").as("vol"))
+      // pow rounded to 6 before the decimal sum: the sum is then exact
+      // (order-free) and the one cross-engine libm risk — pow's last
+      // ulp — is quantized away before it can spread.
+      val pw = round(pow(col("vol"), lit(0.7)), 6)
+      val z = c.agg(
+        sum(pw.cast("decimal(38,6)")).cast("double").as("z"),
+        sum(col("vol")).as("vv"))
+      val rates = c.crossJoin(broadcast(z))
+        .select(col("source"), col("n_docs"), col("vol"),
+          round(least(lit(1.0),
+            lit(0.5) * col("vv") * pw / col("z") / col("vol")), 6).as("rate"))
+      val u = pmod(h48("mix:", col("doc_id").cast("string")), lit(1000000L))
+        .cast("double") / lit(1000000.0)
+      docs(s, dir).select(col("source"), col("doc_id"))
+        .join(broadcast(rates), "source")
+        .select(col("source"), col("n_docs"), col("rate"),
+          when(u < col("rate"), 1L).otherwise(0L).as("keep"))
+        .groupBy("source", "n_docs", "rate")
+        .agg(sum(col("keep")).as("n_kept"))
+        .select(col("source"), col("n_docs"), col("n_kept"), col("rate"))
+        .orderBy("source")
+    }))
+
+  def oracles: Map[String, String] = Map(
+
+    // exact side + asserted CMS bound (the q40 form)
+    "q98_cms_heavy_hitters" ->
+      """WITH t AS (
+        | SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |top AS (
+        | SELECT tok, COUNT(*) AS n_exact FROM t GROUP BY tok
+        | ORDER BY n_exact DESC, tok LIMIT 8)
+        |SELECT tok, n_exact, CAST(1 AS BIGINT) AS within_bound
+        |FROM top ORDER BY tok""".stripMargin,
+
+    // the identical quantize→reconstruct→score arithmetic in DuckDB
+    // lambdas; the rounded cosine must match EXACTLY
+    "q99_embedding_quantization" ->
+      """WITH e AS (
+        | SELECT vec_id, embedding::DOUBLE[] AS e,
+        |  SQRT(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+        |    AS nrm
+        | FROM embeddings),
+        |s AS (
+        | SELECT 127.0 / MAX(list_max(list_transform(e, x -> ABS(x)))) AS qs
+        | FROM e),
+        |q AS (
+        | SELECT vec_id, nrm,
+        |  list_dot_product(e,
+        |    list_transform(e, x -> FLOOR(x * qs + 0.5) / qs)) AS d_eq,
+        |  list_dot_product(
+        |    list_transform(e, x -> FLOOR(x * qs + 0.5) / qs),
+        |    list_transform(e, x -> FLOOR(x * qs + 0.5) / qs)) AS d_qq
+        | FROM e, s),
+        |c AS (
+        | SELECT vec_id, ROUND(d_eq / (nrm * SQRT(d_qq)), 6) AS cos_q FROM q)
+        |SELECT vec_id, cos_q,
+        | CAST(cos_q >= 0.999 AS BIGINT) AS within_bound
+        |FROM c ORDER BY vec_id""".stripMargin,
+
+    // the UNFILTERED semi-join — equal hash proves the bloom prefilter
+    // changed the execution, not the answer
+    "q100_bloom_prefilter" ->
+      """SELECT l_returnflag, COUNT(*) AS n_items,
+        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
+        |   AS DECIMAL(38,6)) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |WHERE l_orderkey IN (
+        | SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q101_source_mix_resample" ->
+      """WITH c AS (
+        | SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS DOUBLE) AS vol
+        | FROM documents GROUP BY source),
+        |z AS (
+        | SELECT CAST(SUM(CAST(ROUND(POW(vol, 0.7), 6) AS DECIMAL(38,6)))
+        |          AS DOUBLE) AS z,
+        |        SUM(vol) AS vv
+        | FROM c),
+        |r AS (
+        | SELECT source, n_docs,
+        |  ROUND(LEAST(1.0,
+        |    0.5 * z.vv * ROUND(POW(vol, 0.7), 6) / z.z / vol), 6) AS rate
+        | FROM c, z),
+        |k AS (
+        | SELECT d.source, r.n_docs, r.rate,
+        |  CASE WHEN (CAST('0x' || substr(md5('mix:' ||
+        |         CAST(d.doc_id AS VARCHAR)), 1, 12) AS BIGINT) % 1000000)
+        |       / 1000000.0 < r.rate
+        |  THEN 1 ELSE 0 END AS keep
+        | FROM documents d JOIN r ON d.source = r.source)
+        |SELECT source, n_docs, CAST(SUM(keep) AS BIGINT) AS n_kept, rate
+        |FROM k GROUP BY source, n_docs, rate ORDER BY source""".stripMargin)
+}

@@ -1,0 +1,103 @@
+package graft
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.CountMinSketch
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.ScaleOps
+
+/** Invariants of the q98–q101 sketch/serving tier that the DuckDB
+  * oracles cannot see (oracles pin exact sides + asserted bounds; these
+  * tests pin the sketch-side contracts the bounds rely on). */
+class ScaleOpsSpec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("q98: CMS never undercounts — est ≥ exact for EVERY token") {
+    import s.implicits._
+    val toks = s.read.parquet(s"$sfDir/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val bytes = toks
+      .agg(count_min_sketch(col("tok"), lit(0.001), lit(0.99), lit(42)))
+      .head().getAs[Array[Byte]](0)
+    val cms = CountMinSketch.readFrom(new ByteArrayInputStream(bytes))
+    val exact = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect()
+    assert(exact.nonEmpty)
+    exact.foreach { case (tok, n) =>
+      assert(cms.estimateCount(tok) >= n,
+        s"CMS undercounted '$tok': ${cms.estimateCount(tok)} < $n")
+    }
+  }
+
+  test("q98: within_bound is 1 for all reported heavy hitters") {
+    val out = ScaleOps.queries("q98_cms_heavy_hitters")(s, sfDir).collect()
+    assert(out.length == 8)
+    assert(out.forall(_.getAs[Long]("within_bound") == 1L))
+  }
+
+  test("q99: quantized cosine stays within the int8 fidelity floor") {
+    val out = ScaleOps.queries("q99_embedding_quantization")(s, sfDir)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val c = r.getAs[Double]("cos_q")
+      assert(c >= 0.999 && c <= 1.000001,
+        s"vec ${r.get(0)}: cos_q $c outside [0.999, 1]")
+      assert(r.getAs[Long]("within_bound") == 1L)
+    }
+  }
+
+  test("q100: bloom prefilter has no false negatives and drops rows") {
+    import s.implicits._
+    val orders = s.read.parquet(s"$sfDir/orders.parquet")
+    val lineitem = s.read.parquet(s"$sfDir/lineitem.parquet")
+    val urgentKeys = orders
+      .where(col("o_orderpriority") === "1-URGENT")
+      .select(xxhash64(col("o_orderkey")).as("h"))
+    val bf = urgentKeys.stat.bloomFilter("h", urgentKeys.count(), 0.01)
+    val bos = new ByteArrayOutputStream(); bf.writeTo(bos)
+    graft.functions.GraftExtensions.ensureRegistered(s)
+    val pass = call_function("bloom_might_contain",
+      lit(bos.toByteArray), xxhash64(col("l_orderkey")))
+
+    // no false negatives: every true member passes the bloom
+    val trueMembers = lineitem.join(
+      orders.where(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey"),
+      lineitem("l_orderkey") === col("o_orderkey"), "left_semi")
+    assert(trueMembers.where(!pass).count() == 0L)
+
+    // and the prefilter genuinely reduces the probe set (~82 % of rows
+    // are non-urgent; 1 % fpp cannot resurrect them)
+    val total = lineitem.count()
+    val kept = lineitem.where(pass).count()
+    val members = trueMembers.count()
+    assert(kept < total, "bloom filtered nothing")
+    assert(kept >= members, "bloom dropped a true member")
+    assert(kept - members <= math.max(50L, (0.03 * total).toLong),
+      s"false-positive volume implausibly high: $kept passed, $members true")
+  }
+
+  test("q101: sampler is deterministic, volume-targeted, and per-source capped") {
+    val out = ScaleOps.queries("q101_source_mix_resample")(s, sfDir)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val rate = r.getAs[Double]("rate")
+      val nd = r.getAs[Long]("n_docs")
+      val nk = r.getAs[Long]("n_kept")
+      assert(rate > 0.0 && rate <= 1.0)
+      assert(nk >= 0 && nk <= nd)
+    }
+    // temperature 0.7 < 1 ⇒ rates differ across unequal-volume sources
+    assert(rows.map(_.getAs[Double]("rate")).distinct.length > 1,
+      "all rates equal — temperature weighting had no effect")
+    // deterministic: a second evaluation is row-identical
+    val again = ScaleOps.queries("q101_source_mix_resample")(s, sfDir)
+      .collect()
+    assert(rows.toSeq == again.toSeq)
+  }
+}
