@@ -175,31 +175,47 @@ object ScaleOps {
     // corpus itself is touched by exactly one scan and one final
     // aggregate.
     "q101_source_mix_resample" -> ((s, dir) => {
-      val c = docs(s, dir).groupBy("source")
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_chars")).cast("double").as("vol"))
-      // pow rounded to 6 before the decimal sum: the sum is then exact
-      // (order-free) and the one cross-engine libm risk — pow's last
-      // ulp — is quantized away before it can spread.
-      val pw = round(pow(col("vol"), lit(0.7)), 6)
-      val z = c.agg(
-        sum(pw.cast("decimal(38,6)")).cast("double").as("z"),
-        sum(col("vol")).as("vv"))
-      val rates = c.crossJoin(broadcast(z))
-        .select(col("source"), col("n_docs"), col("vol"),
-          round(least(lit(1.0),
-            lit(0.5) * col("vv") * pw / col("z") / col("vol")), 6).as("rate"))
-      val u = pmod(h48("mix:", col("doc_id").cast("string")), lit(1000000L))
-        .cast("double") / lit(1000000.0)
-      docs(s, dir).select(col("source"), col("doc_id"))
-        .join(broadcast(rates), "source")
-        .select(col("source"), col("n_docs"), col("rate"),
-          when(u < col("rate"), 1L).otherwise(0L).as("keep"))
+      val rates = mixRates(docs(s, dir))
+      keepDecision(docs(s, dir), rates)
         .groupBy("source", "n_docs", "rate")
         .agg(sum(col("keep")).as("n_kept"))
         .select(col("source"), col("n_docs"), col("n_kept"), col("rate"))
         .orderBy("source")
     }))
+
+  /** Per-source keep rates for q101 — a bounded |sources|-row frame
+    * computed OFFLINE in the real architecture and broadcast to the
+    * ingest path. pow rounded to 6 before the decimal sum: the sum is
+    * then exact (order-free) and the one cross-engine libm risk — pow's
+    * last ulp — is quantized away before it can spread. */
+  private[graft] def mixRates(d: DataFrame): DataFrame = {
+    val c = d.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("double").as("vol"))
+    val pw = round(pow(col("vol"), lit(0.7)), 6)
+    val z = c.agg(
+      sum(pw.cast("decimal(38,6)")).cast("double").as("z"),
+      sum(col("vol")).as("vv"))
+    c.crossJoin(broadcast(z))
+      .select(col("source"), col("n_docs"), col("vol"),
+        round(least(lit(1.0),
+          lit(0.5) * col("vv") * pw / col("z") / col("vol")), 6).as("rate"))
+  }
+
+  /** The q101 keep-decision as a STATELESS frame transform: a
+    * broadcast join against the bounded rates frame plus a pure
+    * projection (deterministic md5-uniform draw), so it applies to a
+    * streaming micro-batch exactly as to a batch frame —
+    * StreamCurationSpec pins batch/stream row parity (the
+    * backfill-to-ingest promotion contract, as with piiRedaction). */
+  private[graft] def keepDecision(d: DataFrame, rates: DataFrame): DataFrame = {
+    val u = pmod(h48("mix:", col("doc_id").cast("string")), lit(1000000L))
+      .cast("double") / lit(1000000.0)
+    d.select(col("source"), col("doc_id"))
+      .join(broadcast(rates), "source")
+      .select(col("source"), col("doc_id"), col("n_docs"), col("rate"),
+        when(u < col("rate"), 1L).otherwise(0L).as("keep"))
+  }
 
   def oracles: Map[String, String] = Map(
 

@@ -38,4 +38,35 @@ class StreamCurationSpec extends AnyFunSuite {
     assert(streamed.length === 500)
     assert(streamed === batch)
   }
+
+  test("mix-resample keep decision is batch/stream identical (stream-static join)") {
+    val dir = Files.createTempDirectory("graft_stream_mix")
+    Files.copy(Paths.get(s"$SF_DIR/documents.parquet"),
+      dir.resolve("part-0.parquet"), StandardCopyOption.REPLACE_EXISTING)
+
+    val batchDocs = graft.model.Tables(s, SF_DIR).documents
+    // rates computed offline on the batch table — the ingest path joins
+    // the stream against this bounded static frame (stream-static join)
+    val rates = graft.queries.ScaleOps.mixRates(batchDocs)
+
+    val schema = s.read.parquet(dir.toString).schema
+    val stream = s.readStream.schema(schema).parquet(dir.toString)
+    val q = graft.queries.ScaleOps.keepDecision(stream, rates)
+      .writeStream.format("memory").queryName("mix_stream")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("keep"))
+    val streamed = s.table("mix_stream").collect().map(key).sortBy(_._1)
+    q.stop()
+
+    val batch = graft.queries.ScaleOps.keepDecision(batchDocs, rates)
+      .collect().map(key).sortBy(_._1)
+
+    assert(streamed.length === 500)
+    assert(streamed === batch)
+    assert(streamed.exists(_._3 == 1L) && streamed.exists(_._3 == 0L),
+      "draw degenerate — nothing kept or nothing dropped")
+  }
 }
