@@ -73,4 +73,23 @@ class PropertiesSpec extends AnyFunSuite {
       .count()
     assert(bad === 0L)
   }
+
+  // q99's quantizer law: round-half-up to the grid 1/qs never moves a
+  // value by more than half a step — for ANY vector and ANY positive
+  // scale derived from its absmax (not just the fixture embeddings).
+  test("int8 quantizer: per-element reconstruction error ≤ half a step") {
+    val vecGen = for {
+      n <- Gen.choose(1, 96)
+      xs <- Gen.listOfN(n, Gen.choose(-10.0, 10.0))
+      if xs.exists(x => math.abs(x) > 1e-9)
+    } yield xs.toArray
+    check(Prop.forAll(vecGen) { xs =>
+      val qs = 127.0 / xs.map(math.abs).max
+      val halfStep = 0.5 / qs
+      xs.forall { x =>
+        val xhat = math.floor(x * qs + 0.5) / qs
+        math.abs(x - xhat) <= halfStep * (1 + 1e-12)
+      }
+    })
+  }
 }
