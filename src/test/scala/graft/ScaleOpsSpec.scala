@@ -81,6 +81,61 @@ class ScaleOpsSpec extends AnyFunSuite {
       s"false-positive volume implausibly high: $kept passed, $members true")
   }
 
+  test("q101 matches a local reference model on skewed random corpora") {
+    import s.implicits._
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      // adversarial volumes: a 1-doc source, a dominant source (rate
+      // clamps via least(1.0, …) on the flattened tail), mid sources
+      val rows = (0L until 150L).map { id =>
+        val src =
+          if (id == 0) "tiny"
+          else if (id < 100) "huge"
+          else "mid" + (id % 3)
+        val n = 1 + rnd.nextInt(40)
+        (id, Seq.fill(n)("w").mkString(" "), "en", src)
+      }
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_mix_fuzz_$seed").toString
+      rows.toDF("doc_id", "text", "lang", "source")
+        .selectExpr("doc_id", "text", "lang", "source",
+          "CAST(length(text) AS BIGINT) AS n_chars")
+        .coalesce(2)
+        .write.mode("overwrite").parquet(dir + "/documents.parquet")
+
+      val got = SparkEntry.queries("q101_source_mix_resample")(s, dir)
+        .collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+
+      // local model — independent re-derivation of rates and draws
+      def round6(x: Double) =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val vols = rows.groupBy(_._4).view.mapValues { ds =>
+        (ds.size.toLong, ds.map(_._2.length.toLong).sum.toDouble)
+      }.toMap
+      val z = vols.values
+        .map(v => BigDecimal(round6(math.pow(v._2, 0.7)))).sum.toDouble
+      val vv = vols.values.map(_._2).sum
+      def rate(vol: Double) =
+        round6(math.min(1.0, 0.5 * vv * round6(math.pow(vol, 0.7)) / z / vol))
+      def u(id: Long): Double = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(s"mix:$id".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(12)
+        (java.lang.Long.parseLong(hex, 16) % 1000000L).toDouble / 1000000.0
+      }
+      val want = vols.map { case (src, (nd, vol)) =>
+        val r = rate(vol)
+        val kept = rows.count(d => d._4 == src && u(d._1) < r).toLong
+        src -> ((nd, kept, r))
+      }
+      assert(got === want, s"seed $seed")
+      assert(want("huge")._3 < want("tiny")._3,
+        s"seed $seed: temperature should favor the small source")
+    }
+  }
+
   test("q101: sampler is deterministic, volume-targeted, and per-source capped") {
     val out = ScaleOps.queries("q101_source_mix_resample")(s, sfDir)
     val rows = out.collect()
