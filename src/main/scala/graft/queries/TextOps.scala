@@ -319,6 +319,48 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Cluster-safe train/val/test split — the leakage-integrity op: q66
+    // buckets by DOC hash, so two near-duplicate docs can land in train
+    // and test (exactly the contamination q81 hunts for after the fact).
+    // Bucketing by the near-dup CLUSTER label (q65's components;
+    // singletons are their own cluster) makes straddling structurally
+    // impossible — and the query PROVES it from the data rather than
+    // asserting it: per-cluster distinct-split counts under BOTH
+    // policies, surfaced as straddle_cluster_safe (≡ 0) next to
+    // straddle_doc_hash (> 0 on this corpus — the bug made visible).
+    // Shares the q29/q65 pairs+contraction subtree (the q81 pattern);
+    // everything above it is bounded-frame arithmetic.
+    "q102_cluster_safe_split" -> ((s, dir) => {
+      val edges = jaccardPairs(s, dir)
+        .select(col("da").as("u"), col("db").as("v"))
+      val labels = Components.starContraction(edges)
+        .select(col("doc_id"), col("label"))
+      def splitOf(c: Column, prefix: String) = {
+        val b = pmod(h48(prefix, c.cast("string")), lit(100L))
+        when(b < 80, "train").when(b < 90, "val").otherwise("test")
+      }
+      val tagged = docs(s, dir).select(col("doc_id"))
+        .join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("label"), col("doc_id")).as("cluster_id"))
+        .select(col("doc_id"), col("cluster_id"),
+          splitOf(col("cluster_id"), "csplit:").as("split"),
+          splitOf(col("doc_id"), "split:").as("doc_split"))
+      val perCluster = tagged.groupBy("cluster_id")
+        .agg(countDistinct(col("split")).as("ns_safe"),
+          countDistinct(col("doc_split")).as("ns_doc"))
+      val straddle = perCluster.agg(
+        sum(when(col("ns_safe") > 1, 1L).otherwise(0L))
+          .as("straddle_cluster_safe"),
+        sum(when(col("ns_doc") > 1, 1L).otherwise(0L))
+          .as("straddle_doc_hash"))
+      tagged.groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster_id")).as("n_clusters"))
+        .crossJoin(broadcast(straddle))
+        .orderBy("split")
+    }),
+
     // Deterministic train/val/test split — hash-bucket assignment
     // (md5-derived, NOT rand(): reproducible across runs, engines, and
     // cluster sizes, which is how real pipelines split): bucket =
@@ -894,6 +936,56 @@ object TextOps {
          | SELECT e.v, r.label FROM reach r JOIN und e ON e.u = r.u)
          |SELECT u AS doc_id, MIN(label) AS cluster_id FROM reach
          |GROUP BY u ORDER BY doc_id""".stripMargin,
+
+    // same recursive-CTE components as q65 + both split policies from
+    // the same md5 buckets; the straddle columns are computed, not
+    // asserted — an engine that let a cluster straddle would flip them
+    "q102_cluster_safe_split" ->
+      s"""WITH RECURSIVE $JPAIRS_CTES,
+         |und AS (
+         | SELECT da AS u, db AS v FROM jpairs
+         | UNION ALL SELECT db, da FROM jpairs),
+         |nodes AS (SELECT DISTINCT u AS doc_id FROM und),
+         |reach AS (
+         | SELECT doc_id AS u, doc_id AS label FROM nodes
+         | UNION
+         | SELECT e.v, r.label FROM reach r JOIN und e ON e.u = r.u),
+         |lab AS (SELECT u AS doc_id, MIN(label) AS label FROM reach
+         |        GROUP BY u),
+         |g AS (
+         | SELECT d.doc_id, COALESCE(l.label, d.doc_id) AS cluster_id,
+         |  CASE WHEN CAST('0x' || substr(md5('csplit:' ||
+         |        CAST(COALESCE(l.label, d.doc_id) AS VARCHAR)), 1, 12)
+         |        AS BIGINT) % 100 < 80 THEN 'train'
+         |       WHEN CAST('0x' || substr(md5('csplit:' ||
+         |        CAST(COALESCE(l.label, d.doc_id) AS VARCHAR)), 1, 12)
+         |        AS BIGINT) % 100 < 90 THEN 'val'
+         |       ELSE 'test' END AS split,
+         |  CASE WHEN CAST('0x' || substr(md5('split:' ||
+         |        CAST(d.doc_id AS VARCHAR)), 1, 12)
+         |        AS BIGINT) % 100 < 80 THEN 'train'
+         |       WHEN CAST('0x' || substr(md5('split:' ||
+         |        CAST(d.doc_id AS VARCHAR)), 1, 12)
+         |        AS BIGINT) % 100 < 90 THEN 'val'
+         |       ELSE 'test' END AS doc_split
+         | FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id),
+         |pc AS (
+         | SELECT cluster_id, COUNT(DISTINCT split) AS ns_safe,
+         |  COUNT(DISTINCT doc_split) AS ns_doc
+         | FROM g GROUP BY cluster_id),
+         |st AS (
+         | SELECT
+         |  CAST(SUM(CASE WHEN ns_safe > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS straddle_cluster_safe,
+         |  CAST(SUM(CASE WHEN ns_doc > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS straddle_doc_hash
+         | FROM pc)
+         |SELECT split, COUNT(*) AS n_docs,
+         | COUNT(DISTINCT cluster_id) AS n_clusters,
+         | straddle_cluster_safe, straddle_doc_hash
+         |FROM g, st
+         |GROUP BY split, straddle_cluster_safe, straddle_doc_hash
+         |ORDER BY split""".stripMargin,
 
     "q76_corpus_pipeline" ->
       """WITH f AS (

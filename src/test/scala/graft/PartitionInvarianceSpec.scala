@@ -23,7 +23,14 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q68_kmeans",
     "q27_minhash_near_dup",
     "q65_dedup_clusters",
-    "q90_vocab_coverage")
+    "q90_vocab_coverage",
+    // r6 sketch/serving tier: CMS merge order, top-8 tie-break, bloom
+    // partial-bitset merge, and the md5 Bernoulli draw must all be
+    // layout-free
+    "q98_cms_heavy_hitters",
+    "q100_bloom_prefilter",
+    "q101_source_mix_resample",
+    "q102_cluster_safe_split")
 
   private def run(name: String): Array[Row] =
     SparkEntry.queries(name)(s, sfDir).collect()
