@@ -34,21 +34,13 @@ object ScaleOps {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir).documents
 
-  /** md5-derived 48-bit hash — the engine-portable family shared with
-    * TextOps.h48 (kept private there; duplicated signature, same
-    * construction, so the q101 oracle reuses the q66 SQL idiom). */
-  private def h48(prefix: String, c: Column): Column =
-    conv(substring(md5(concat(lit(prefix), c)), 1, 12), 16, 10).cast("long")
-
-  /** Double-cast embedding with non-null elements (the q34 construction:
-    * vec_dot rejects nullable elements at type-check; the generated
-    * embeddings carry no nulls, so the NaN branch never fires). */
+  /** The canonical engine-portable md5 hash family (TextOps.h48) and
+    * the double-cast non-null-element embedding frame (VectorOps.emb) —
+    * reused, not copied, so the cross-engine constructions can never
+    * drift per-file. */
+  private def h48(prefix: String, c: Column): Column = TextOps.h48(prefix, c)
   private def emb(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir).embeddings
-      .select(col("vec_id"),
-        transform(col("embedding"),
-          x => coalesce(x.cast("double"), lit(Double.NaN))).as("e"))
-      .withColumn("nrm", sqrt(call_function("vec_dot", col("e"), col("e"))))
+    VectorOps.emb(s, dir)
 
   /** CMS parameters — must match the literals in the q98 scaladoc and
     * bound check. eps 0.001 ⇒ width 2000 counters; confidence 0.99 ⇒
@@ -170,10 +162,10 @@ object ScaleOps {
     // keep rate r_s = min(1, M·w_s/vol_s), and a DETERMINISTIC Bernoulli
     // draw from the md5-uniform family (q66) — the same docs survive at
     // any parallelism on any cluster. Plan shape: one tiny per-source
-    // aggregate (|sources| rows), one 1-row normalizer (integer/decimal
-    // sums → order-free), rates broadcast back onto the corpus — the
-    // corpus itself is touched by exactly one scan and one final
-    // aggregate.
+    // aggregate (|sources| rows), one 1-row normalizer (long/decimal
+    // sums → order-free), rates broadcast back onto the corpus — two
+    // corpus scans total (one for the volume statistic, one for the
+    // draw) plus the final bounded aggregate.
     "q101_source_mix_resample" -> ((s, dir) => {
       val rates = mixRates(docs(s, dir))
       keepDecision(docs(s, dir), rates)
@@ -189,17 +181,21 @@ object ScaleOps {
     * then exact (order-free) and the one cross-engine libm risk — pow's
     * last ulp — is quantized away before it can spread. */
   private[graft] def mixRates(d: DataFrame): DataFrame = {
+    // volumes stay LONG through both sum levels (exact, order-free at
+    // any partition layout — a double sum would go ulp-unstable past
+    // 2^53 total chars) and cast to double only at the rate arithmetic
     val c = d.groupBy("source")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_chars")).cast("double").as("vol"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("voln"))
+      .withColumn("vol", col("voln").cast("double"))
     val pw = round(pow(col("vol"), lit(0.7)), 6)
     val z = c.agg(
       sum(pw.cast("decimal(38,6)")).cast("double").as("z"),
-      sum(col("vol")).as("vv"))
+      sum(col("voln")).as("vvn"))
     c.crossJoin(broadcast(z))
       .select(col("source"), col("n_docs"), col("vol"),
         round(least(lit(1.0),
-          lit(0.5) * col("vv") * pw / col("z") / col("vol")), 6).as("rate"))
+          lit(0.5) * col("vvn").cast("double") * pw / col("z") / col("vol")),
+          6).as("rate"))
   }
 
   /** The q101 keep-decision as a STATELESS frame transform: a
@@ -267,18 +263,19 @@ object ScaleOps {
 
     "q101_source_mix_resample" ->
       """WITH c AS (
-        | SELECT source, COUNT(*) AS n_docs,
+        | SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS voln,
         |  CAST(SUM(n_chars) AS DOUBLE) AS vol
         | FROM documents GROUP BY source),
         |z AS (
         | SELECT CAST(SUM(CAST(ROUND(POW(vol, 0.7), 6) AS DECIMAL(38,6)))
         |          AS DOUBLE) AS z,
-        |        SUM(vol) AS vv
+        |        SUM(voln) AS vvn
         | FROM c),
         |r AS (
         | SELECT source, n_docs,
         |  ROUND(LEAST(1.0,
-        |    0.5 * z.vv * ROUND(POW(vol, 0.7), 6) / z.z / vol), 6) AS rate
+        |    0.5 * CAST(z.vvn AS DOUBLE) * ROUND(POW(vol, 0.7), 6)
+        |      / z.z / vol), 6) AS rate
         | FROM c, z),
         |k AS (
         | SELECT d.source, r.n_docs, r.rate,

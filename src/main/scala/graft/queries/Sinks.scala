@@ -36,11 +36,11 @@ object Sinks {
   private[graft] def runPath(stem: String): String =
     sys.props("java.io.tmpdir") + "/" + stem + "_" + runToken
 
-  /** Mirror of TextOps.h48 (engine-independent md5-derived 48-bit hash):
-    * bounded by 2⁴⁸, so a per-group SUM over even billions of rows stays
-    * far inside signed-64 in both engines. */
+  /** TextOps.h48 (the canonical engine-independent md5-derived 48-bit
+    * hash): bounded by 2⁴⁸, so a per-group SUM over even billions of
+    * rows stays far inside signed-64 in both engines. */
   private def h48(prefix: String, c: org.apache.spark.sql.Column) =
-    conv(substring(md5(concat(lit(prefix), c)), 1, 12), 16, 10).cast("long")
+    TextOps.h48(prefix, c)
 
   /** Write `documents` partitioned by lang + bucketed/sorted by doc_id as
     * a managed-metadata external table; shared by q71 and BucketingSpec. */

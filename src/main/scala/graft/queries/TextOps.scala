@@ -61,7 +61,7 @@ object TextOps {
     * keeps every derived value — min-hashes, SimHash fingerprints and
     * their bit sums — inside signed-64 range in both engines (DuckDB
     * raises on signed overflow rather than wrapping). */
-  private def h48(prefix: String, c: Column): Column =
+  private[graft] def h48(prefix: String, c: Column): Column =
     conv(substring(md5(concat(lit(prefix), c)), 1, 12), 16, 10).cast("long")
 
   /** q29 core (shared with q65): exact shingle-Jaccard pairs over the

@@ -54,12 +54,12 @@ object VectorOps {
     * cosine (rounded to 6 before the test, both engines) is ≥ TAU. */
   private val TAU = 0.40
 
-  /** 48-bit md5 hash (mirror of TextOps.h48 — the engine-independent
-    * family): seeds the k-means init so centroid choice is deterministic
-    * but ordering-INDEPENDENT (the r4 `vec_id < K` init collapsed if low
+  /** TextOps.h48 (the canonical engine-independent md5 family): seeds
+    * the k-means init so centroid choice is deterministic but
+    * ordering-INDEPENDENT (the r4 `vec_id < K` init collapsed if low
     * ids were correlated — one shard, one label). */
   private def h48(prefix: String, c: Column): Column =
-    conv(substring(md5(concat(lit(prefix), c)), 1, 12), 16, 10).cast("long")
+    TextOps.h48(prefix, c)
 
   /** Rademacher sign for (plane p, dimension pos): parity of the first
     * hex digit of md5("p,pos") — a public, engine-independent derivation.
@@ -79,7 +79,7 @@ object VectorOps {
     * The coalesce pins `double NOT NULL` elements — vec_dot rejects
     * nullable elements (same contract as point_in_polygon); embedding
     * components are never null, so the NaN arm only carries nullability. */
-  private def emb(s: SparkSession, dir: String): DataFrame =
+  private[graft] def emb(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir).embeddings
       .select(col("vec_id"), col("label").cast("long").as("label"),
         transform(col("embedding"),
