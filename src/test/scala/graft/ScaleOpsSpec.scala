@@ -136,6 +136,57 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q102 matches an independent union-find + md5 model on the fixture corpus") {
+    import s.implicits._
+    val out = SparkEntry.queries("q102_cluster_safe_split")(s, sfDir)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+
+    // independent model: union-find over the q29 pairs (min-root union
+    // reproduces the contraction's min-label), md5 buckets in the JVM
+    val edges = SparkEntry.queries("q29_jaccard_pairs")(s, sfDir)
+      .select($"da", $"db").as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    // min-root union needs rank-free directed merges toward the smaller
+    // root so labels equal the component minimum
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    def bucket(sd: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(sd.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+      java.lang.Long.parseLong(hex, 16) % 100L
+    }
+    def splitOf(b: Long) =
+      if (b < 80) "train" else if (b < 90) "val" else "test"
+    val docIds = s.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id").as[Long].collect()
+    val tagged = docIds.map { id =>
+      val label = find(id)
+      (id, label, splitOf(bucket(s"csplit:$label")),
+        splitOf(bucket(s"split:$id")))
+    }
+    val straddleSafe = tagged.groupBy(_._2).values
+      .count(_.map(_._3).distinct.length > 1).toLong
+    val straddleDoc = tagged.groupBy(_._2).values
+      .count(_.map(_._4).distinct.length > 1).toLong
+    val want = tagged.groupBy(_._3).map { case (split, ds) =>
+      split -> ((ds.length.toLong, ds.map(_._2).distinct.length.toLong,
+        straddleSafe, straddleDoc))
+    }
+    assert(out === want)
+    assert(straddleSafe == 0L)
+    assert(tagged.groupBy(_._2).values.exists(_.length > 1),
+      "fixture corpus lost its multi-doc near-dup clusters")
+  }
+
   test("q101: sampler is deterministic, volume-targeted, and per-source capped") {
     val out = ScaleOps.queries("q101_source_mix_resample")(s, sfDir)
     val rows = out.collect()
