@@ -23,11 +23,12 @@ import graft.model.Tables
   * whole-stage codegen. Nothing corpus-sized ever reaches the driver.
   *
   * Determinism stance (what makes these oracle-checkable): sketch
-  * internals never cross the engine boundary — q98/q100 emit the exact
-  * metric plus an asserted bound (the q40 bounded-error form), q99's
-  * quantizer is pure closed-form IEEE arithmetic reproduced verbatim in
-  * DuckDB, and q101's sampler draws from the md5-derived uniform family
-  * shared with q66/q67.
+  * internals never cross the engine boundary — q98 emits the exact
+  * metric plus an asserted bound (the q40 bounded-error form), q100's
+  * bloom is swept exact by the semi-join above it, q99's quantizer is
+  * pure closed-form IEEE arithmetic reproduced verbatim in DuckDB, and
+  * q101's sampler draws from the md5-derived uniform family shared with
+  * q66/q67.
   */
 object ScaleOps {
 
