@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.model.Tables
@@ -186,6 +186,73 @@ object EventOps {
           asD(sum(dPrice(col("o_totalprice")))).as("sum_price"))
         .orderBy("month")
     }),
+
+    // Cohort retention — the product-analytics staple: users grouped by
+    // first-active week, then the share of each cohort active k weeks
+    // later. Plan shape at scale: one distinct over (user, week) — the
+    // only corpus-sized shuffle — then a per-user min and a user-keyed
+    // join (both ride the same user_id partitioning), collapsing to a
+    // bounded (cohort × offset) frame; cohort_size is a window over that
+    // bounded frame, never over events. Week truncation and day diffs
+    // are calendar-exact in both engines (UTC sessions, Monday weeks).
+    "q105_cohort_retention" -> ((s, dir) => {
+      val wk = Tables(s, dir).events
+        .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+        .distinct()
+      val first = wk.groupBy("user_id").agg(min("wk").as("cohort"))
+      val g = wk.join(first, "user_id")
+        .select(col("cohort"),
+          (datediff(col("wk"), col("cohort")) / lit(7)).cast("long")
+            .as("week_offset"))
+        .groupBy("cohort", "week_offset")
+        .agg(count(lit(1)).as("n_users")) // (user, wk) already distinct
+      val wc = Window.partitionBy("cohort")
+      g.withColumn("cohort_size",
+          max(when(col("week_offset") === 0, col("n_users"))).over(wc))
+        .select(col("cohort").cast("date").as("cohort_week"),
+          col("week_offset"), col("n_users"), col("cohort_size"),
+          round(col("n_users").cast("double") / col("cohort_size"), 6)
+            .as("retention"))
+        .orderBy("cohort_week", "week_offset")
+    }),
+
+    // Robust outlier gate (data-quality tier): per-type exact median and
+    // MAD via q50's sort-based ranked form — engine-definition-
+    // independent by construction (rank FLOOR((n+1)/2) under a total
+    // order; FLOOR on both sides because DuckDB's double→BIGINT cast
+    // rounds where Spark's truncates) — then the standard robust z-score
+    // gate |v − med| > 3·1.4826·MAD. Two ranked windows (each one keyed
+    // shuffle), two broadcast rejoins of 5-row frames, one final
+    // aggregate. The constant 4.4478 = 3 × 1.4826 is exact in decimal so
+    // both engines parse the identical double.
+    "q108_mad_outliers" -> ((s, dir) => {
+      val ev = Tables(s, dir).events
+        .select(col("event_type"), col("event_id"), col("value"))
+      val wn = Window.partitionBy("event_type")
+      def midRank(n: Column): Column =
+        floor((n + lit(1)) / lit(2)).cast("long")
+      val wv = Window.partitionBy("event_type").orderBy("value", "event_id")
+      val med = ev.withColumn("rn", row_number().over(wv))
+        .withColumn("n", count(lit(1)).over(wn))
+        .where(col("rn") === midRank(col("n")))
+        .select(col("event_type"), col("value").as("med"))
+      val dev = ev.join(broadcast(med), "event_type")
+        .withColumn("adev", abs(col("value") - col("med")))
+      val wd = Window.partitionBy("event_type").orderBy("adev", "event_id")
+      val mad = dev.withColumn("rn", row_number().over(wd))
+        .withColumn("n", count(lit(1)).over(wn))
+        .where(col("rn") === midRank(col("n")))
+        .select(col("event_type"), col("adev").as("mad"))
+      dev.join(broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          max("med").as("median_value"), max("mad").as("mad_value"),
+          sum(when(col("adev") > lit(4.4478) * col("mad"), 1L)
+            .otherwise(0L)).as("n_outliers"))
+        .withColumn("outlier_rate",
+          round(col("n_outliers").cast("double") / col("n_events"), 6))
+        .orderBy("event_type")
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -299,5 +366,64 @@ object EventOps {
         | CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,6)) AS DOUBLE)
         |   AS sum_price
         |FROM orders GROUP BY 1 ORDER BY month""".stripMargin,
+
+    // same distinct-(user, week) base, per-user min, bounded-frame window
+    "q105_cohort_retention" ->
+      """WITH wk AS (
+        | SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events),
+        |f AS (SELECT user_id, MIN(wk) AS cohort FROM wk GROUP BY user_id),
+        |g AS (
+        | SELECT f.cohort,
+        |  CAST(date_diff('day', CAST(f.cohort AS DATE), CAST(wk.wk AS DATE))
+        |       / 7 AS BIGINT) AS week_offset,
+        |  COUNT(*) AS n_users
+        | FROM wk JOIN f ON wk.user_id = f.user_id
+        | GROUP BY 1, 2),
+        |s AS (
+        | SELECT cohort, week_offset, n_users,
+        |  MAX(CASE WHEN week_offset = 0 THEN n_users END)
+        |    OVER (PARTITION BY cohort) AS cohort_size
+        | FROM g)
+        |SELECT CAST(cohort AS DATE) AS cohort_week, week_offset, n_users,
+        | cohort_size,
+        | ROUND(CAST(n_users AS DOUBLE) / cohort_size, 6) AS retention
+        |FROM s ORDER BY cohort_week, week_offset""".stripMargin,
+
+    // identical ranked-median/MAD construction; FLOOR on the mid rank
+    // (DuckDB's double→BIGINT cast rounds, Spark's truncates)
+    "q108_mad_outliers" ->
+      """WITH ev AS (SELECT event_type, event_id, value FROM events),
+        |rv AS (
+        | SELECT event_type, event_id, value,
+        |  ROW_NUMBER() OVER (PARTITION BY event_type
+        |                     ORDER BY value, event_id) AS rn,
+        |  COUNT(*) OVER (PARTITION BY event_type) AS n
+        | FROM ev),
+        |m AS (
+        | SELECT event_type, value AS med FROM rv
+        | WHERE rn = CAST(FLOOR((n + 1) / 2) AS BIGINT)),
+        |dv AS (
+        | SELECT ev.event_type, ev.event_id, ev.value, m.med,
+        |  ABS(ev.value - m.med) AS adev
+        | FROM ev JOIN m ON ev.event_type = m.event_type),
+        |rd AS (
+        | SELECT event_type, adev,
+        |  ROW_NUMBER() OVER (PARTITION BY event_type
+        |                     ORDER BY adev, event_id) AS rn,
+        |  COUNT(*) OVER (PARTITION BY event_type) AS n
+        | FROM dv),
+        |md AS (
+        | SELECT event_type, adev AS mad FROM rd
+        | WHERE rn = CAST(FLOOR((n + 1) / 2) AS BIGINT)),
+        |fin AS (
+        | SELECT dv.event_type, dv.med, md.mad, dv.adev
+        | FROM dv JOIN md ON dv.event_type = md.event_type)
+        |SELECT event_type, COUNT(*) AS n_events,
+        | MAX(med) AS median_value, MAX(mad) AS mad_value,
+        | CAST(SUM(CASE WHEN adev > 4.4478 * mad THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_outliers,
+        | ROUND(CAST(SUM(CASE WHEN adev > 4.4478 * mad THEN 1 ELSE 0 END)
+        |   AS DOUBLE) / COUNT(*), 6) AS outlier_rate
+        |FROM fin GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

@@ -266,6 +266,43 @@ object Relational {
         .except(low)                   // EXCEPT DISTINCT
         .orderBy(col("c_custkey"))
     }),
+
+    // CDC upsert compaction + SCD2 history (the warehouse-maintenance
+    // operator a 100 TB lakehouse runs nightly: MERGE INTO expressed as
+    // union-of-batches + one per-key window). The change stream is derived
+    // DETERMINISTICALLY from `orders` itself — batch v1 lands every key,
+    // v2 re-lands keys ≡ 0 (mod 3) with a 10 % price revision, v3 re-lands
+    // keys ≡ 0 (mod 9) compounding it — so both engines construct the
+    // identical CDC log without any fixture. The SCD2 rewrite is ONE
+    // key-partitioned window (lead over version): valid_from/valid_to
+    // interval chaining plus the is_current flag, which is exactly the
+    // keep-latest compaction a MERGE would materialize (is_current = the
+    // row `row_number() over (key, version desc) = 1` would keep). Plan
+    // shape at scale: the union is map-side concatenation (no shuffle);
+    // the single shuffle is the per-key window — bucketing the history
+    // table by the merge key amortizes it across nightly runs. Price
+    // revisions run in exact DECIMAL (price × factor at scale 6) and cast
+    // to DOUBLE only at the output boundary — the standard money rule.
+    "q103_scd2_history" -> ((s, dir) => {
+      val o = Tables(s, dir).orders
+        .select(col("o_orderkey"), col("o_totalprice"))
+      def batch(ver: Int, modBase: Int, factor: String) = {
+        val keep = if (modBase == 1) o
+                   else o.where(pmod(col("o_orderkey"), lit(modBase)) === 0)
+        keep.select(col("o_orderkey"), lit(ver.toLong).as("version"),
+          asD(dPrice(col("o_totalprice")) * dFrac(lit(factor))).as("price"))
+      }
+      val chg = batch(1, 1, "1.0")
+        .unionByName(batch(2, 3, "1.10"))
+        .unionByName(batch(3, 9, "1.21"))
+      val w = Window.partitionBy("o_orderkey").orderBy("version")
+      chg
+        .withColumn("valid_to", lead(col("version"), 1).over(w))
+        .select(col("o_orderkey"), col("version").as("valid_from"),
+          col("price"), col("valid_to"),
+          col("valid_to").isNull.cast("long").as("is_current"))
+        .orderBy("o_orderkey", "valid_from")
+    }),
   )
 
   // DuckDB dialect of each query, value-identical by construction.
@@ -413,5 +450,29 @@ object Relational {
         | EXCEPT
         | SELECT c_custkey FROM customer WHERE c_acctbal < 2000
         |) t ORDER BY c_custkey""".stripMargin,
+
+    // same deterministic CDC log + one LEAD window; exact-decimal prices
+    "q103_scd2_history" ->
+      """WITH chg AS (
+        | SELECT o_orderkey, CAST(1 AS BIGINT) AS version,
+        |  CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2))
+        |    * CAST('1.0' AS DECIMAL(6,4)) AS DECIMAL(38,6)) AS DOUBLE) AS price
+        | FROM orders
+        | UNION ALL
+        | SELECT o_orderkey, CAST(2 AS BIGINT),
+        |  CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2))
+        |    * CAST('1.10' AS DECIMAL(6,4)) AS DECIMAL(38,6)) AS DOUBLE)
+        | FROM orders WHERE o_orderkey % 3 = 0
+        | UNION ALL
+        | SELECT o_orderkey, CAST(3 AS BIGINT),
+        |  CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2))
+        |    * CAST('1.21' AS DECIMAL(6,4)) AS DECIMAL(38,6)) AS DOUBLE)
+        | FROM orders WHERE o_orderkey % 9 = 0)
+        |SELECT o_orderkey, version AS valid_from, price,
+        | LEAD(version) OVER w AS valid_to,
+        | CAST(LEAD(version) OVER w IS NULL AS BIGINT) AS is_current
+        |FROM chg
+        |WINDOW w AS (PARTITION BY o_orderkey ORDER BY version)
+        |ORDER BY o_orderkey, valid_from""".stripMargin,
   )
 }

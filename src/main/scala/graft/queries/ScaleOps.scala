@@ -51,6 +51,10 @@ object ScaleOps {
   private val CMS_SEED = 42
   private val TOP_K    = 8
 
+  /** q106 Morton width per dimension (bits) — 16+16 interleave into a
+    * 32-bit z value; cells are the top 6 z-bits (3 per dimension). */
+  private val Z_BITS = 16
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // A8 sketch family, frequency side (next to q40's cardinality side):
@@ -174,6 +178,44 @@ object ScaleOps {
         .agg(sum(col("keep")).as("n_kept"))
         .select(col("source"), col("n_docs"), col("n_kept"), col("rate"))
         .orderBy("source")
+    }),
+
+    // Z-order (Morton) clustering — the write-layout operator behind
+    // multi-dimensional data skipping (Delta/Iceberg OPTIMIZE ZORDER):
+    // interleave the low 16 bits of two join/filter dimensions with pure
+    // shift/mask arithmetic (one codegen projection, no UDF), then treat
+    // the top 6 z-bits as the file cell a range-partitioned write would
+    // produce. The query PROVES the locality claim from the data instead
+    // of asserting it: per-cell (max−min) extents of BOTH dimensions
+    // under z-cells next to the same extents under naive linear-on-x
+    // cells — z-cells bound every dimension (each cell fixes the top 3
+    // bits of x AND y, so spans stay < 2^13), linear cells bound only x
+    // and leave y at full range. At 100 TB the identical projection
+    // feeds repartitionByRange(z) before the write, and every file's
+    // min/max stats become selective for 2-D predicates — scan pruning
+    // where a single-column sort gives none. Integer-only arithmetic →
+    // bit-identical cross-engine.
+    "q106_zorder_clustering" -> ((s, dir) => {
+      def interleave(c: Column, off: Int): Column =
+        (0 until Z_BITS).map(b =>
+          shiftleft(shiftrightunsigned(c, b).bitwiseAND(lit(1L)), 2 * b + off))
+          .reduce(_ + _)
+      val base = Tables(s, dir).lineitem
+        .select(col("l_partkey").bitwiseAND(lit(65535L)).as("x"),
+          col("l_suppkey").bitwiseAND(lit(65535L)).as("y"))
+        .withColumn("z", interleave(col("x"), 0) + interleave(col("y"), 1))
+      val zc = base.select(lit("zorder").as("scheme"),
+        shiftrightunsigned(col("z"), 2 * Z_BITS - 6).as("cell"),
+        col("x"), col("y"))
+      val lc = base.select(lit("linear").as("scheme"),
+        shiftrightunsigned(col("x"), Z_BITS - 6).as("cell"),
+        col("x"), col("y"))
+      zc.unionByName(lc)
+        .groupBy("scheme", "cell")
+        .agg(count(lit(1)).as("n"),
+          (max("x") - min("x")).as("x_span"),
+          (max("y") - min("y")).as("y_span"))
+        .orderBy("scheme", "cell")
     }))
 
   /** Per-source keep rates for q101 — a bounded |sources|-row frame
@@ -286,5 +328,26 @@ object ScaleOps {
         |  THEN 1 ELSE 0 END AS keep
         | FROM documents d JOIN r ON d.source = r.source)
         |SELECT source, n_docs, CAST(SUM(keep) AS BIGINT) AS n_kept, rate
-        |FROM k GROUP BY source, n_docs, rate ORDER BY source""".stripMargin)
+        |FROM k GROUP BY source, n_docs, rate ORDER BY source""".stripMargin,
+
+    // the identical interleave arithmetic, generated from the same Z_BITS
+    "q106_zorder_clustering" -> {
+      val terms = (0 until Z_BITS).flatMap(b => Seq(
+        s"(((x >> $b) & 1) << ${2 * b})",
+        s"(((y >> $b) & 1) << ${2 * b + 1})")).mkString(" + ")
+      s"""WITH p AS (
+         | SELECT l_partkey & 65535 AS x, l_suppkey & 65535 AS y
+         | FROM lineitem),
+         |z AS (SELECT x, y, $terms AS z FROM p),
+         |u AS (
+         | SELECT 'zorder' AS scheme, z >> ${2 * Z_BITS - 6} AS cell, x, y
+         | FROM z
+         | UNION ALL
+         | SELECT 'linear' AS scheme, x >> ${Z_BITS - 6} AS cell, x, y
+         | FROM z)
+         |SELECT scheme, CAST(cell AS BIGINT) AS cell, COUNT(*) AS n,
+         | CAST(MAX(x) - MIN(x) AS BIGINT) AS x_span,
+         | CAST(MAX(y) - MIN(y) AS BIGINT) AS y_span
+         |FROM u GROUP BY scheme, cell ORDER BY scheme, cell""".stripMargin
+    })
 }

@@ -674,7 +674,88 @@ object TextOps {
         .where(col("rank") <= 3)
         .orderBy("doc_id", "rank")
     }),
+
+    // PageRank over the near-dup similarity graph — document centrality
+    // as a curation signal (a hub duplicated-ish by many sources is
+    // boilerplate; an isolated near-dup pair is a mirror). The iterative
+    // complement of q65's components: same q29 edge subtree, but a
+    // VALUE-propagating fixpoint instead of a label-collapsing one.
+    // Determinism is the q82/q101 pattern — per-edge contributions are
+    // rounded at 12 dp and summed as DECIMAL(38,12) (exact, order-free
+    // at any partition layout), the damping step rounds back to 12 dp —
+    // so six iterations stay bit-identical to the oracle's unrolled CTE
+    // chain. Scale: one co-partitioned join + one keyed aggregate per
+    // iteration (the degree/teleport frame is checkpointed once and
+    // reused), lineage truncated per round like q65/q68 — the plan you
+    // would run on a billion-edge graph, exercised on this one.
+    "q104_pagerank" -> ((s, dir) => {
+      val pairs = jaccardPairs(s, dir)
+        .select(col("da").as("u"), col("db").as("v"))
+      pageRank(pairs, PR_ITERS)
+        .select(col("doc_id"), col("deg"), col("pr"))
+        .orderBy("doc_id")
+    }),
+
+    // Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES),
+    // stratified per language: each doc draws u from the md5-uniform
+    // family (q66/q67's engine-portable PRNG) and scores key = ln(u)/w
+    // with w = n_chars — the monotone twin of u^(1/w), so the top-K keys
+    // per stratum ARE a weighted sample without replacement: longer docs
+    // proportionally likelier, yet the same docs win at any parallelism
+    // on any cluster (q67's determinism, now weight-aware). The key is
+    // rounded at 12 dp with doc_id tiebreak so cross-engine libm noise
+    // cannot flip a rank. One projection + one per-stratum top-K window
+    // — no shuffle beyond the stratum partition.
+    "q107_weighted_sample" -> ((s, dir) => {
+      val m = pmod(h48("wsamp:", col("doc_id").cast("string")), lit(1000000L))
+      val u = (m.cast("double") + lit(0.5)) / lit(1000000.0)
+      val key = round(log(u) / col("n_chars"), 12)
+      val w = Window.partitionBy("lang").orderBy(col("wkey").desc, col("doc_id"))
+      docs(s, dir)
+        .where(col("n_chars") > 0)
+        .select(col("lang"), col("doc_id"), col("n_chars"), key.as("wkey"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .where(col("rk") <= WSAMPLE_K)
+        .orderBy("lang", "rk")
+    }),
   )
+
+  /** q104/q107 constants — shared with the oracle SQL builders below. */
+  private val PR_ITERS   = 6
+  private val WSAMPLE_K  = 5
+
+  /** Damped PageRank (d = 0.85) over an undirected edge list `(u, v)`,
+    * restricted to nodes that appear in the graph (symmetrizing the edge
+    * list means every node has degree ≥ 1 — no dangling-mass term). One
+    * join + one aggregate per iteration; contributions quantized to 12 dp
+    * and summed exactly in decimal so the result is independent of both
+    * partition layout and engine. Exposed for PipelineOpsSpec. */
+  private[graft] def pageRank(pairs: DataFrame, iters: Int): DataFrame = {
+    val edges = pairs.select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(pairs.select(col("v").as("src"), col("u").as("dst")))
+      .localCheckpoint(false)
+    val deg0 = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val degn = deg0
+      .crossJoin(broadcast(deg0.agg(count(lit(1)).as("n"))))
+      .select(col("src").as("doc_id"), col("deg"), col("n"))
+      .localCheckpoint(false) // reused every iteration AND by the output
+    var pr = degn
+      .select(col("doc_id"), col("deg"), col("n"),
+        round(lit(1.0) / col("n"), 12).as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = pr
+        .join(edges, pr("doc_id") === edges("src"))
+        .select(edges("dst").as("doc_id"),
+          round(pr("pr") / pr("deg"), 12).cast("decimal(38,12)").as("c"))
+        .groupBy("doc_id").agg(sum("c").as("sc"))
+      pr = degn.join(contrib, "doc_id")
+        .select(col("doc_id"), col("deg"), col("n"),
+          round(lit(0.15) / col("n")
+            + lit(0.85) * col("sc").cast("double"), 12).as("pr"))
+        .localCheckpoint(false)
+    }
+    pr
+  }
 
   /** q29/q65 shared CTE chain: df-capped exact-Jaccard pairs, ending in
     * `jpairs(da, db, jaccard)` — the SQL twin of `jaccardPairs`. */
@@ -1121,5 +1202,56 @@ object TextOps {
         | FROM scored)
         |SELECT doc_id, term, tfidf, rank FROM ranked
         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    // the same PR_ITERS damped iterations, UNROLLED as a CTE chain over
+    // the shared jpairs subtree — decimal contribution sums and 12-dp
+    // quantization mirror the Spark loop operation-for-operation
+    "q104_pagerank" -> {
+      val iterCtes = (1 to PR_ITERS).map { i =>
+        s"""c$i AS (
+           | SELECT e.dst AS doc_id,
+           |  SUM(CAST(ROUND(p.pr / d.deg, 12) AS DECIMAL(38,12))) AS sc
+           | FROM pr${i - 1} p
+           | JOIN degn d ON d.doc_id = p.doc_id
+           | JOIN edges e ON e.src = p.doc_id
+           | GROUP BY e.dst),
+           |pr$i AS (
+           | SELECT d.doc_id,
+           |  ROUND(CAST(0.15 AS DOUBLE) / d.n
+           |      + CAST(0.85 AS DOUBLE) * CAST(c$i.sc AS DOUBLE), 12) AS pr
+           | FROM degn d JOIN c$i ON c$i.doc_id = d.doc_id)"""
+      }.mkString(",\n")
+      s"""WITH $JPAIRS_CTES,
+         |edges AS MATERIALIZED (
+         | SELECT da AS src, db AS dst FROM jpairs
+         | UNION ALL
+         | SELECT db AS src, da AS dst FROM jpairs),
+         |deg0 AS (SELECT src AS doc_id, COUNT(*) AS deg FROM edges GROUP BY src),
+         |nn AS (SELECT COUNT(*) AS n FROM deg0),
+         |degn AS MATERIALIZED (SELECT doc_id, deg, n FROM deg0, nn),
+         |pr0 AS (
+         | SELECT doc_id, ROUND(CAST(1.0 AS DOUBLE) / n, 12) AS pr FROM degn),
+         |$iterCtes
+         |SELECT d.doc_id, d.deg, p.pr
+         |FROM degn d JOIN pr$PR_ITERS p USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    // identical md5-uniform draw, ln-key, and rounded rank order
+    "q107_weighted_sample" ->
+      s"""WITH k AS (
+         | SELECT lang, doc_id, n_chars,
+         |  ROUND(ln((CAST((CAST('0x' || substr(md5('wsamp:' ||
+         |        CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) % 1000000)
+         |      AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE))
+         |    / n_chars, 12) AS wkey
+         | FROM documents WHERE n_chars > 0),
+         |r AS (
+         | SELECT lang, doc_id, n_chars, wkey,
+         |  ROW_NUMBER() OVER (PARTITION BY lang
+         |                     ORDER BY wkey DESC, doc_id) AS rk
+         | FROM k)
+         |SELECT lang, doc_id, n_chars, wkey, rk
+         |FROM r WHERE rk <= $WSAMPLE_K ORDER BY lang, rk""".stripMargin,
   )
 }

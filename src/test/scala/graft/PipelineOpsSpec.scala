@@ -1,0 +1,174 @@
+package graft
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.{EventOps, Relational, ScaleOps, TextOps}
+
+/** Invariants and independent local models for the late-r6 pipeline
+  * operators (q103–q108) — the properties the DuckDB oracles share code
+  * shape with and therefore cannot independently witness: SCD2 interval
+  * chaining, PageRank mass conservation + an independent Scala fixpoint,
+  * Morton-cell span bounds, the A-ES sampling rule recomputed from raw
+  * md5, and the ranked median/MAD recomputed from sorted arrays.
+  */
+class PipelineOpsSpec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  // --- q103 SCD2 -----------------------------------------------------
+
+  test("q103: exactly one current row per key, intervals chain gaplessly") {
+    val rows = Relational.queries("q103_scd2_history")(s, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byKey = rows.groupBy(_.getAs[Long]("o_orderkey"))
+    byKey.foreach { case (k, hist) =>
+      val sorted = hist.sortBy(_.getAs[Long]("valid_from"))
+      // one current row, and it is the last version
+      assert(hist.count(_.getAs[Long]("is_current") == 1L) == 1, s"key $k")
+      assert(sorted.last.getAs[Long]("is_current") == 1L, s"key $k")
+      // valid_to of row i equals valid_from of row i+1; null only at end
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("valid_to") == b.getAs[Long]("valid_from"),
+            s"key $k: broken interval chain")
+        case _ =>
+      }
+      assert(sorted.last.isNullAt(sorted.last.fieldIndex("valid_to")))
+      // version count follows the CDC derivation rule
+      val expected = if (k % 9 == 0) 3 else if (k % 3 == 0) 2 else 1
+      assert(sorted.length == expected, s"key $k: ${sorted.length} versions")
+    }
+  }
+
+  // --- q104 PageRank -------------------------------------------------
+
+  /** The identical recurrence on Scala collections: symmetrize, then
+    * iterate pr' = 0.15/n + 0.85·Σ round(pr/deg, 12) with the same
+    * HALF_UP quantization Spark's round() applies. */
+  private def localPageRank(pairs: Seq[(Long, Long)], iters: Int)
+      : Map[Long, Double] = {
+    def r12(x: Double) =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val edges = pairs.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+    val out = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val n = out.size
+    var pr = out.keys.map(k => k -> r12(1.0 / n)).toMap
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .map { case (src, dst) => dst -> r12(pr(src) / out(src).size) }
+        .groupBy(_._1).view
+        .mapValues(cs => cs.map(c => BigDecimal(c._2)).sum.toDouble)
+        .toMap
+      pr = pr.keys.map(k => k -> r12(0.15 / n + 0.85 * contrib(k))).toMap
+    }
+    pr
+  }
+
+  test("q104: matches an independent Scala fixpoint on a hand graph") {
+    import s.implicits._
+    // triangle {1,2,3} with a pendant 4 — asymmetric degrees
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    val df = pairs.toDF("u", "v")
+    val got = TextOps.pageRank(df, 6)
+      .select("doc_id", "pr").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = localPageRank(pairs, 6)
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, v) =>
+      assert(math.abs(v - want(k)) < 1e-12, s"node $k: $v vs ${want(k)}")
+    }
+    // the pendant's sole neighbor is the hub
+    assert(got(3L) > got(1L) && got(1L) == got(2L) && got(4L) < got(1L))
+  }
+
+  test("q104: probability mass is conserved across iterations") {
+    val out = TextOps.queries("q104_pagerank")(s, "/root/testdata/sf0.01")
+      .agg(sum("pr")).head().getDouble(0)
+    // per-iteration 12-dp quantization can drift mass by ≤ n·6·1e-12
+    assert(math.abs(out - 1.0) < 1e-6, s"total pr mass $out")
+  }
+
+  // --- q105 cohort retention -----------------------------------------
+
+  test("q105: offset-0 retention is 1.0 and no offset exceeds the cohort") {
+    val rows = EventOps.queries("q105_cohort_retention")(s, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val off = r.getAs[Long]("week_offset")
+      assert(off >= 0)
+      assert(r.getAs[Long]("n_users") <= r.getAs[Long]("cohort_size"))
+      if (off == 0) assert(r.getAs[Double]("retention") == 1.0)
+    }
+  }
+
+  // --- q106 z-order --------------------------------------------------
+
+  test("q106: z-cells bound BOTH dimension spans; linear bounds only x") {
+    val rows = ScaleOps.queries("q106_zorder_clustering")(s, sfDir).collect()
+    val (zc, lc) = rows.partition(_.getAs[String]("scheme") == "zorder")
+    assert(zc.nonEmpty && lc.nonEmpty)
+    zc.foreach { r =>
+      assert(r.getAs[Long]("x_span") < 8192, "z-cell x span")
+      assert(r.getAs[Long]("y_span") < 8192, "z-cell y span")
+    }
+    lc.foreach(r => assert(r.getAs[Long]("x_span") < 1024, "linear x span"))
+    // both schemes partition the same rows
+    assert(zc.map(_.getAs[Long]("n")).sum == lc.map(_.getAs[Long]("n")).sum)
+  }
+
+  // --- q107 A-ES weighted sample -------------------------------------
+
+  private def md5Hex(v: String): String =
+    MessageDigest.getInstance("MD5").digest(v.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("q107: selection matches the A-ES rule recomputed from raw md5") {
+    val docs = s.read.parquet(s"$sfDir/documents.parquet")
+      .select("lang", "doc_id", "n_chars").collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_chars")))
+      .filter(_._3 > 0)
+    def r12(x: Double) =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val keyed = docs.map { case (lang, id, w) =>
+      val m = java.lang.Long.parseLong(md5Hex(s"wsamp:$id").take(12), 16) %
+        1000000L
+      (lang, id, r12(math.log((m.toDouble + 0.5) / 1000000.0) / w))
+    }
+    val want = keyed.groupBy(_._1).toSeq.flatMap { case (lang, ds) =>
+      ds.sortBy(d => (-d._3, d._2)).take(5).zipWithIndex
+        .map { case (d, i) => (lang, i + 1L) -> d._2 }
+    }.toMap
+    val got = TextOps.queries("q107_weighted_sample")(s, sfDir).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("rk")) ->
+        r.getAs[Long]("doc_id")).toMap
+    assert(got == want)
+  }
+
+  // --- q108 MAD outliers ---------------------------------------------
+
+  test("q108: median/MAD/outlier counts match a sorted-array model") {
+    val out = EventOps.queries("q108_mad_outliers")(s, sfDir).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Double]("median_value"), r.getAs[Double]("mad_value"),
+          r.getAs[Long]("n_outliers"))).toMap
+    val ev = s.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_type"), col("event_id"), col("value")).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("event_id"),
+        r.getAs[Double]("value")))
+    val want = ev.groupBy(_._1).map { case (t, rows) =>
+      def mid(xs: Seq[(Double, Long)]): Double = {
+        val sorted = xs.sortBy(identity)
+        sorted((sorted.size + 1) / 2 - 1)._1
+      }
+      val med = mid(rows.toSeq.map(r => (r._3, r._2)))
+      val mad = mid(rows.toSeq.map(r => (math.abs(r._3 - med), r._2)))
+      val nOut = rows.count(r => math.abs(r._3 - med) > 4.4478 * mad)
+      t -> (med, mad, nOut.toLong)
+    }
+    assert(out == want)
+  }
+}
