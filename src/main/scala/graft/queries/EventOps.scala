@@ -216,6 +216,66 @@ object EventOps {
         .orderBy("cohort_week", "week_offset")
     }),
 
+    // Ordered funnel conversion — the other product-analytics staple
+    // next to q105: first view → first click AFTER that view → first
+    // purchase AFTER that click, per user, with per-stage user counts
+    // and conversion rates. Each stage is a per-user MIN over a
+    // timestamp lower-bounded by the previous stage — three user-keyed
+    // aggregates riding the same user_id partitioning (Catalyst reuses
+    // the exchange), never a corpus-wide sort. Timestamps compare in
+    // MICROSECONDS on both engines (unix_micros ≡ epoch_us — the ns
+    // table truncates identically, so a same-µs tie can't split the
+    // engines). Output is a bounded 3-row stage table.
+    "q109_funnel" -> ((s, dir) => {
+      val e = Tables(s, dir).events
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      def firstAfter(tpe: String, prev: DataFrame, prevCol: String) =
+        e.where(col("event_type") === tpe)
+          .join(prev, "user_id")
+          .where(col("us") >= col(prevCol))
+          .groupBy("user_id")
+          .agg(min("us").as(s"t_$tpe"))
+      val v = e.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min("us").as("t_view"))
+      val c = firstAfter("click", v, "t_view")
+      val p = firstAfter("purchase", c, "t_click")
+      def stage(rank: Int, name: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(rank.toLong).as("stage"), lit(name).as("step"),
+            col("n_users"))
+      stage(1, "view", v)
+        .unionByName(stage(2, "click_after_view", c))
+        .unionByName(stage(3, "purchase_after_click", p))
+        .withColumn("conv_from_first",
+          round(col("n_users").cast("double")
+            / first("n_users").over(Window.orderBy("stage")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+            6))
+        .orderBy("stage")
+    }),
+
+    // Trailing 1-hour moving aggregate via a RANGE window frame — the
+    // time-based frame (rangeBetween on event-time micros) that rows-
+    // based frames cannot express: every event sees the exact set of
+    // same-user events in (t − 1 h, t]. Sums run in DECIMAL so the
+    // answer is independent of how ties order inside the frame; the
+    // frame is per-user (high-cardinality key), so at 100 TB this is
+    // one keyed shuffle + a per-partition sorted scan, no global sort.
+    // Output is one row per event (the enriched-stream shape).
+    "q112_trailing_window" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("us"))
+        .rangeBetween(-3600L * 1000000L, 0)
+      Tables(s, dir).events
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"), col("value"))
+        .withColumn("n_1h", count(lit(1)).over(w))
+        .withColumn("sum_1h", asD(sum(dPrice(col("value"))).over(w)))
+        .select(col("user_id"), col("event_id"), col("us"),
+          col("n_1h"), col("sum_1h"))
+        .orderBy("user_id", "us", "event_id")
+    }),
+
     // Robust outlier gate (data-quality tier): per-type exact median and
     // MAD via q50's sort-based ranked form — engine-definition-
     // independent by construction (rank FLOOR((n+1)/2) under a total
@@ -388,6 +448,46 @@ object EventOps {
         | cohort_size,
         | ROUND(CAST(n_users AS DOUBLE) / cohort_size, 6) AS retention
         |FROM s ORDER BY cohort_week, week_offset""".stripMargin,
+
+    // same staged first-event chain in µs on both engines
+    "q109_funnel" ->
+      """WITH e AS (
+        | SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |v AS (
+        | SELECT user_id, MIN(us) AS t_view FROM e
+        | WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        | SELECT e.user_id, MIN(us) AS t_click
+        | FROM e JOIN v ON e.user_id = v.user_id
+        | WHERE event_type = 'click' AND us >= t_view GROUP BY e.user_id),
+        |p AS (
+        | SELECT e.user_id, MIN(us) AS t_purchase
+        | FROM e JOIN c ON e.user_id = c.user_id
+        | WHERE event_type = 'purchase' AND us >= t_click GROUP BY e.user_id),
+        |st AS (
+        | SELECT 1 AS stage, 'view' AS step,
+        |        (SELECT COUNT(*) FROM v) AS n_users
+        | UNION ALL
+        | SELECT 2, 'click_after_view', (SELECT COUNT(*) FROM c)
+        | UNION ALL
+        | SELECT 3, 'purchase_after_click', (SELECT COUNT(*) FROM p))
+        |SELECT CAST(stage AS BIGINT) AS stage, step,
+        | CAST(n_users AS BIGINT) AS n_users,
+        | ROUND(CAST(n_users AS DOUBLE)
+        |   / FIRST_VALUE(n_users) OVER (ORDER BY stage), 6)
+        |   AS conv_from_first
+        |FROM st ORDER BY stage""".stripMargin,
+
+    // identical RANGE frame on epoch micros; decimal window sums
+    "q112_trailing_window" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS us,
+        | COUNT(*) OVER w AS n_1h,
+        | CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w
+        |   AS DECIMAL(38,6)) AS DOUBLE) AS sum_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, us, event_id""".stripMargin,
 
     // identical ranked-median/MAD construction; FLOOR on the mid rank
     // (DuckDB's double→BIGINT cast rounds, Spark's truncates)

@@ -178,6 +178,63 @@ object Extras {
 
     // Explicit GROUPING SETS through the spark.sql text entry point —
     // subtotal rows labeled via grouping() exactly like q07/q08.
+    // Column-statistics profile — the ANALYZE TABLE pass every
+    // cost-based layer (CBO, file skipping, AQE thresholds) feeds on:
+    // count / nulls / NDV / min / max / mean for each numeric measure,
+    // collected in ONE corpus scan (a single aggregate computes every
+    // column's stats side by side; `stack` reshapes the 1-row result to
+    // the per-column long form — bounded, driver-free). Means run in
+    // exact decimal; NDV is exact distinct here, with q40's HLL as the
+    // declared 100 TB swap for ultra-wide profiling.
+    "q110_table_stats" -> ((s, dir) => {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val aggs = cols.flatMap { c =>
+        Seq(count(col(c)).as(s"n_$c"),
+          count(when(col(c).isNull, lit(1))).as(s"nn_$c"),
+          countDistinct(col(c)).as(s"nd_$c"),
+          min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c"),
+          // exact decimal sum → double BEFORE the divide (decimal
+          // division scale rules differ across engines; double ops
+          // on identical operands do not)
+          round(sum(col(c).cast("decimal(18,4)")).cast("decimal(38,6)")
+            .cast("double") / count(col(c)).cast("double"), 6)
+            .as(s"av_$c"))
+      }
+      val one = Tables(s, dir).lineitem.agg(aggs.head, aggs.tail: _*)
+      val stackExpr = cols.map(c =>
+        s"'$c', n_$c, nn_$c, nd_$c, mn_$c, mx_$c, av_$c").mkString(", ")
+      one.selectExpr(
+        s"stack(${cols.size}, $stackExpr) as " +
+          "(col_name, n, n_null, n_distinct, min_v, max_v, mean_v)")
+        .orderBy("col_name")
+    }),
+
+    // Dictionary-bounded fuzzy (edit-distance) self-join — catalog-string
+    // near-dup for SHORT strings, the deterministic complement of the
+    // LSH families: extract the distinct-name dictionary (bounded by
+    // vocabulary, NOT corpus size — 20 k parts share ~90 names), verify
+    // all dictionary pairs within a length band with exact levenshtein
+    // ≤ 2, and weight each pair by how many rows it would link. The
+    // all-pairs step is over the broadcast dictionary only (a
+    // BroadcastNestedLoopJoin with the length-band prefilter inside it);
+    // the corpus contributes one distinct-count aggregate. At 100 TB the
+    // dictionary is still dictionary-sized, so the plan is unchanged.
+    "q111_fuzzy_join" -> ((s, dir) => {
+      val names = Tables(s, dir).part
+        .groupBy(col("p_name").as("name"))
+        .agg(count(lit(1)).as("n_rows"))
+      val a = names.select(col("name").as("na"), col("n_rows").as("ra"))
+      val b = names.select(col("name").as("nb"), col("n_rows").as("rb"))
+      a.join(broadcast(b),
+          col("na") < col("nb") &&
+          abs(length(col("na")) - length(col("nb"))) <= 2)
+        .withColumn("dist", levenshtein(col("na"), col("nb")))
+        .where(col("dist") <= 2)
+        .select(col("na"), col("nb"), col("dist"),
+          (col("ra") * col("rb")).as("n_linked_pairs"))
+        .orderBy("na", "nb")
+    }),
+
     "q49_grouping_sets" -> ((s, dir) => {
       Tables(s, dir).orders.createOrReplaceTempView("orders_q49")
       s.sql(
@@ -266,5 +323,34 @@ object Extras {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY status NULLS LAST, priority NULLS LAST""".stripMargin,
+
+    // one stats row per column via UNION ALL; identical exact-decimal
+    // means cast to DOUBLE before the divide
+    "q110_table_stats" -> Seq(
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax").map { c =>
+      s"""SELECT '$c' AS col_name, COUNT($c) AS n,
+         | COUNT(*) FILTER ($c IS NULL) AS n_null,
+         | COUNT(DISTINCT $c) AS n_distinct,
+         | MIN($c) AS min_v, MAX($c) AS max_v,
+         | ROUND(CAST(CAST(SUM(CAST($c AS DECIMAL(18,4)))
+         |     AS DECIMAL(38,6)) AS DOUBLE)
+         |   / CAST(COUNT($c) AS DOUBLE), 6) AS mean_v
+         |FROM lineitem""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
+
+    // same dictionary pairs + levenshtein verify (identical distance
+    // definition in both engines)
+    "q111_fuzzy_join" ->
+      """WITH names AS (
+        | SELECT p_name AS name, COUNT(*) AS n_rows FROM part
+        | GROUP BY p_name)
+        |SELECT a.name AS na, b.name AS nb,
+        | CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist,
+        | a.n_rows * b.n_rows AS n_linked_pairs
+        |FROM names a JOIN names b
+        |  ON a.name < b.name
+        | AND ABS(LENGTH(a.name) - LENGTH(b.name)) <= 2
+        |WHERE levenshtein(a.name, b.name) <= 2
+        |ORDER BY na, nb""".stripMargin,
   )
 }

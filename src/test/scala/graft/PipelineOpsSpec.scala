@@ -148,6 +148,102 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  // --- q109 funnel ----------------------------------------------------
+
+  test("q109: stage counts match a per-user replay and never increase") {
+    val out = EventOps.queries("q109_funnel")(s, sfDir).collect()
+      .map(r => r.getAs[Long]("stage") -> r.getAs[Long]("n_users")).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L) >= out(2L) && out(2L) >= out(3L))
+    val ev = s.read.parquet(s"$sfDir/events.parquet")
+      .selectExpr("user_id", "event_type", "ts div 1000 as us").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+        r.getAs[Long]("us")))
+    val byUser = ev.groupBy(_._1)
+    def firstAt(tpe: String, rows: Array[(Long, String, Long)],
+        lb: Option[Long]): Option[Long] = lb.flatMap { t =>
+      val c = rows.filter(r => r._2 == tpe && r._3 >= t)
+      if (c.isEmpty) None else Some(c.map(_._3).min)
+    }
+    val views = byUser.flatMap { case (_, rows) =>
+      val v = rows.filter(_._2 == "view")
+      if (v.isEmpty) None else Some(rows -> v.map(_._3).min)
+    }.toSeq
+    val clicks = views.flatMap { case (rows, tv) =>
+      firstAt("click", rows, Some(tv)).map(rows -> _) }
+    val buys = clicks.flatMap { case (rows, tc) =>
+      firstAt("purchase", rows, Some(tc)) }
+    assert(out(1L) == views.size && out(2L) == clicks.size &&
+      out(3L) == buys.size)
+  }
+
+  // --- q110 table stats ----------------------------------------------
+
+  test("q110: stats match a collected-column model") {
+    val got = graft.queries.Extras.queries("q110_table_stats")(s, sfDir)
+      .collect().map(r => r.getAs[String]("col_name") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("n_distinct"),
+          r.getAs[Double]("min_v"), r.getAs[Double]("max_v"))).toMap
+    val li = s.read.parquet(s"$sfDir/lineitem.parquet")
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").foreach {
+      c =>
+        val vals = li.select(c).collect().map(_.getDouble(0))
+        val (n, nd, mn, mx) = got(c)
+        assert(n == vals.length && nd == vals.distinct.length)
+        assert(mn == vals.min && mx == vals.max, c)
+    }
+  }
+
+  // --- q111 fuzzy join -----------------------------------------------
+
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("q111: pairs match a local levenshtein over the name dictionary") {
+    val got = graft.queries.Extras.queries("q111_fuzzy_join")(s, sfDir)
+      .collect().map(r => (r.getAs[String]("na"), r.getAs[String]("nb")) ->
+        r.getAs[Int]("dist")).toMap
+    val names = s.read.parquet(s"$sfDir/part.parquet")
+      .select("p_name").collect().map(_.getString(0)).distinct.sorted
+    val want = (for {
+      a <- names; b <- names
+      if a < b && math.abs(a.length - b.length) <= 2
+      d = lev(a, b) if d <= 2
+    } yield (a, b) -> d).toMap
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  // --- q112 trailing window ------------------------------------------
+
+  test("q112: trailing sums match a brute-force per-user replay") {
+    val got = EventOps.queries("q112_trailing_window")(s, sfDir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id")) ->
+        (r.getAs[Long]("n_1h"), r.getAs[Double]("sum_1h"))).toMap
+    val ev = s.read.parquet(s"$sfDir/events.parquet")
+      .selectExpr("user_id", "event_id", "ts div 1000 as us", "value")
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[Long]("us"), r.getAs[Double]("value")))
+    ev.groupBy(_._1).foreach { case (_, rows) =>
+      rows.foreach { case (u, id, us, _) =>
+        val frame = rows.filter(r => r._3 <= us && r._3 >= us - 3600000000L)
+        val sum = frame.map(r =>
+            BigDecimal(r._4).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+          .sum.toDouble
+        val (n, sm) = got((u, id))
+        assert(n == frame.length && sm == sum, s"user $u event $id")
+      }
+    }
+  }
+
   // --- q108 MAD outliers ---------------------------------------------
 
   test("q108: median/MAD/outlier counts match a sorted-array model") {
