@@ -54,6 +54,16 @@ object EventStreams {
       .select(col("c.user_id").as("user_id"), col("c.ts").as("click_ts"),
         col("p.ts").as("purchase_ts"))
 
+  /** Stream-static broadcast enrichment — the dimension join every
+    * ingest path runs: each micro-batch joins the (re-read) static dim
+    * frame, broadcast, with NO streaming state and no watermark
+    * requirement. At 100 TB of stream this is the same plan per batch:
+    * the dim stays dims-sized; updating the static table between
+    * batches is picked up on the next micro-batch (the standard
+    * slowly-refreshing-dimension pattern). */
+  def enrichWithDim(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), "event_type")
+
   final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class UserAgg(n: Long, total: Double)
 

@@ -54,6 +54,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(n === 2L)
   }
 
+  test("stream-static broadcast enrichment joins the dim every micro-batch") {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dim = Seq(("click", 1.5), ("view", 0.5)).toDF("event_type", "weight")
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val df = in.toDF().toDF("event_id", "ts", "event_type")
+    val q = EventStreams.enrichWithDim(df, dim)
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    in.addData((1L, ts(1, 1), "click"), (2L, ts(1, 2), "view"))
+    q.processAllAvailable()
+    in.addData((3L, ts(1, 3), "click"), (4L, ts(1, 4), "signup"))
+    q.processAllAvailable()
+    val rows = s.table("enriched").collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("weight"))
+      .toSet
+    q.stop()
+    // inner dim join: the un-dimensioned 'signup' event drops; both
+    // batches enriched with the same static values
+    assert(rows === Set(1L -> 1.5, 2L -> 0.5, 3L -> 1.5))
+  }
+
   test("stream-stream interval join matches purchases within 30 min of a click") {
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
