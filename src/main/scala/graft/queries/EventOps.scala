@@ -244,21 +244,24 @@ object EventOps {
         df.agg(count(lit(1)).as("n_users"))
           .select(lit(rank.toLong).as("stage"), lit(name).as("step"),
             col("n_users"))
+      val firstN = first("n_users").over(Window.orderBy("stage")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
       stage(1, "view", v)
         .unionByName(stage(2, "click_after_view", c))
         .unionByName(stage(3, "purchase_after_click", p))
+        // zero-guard: a corpus with no stage-1 events would otherwise
+        // divide 0/0 — NULL rate on both engines instead of divergence
         .withColumn("conv_from_first",
-          round(col("n_users").cast("double")
-            / first("n_users").over(Window.orderBy("stage")
-                .rowsBetween(Window.unboundedPreceding, Window.currentRow)),
-            6))
+          when(firstN > 0,
+            round(col("n_users").cast("double") / firstN, 6)))
         .orderBy("stage")
     }),
 
     // Trailing 1-hour moving aggregate via a RANGE window frame — the
     // time-based frame (rangeBetween on event-time micros) that rows-
     // based frames cannot express: every event sees the exact set of
-    // same-user events in (t − 1 h, t]. Sums run in DECIMAL so the
+    // same-user events in the CLOSED interval [t − 1 h, t] (an event
+    // exactly one hour older is included). Sums run in DECIMAL so the
     // answer is independent of how ties order inside the frame; the
     // frame is per-user (high-cardinality key), so at 100 TB this is
     // one keyed shuffle + a per-partition sorted scan, no global sort.
@@ -283,7 +286,10 @@ object EventOps {
     // rounds where Spark's truncates) — then the standard robust z-score
     // gate |v − med| > 3·1.4826·MAD. Two ranked windows (each one keyed
     // shuffle), two broadcast rejoins of 5-row frames, one final
-    // aggregate. The constant 4.4478 = 3 × 1.4826 is exact in decimal so
+    // aggregate; the deviation frame feeds BOTH the MAD ranking and the
+    // final gate, so it is lazily checkpointed once (the q104 reuse
+    // discipline) instead of re-running the scan + median join per
+    // consumer. The constant 4.4478 = 3 × 1.4826 is exact in decimal so
     // both engines parse the identical double.
     "q108_mad_outliers" -> ((s, dir) => {
       val ev = Tables(s, dir).events
@@ -298,6 +304,7 @@ object EventOps {
         .select(col("event_type"), col("value").as("med"))
       val dev = ev.join(broadcast(med), "event_type")
         .withColumn("adev", abs(col("value") - col("med")))
+        .localCheckpoint(false)
       val wd = Window.partitionBy("event_type").orderBy("adev", "event_id")
       val mad = dev.withColumn("rn", row_number().over(wd))
         .withColumn("n", count(lit(1)).over(wn))
@@ -473,9 +480,10 @@ object EventOps {
         | SELECT 3, 'purchase_after_click', (SELECT COUNT(*) FROM p))
         |SELECT CAST(stage AS BIGINT) AS stage, step,
         | CAST(n_users AS BIGINT) AS n_users,
-        | ROUND(CAST(n_users AS DOUBLE)
-        |   / FIRST_VALUE(n_users) OVER (ORDER BY stage), 6)
-        |   AS conv_from_first
+        | CASE WHEN FIRST_VALUE(n_users) OVER (ORDER BY stage) > 0
+        |      THEN ROUND(CAST(n_users AS DOUBLE)
+        |             / FIRST_VALUE(n_users) OVER (ORDER BY stage), 6)
+        | END AS conv_from_first
         |FROM st ORDER BY stage""".stripMargin,
 
     // identical RANGE frame on epoch micros; decimal window sums

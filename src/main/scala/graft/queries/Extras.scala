@@ -220,9 +220,13 @@ object Extras {
     // the corpus contributes one distinct-count aggregate. At 100 TB the
     // dictionary is still dictionary-sized, so the plan is unchanged.
     "q111_fuzzy_join" -> ((s, dir) => {
+      // dictionary aggregated ONCE (lazy checkpoint) — as two live
+      // subtrees the corpus scan + groupBy would plan twice, since the
+      // broadcast side's exchange cannot be reused by the probe side
       val names = Tables(s, dir).part
         .groupBy(col("p_name").as("name"))
         .agg(count(lit(1)).as("n_rows"))
+        .localCheckpoint(false)
       val a = names.select(col("name").as("na"), col("n_rows").as("ra"))
       val b = names.select(col("name").as("nb"), col("n_rows").as("rb"))
       a.join(broadcast(b),

@@ -204,13 +204,17 @@ object ScaleOps {
         .select(col("l_partkey").bitwiseAND(lit(65535L)).as("x"),
           col("l_suppkey").bitwiseAND(lit(65535L)).as("y"))
         .withColumn("z", interleave(col("x"), 0) + interleave(col("y"), 1))
-      val zc = base.select(lit("zorder").as("scheme"),
-        shiftrightunsigned(col("z"), 2 * Z_BITS - 6).as("cell"),
-        col("x"), col("y"))
-      val lc = base.select(lit("linear").as("scheme"),
-        shiftrightunsigned(col("x"), Z_BITS - 6).as("cell"),
-        col("x"), col("y"))
-      zc.unionByName(lc)
+      // ONE corpus scan: each row emits its (scheme, cell) pair for both
+      // layouts in-flight (explode over a 2-element literal array) — a
+      // self-union would plan the scan + interleave projection twice
+      base
+        .select(col("x"), col("y"), explode(array(
+          struct(lit("zorder").as("scheme"),
+            shiftrightunsigned(col("z"), 2 * Z_BITS - 6).as("cell")),
+          struct(lit("linear").as("scheme"),
+            shiftrightunsigned(col("x"), Z_BITS - 6).as("cell")))).as("sc"))
+        .select(col("sc.scheme").as("scheme"), col("sc.cell").as("cell"),
+          col("x"), col("y"))
         .groupBy("scheme", "cell")
         .agg(count(lit(1)).as("n"),
           (max("x") - min("x")).as("x_span"),
@@ -340,11 +344,11 @@ object ScaleOps {
          | FROM lineitem),
          |z AS (SELECT x, y, $terms AS z FROM p),
          |u AS (
-         | SELECT 'zorder' AS scheme, z >> ${2 * Z_BITS - 6} AS cell, x, y
-         | FROM z
-         | UNION ALL
-         | SELECT 'linear' AS scheme, x >> ${Z_BITS - 6} AS cell, x, y
-         | FROM z)
+         | SELECT s.scheme,
+         |  CASE s.scheme WHEN 'zorder' THEN z >> ${2 * Z_BITS - 6}
+         |       ELSE x >> ${Z_BITS - 6} END AS cell,
+         |  x, y
+         | FROM z CROSS JOIN (VALUES ('zorder'), ('linear')) s(scheme))
          |SELECT scheme, CAST(cell AS BIGINT) AS cell, COUNT(*) AS n,
          | CAST(MAX(x) - MIN(x) AS BIGINT) AS x_span,
          | CAST(MAX(y) - MIN(y) AS BIGINT) AS y_span

@@ -702,10 +702,15 @@ object TextOps {
     // with w = n_chars — the monotone twin of u^(1/w), so the top-K keys
     // per stratum ARE a weighted sample without replacement: longer docs
     // proportionally likelier, yet the same docs win at any parallelism
-    // on any cluster (q67's determinism, now weight-aware). The key is
-    // rounded at 12 dp with doc_id tiebreak so cross-engine libm noise
-    // cannot flip a rank. One projection + one per-stratum top-K window
-    // — no shuffle beyond the stratum partition.
+    // on any cluster (q67's determinism, now weight-aware). Cross-engine
+    // caveat (the q82 ln precedent): ln is transcendental, so the two
+    // engines' libm may differ in the last ulp; the 12-dp quantization +
+    // doc_id tiebreak leaves a rank flip possible only when the true key
+    // sits within ~1 ulp (≈1e-19) of a 5e-13 rounding boundary —
+    // vanishing in practice (hash-verified at sf0.01 and sf0.1), but
+    // quantization narrows rather than eliminates the window. One
+    // projection + one per-stratum top-K window — no shuffle beyond the
+    // stratum partition.
     "q107_weighted_sample" -> ((s, dir) => {
       val m = pmod(h48("wsamp:", col("doc_id").cast("string")), lit(1000000L))
       val u = (m.cast("double") + lit(0.5)) / lit(1000000.0)

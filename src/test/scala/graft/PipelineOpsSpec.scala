@@ -182,15 +182,29 @@ class PipelineOpsSpec extends AnyFunSuite {
   test("q110: stats match a collected-column model") {
     val got = graft.queries.Extras.queries("q110_table_stats")(s, sfDir)
       .collect().map(r => r.getAs[String]("col_name") ->
-        (r.getAs[Long]("n"), r.getAs[Long]("n_distinct"),
-          r.getAs[Double]("min_v"), r.getAs[Double]("max_v"))).toMap
+        (r.getAs[Long]("n"), r.getAs[Long]("n_null"),
+          r.getAs[Long]("n_distinct"),
+          r.getAs[Double]("min_v"), r.getAs[Double]("max_v"),
+          r.getAs[Double]("mean_v"))).toMap
     val li = s.read.parquet(s"$sfDir/lineitem.parquet")
     Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").foreach {
       c =>
-        val vals = li.select(c).collect().map(_.getDouble(0))
-        val (n, nd, mn, mx) = got(c)
-        assert(n == vals.length && nd == vals.distinct.length)
+        val raw = li.select(c).collect().map(r =>
+          if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+        val vals = raw.flatten
+        val (n, nn, nd, mn, mx, av) = got(c)
+        assert(n == vals.length && nn == raw.count(_.isEmpty))
+        assert(nd == vals.distinct.length)
         assert(mn == vals.min && mx == vals.max, c)
+        // the query's exact arithmetic, replayed: decimal(18,4) quantize
+        // per value (HALF_UP, like Spark's cast), exact sum, double
+        // divide, round 6
+        val want = BigDecimal(
+          vals.map(v => BigDecimal(v)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+            / vals.length)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(av == want, s"$c mean: $av vs $want")
     }
   }
 
