@@ -85,7 +85,11 @@ object Bench {
       samples.collectFirst { case (_, _, Left(err)) => err }.foreach(err =>
         System.err.println(s"[bench] $name FAILED: $err"))
       val ts = samples.map(_._1).sorted
-      val median = ts(ts.size / 2)
+      // true median: average the two middles on even counts (the
+      // upper-middle alone biases even-count queries upward)
+      val median =
+        if (ts.size % 2 == 1) ts(ts.size / 2)
+        else (ts(ts.size / 2 - 1) + ts(ts.size / 2)) / 2.0
       val min = ts.head
       val meanLoad = samples.map(_._2).sum / samples.size
       (name, median, min, meanLoad, samples.size,
@@ -95,7 +99,10 @@ object Bench {
       results.map(r => "\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
     val qs = m(r => r._2.toString)
     val qmin = m(r => r._3.toString)
-    val loads = m(r => f"${r._4}%.2f")
+    // Locale.ROOT: a comma-decimal default locale would emit 0,52 and
+    // break the JSON record
+    val loads = m(r =>
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(r._4)))
     val nsamp = m(r => r._5.toString)
     val failed = results.filterNot(_._6).map(r => "\"" + r._1 + "\"")
       .mkString("[", ",", "]")

@@ -37,6 +37,10 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan,
   * long-backed (LongType / TimestampType); `rightTie` breaks ties among
   * equal (keys, ts) right rows — the row LAST in (ts, tie) ascending
   * order wins, making the match deterministic when timestamps collide.
+  * NULL keys follow SQL equality: a left row with any null key component
+  * emits the null-extended row, and null-keyed right rows match nothing
+  * (the exec skips them explicitly — the natural row ordering would
+  * otherwise compare NULL equal to NULL; AsOfJoinSpec pins this).
   */
 final case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
@@ -118,15 +122,27 @@ final case class AsOfJoinExec(leftKeys: Seq[Expression],
       var rNext: InternalRow = null
       var rNextKey: UnsafeRow = null // copied: rKeyProj reuses its buffer
       var rNextTs = 0L
-      def advance(): Unit =
-        if (ri.hasNext) {
+      // SQL equality semantics: a NULL key component never equals
+      // anything — right rows with a null key are skipped (they could
+      // otherwise match null-keyed left rows, since the natural row
+      // ordering compares nulls EQUAL), and null-keyed left rows emit
+      // the null-extended row without consuming the right side. Both
+      // sides sort nulls first, so the skips happen before real keys.
+      def advance(): Unit = {
+        rNext = null
+        while (rNext == null && ri.hasNext) {
           rNext = ri.next()
           rNextKey = rKeyProj(rNext).copy()
-          rNextTs = rTsProj(rNext).getLong(0)
-        } else rNext = null
+          if (rNextKey.anyNull) rNext = null
+          else rNextTs = rTsProj(rNext).getLong(0)
+        }
+      }
       advance()
       li.map { l =>
         val lk = lKeyProj(l) // reused buffer; only compared this iteration
+        if (lk.anyNull) {
+          resultProj(joined(l, nullRight))
+        } else {
         val lts = lTsProj(l).getLong(0)
         if (matchRow != null && !matchKey.equals(lk)) {
           matchRow = null; matchKey = null
@@ -144,6 +160,7 @@ final case class AsOfJoinExec(leftKeys: Seq[Expression],
           cmp = if (rNext == null) 1 else keyOrd.compare(rNextKey, lk)
         }
         resultProj(joined(l, if (matchRow != null) matchRow else nullRight))
+        }
       }
     }
   }

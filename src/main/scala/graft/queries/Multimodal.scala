@@ -122,8 +122,17 @@ object Multimodal {
         java.lang.Integer.toHexString(dir.hashCode)
       val p = java.nio.file.Paths.get(outDir)
       if (java.nio.file.Files.exists(p)) {
-        val it = java.nio.file.Files.list(p).iterator()
-        while (it.hasNext) java.nio.file.Files.delete(it.next())
+        // close the directory stream (Files.list holds an fd) and skip
+        // any stray subdirectory (e.g. a crashed write's _temporary/)
+        val st = java.nio.file.Files.list(p)
+        try {
+          val it = st.iterator()
+          while (it.hasNext) {
+            val f = it.next()
+            if (!java.nio.file.Files.isDirectory(f))
+              java.nio.file.Files.delete(f)
+          }
+        } finally st.close()
       } else java.nio.file.Files.createDirectories(p)
       Tables(s, dir).documents
         .select(col("doc_id"), ppmPayload.as("payload"))

@@ -64,6 +64,16 @@ object TextOps {
   private[graft] def h48(prefix: String, c: Column): Column =
     conv(substring(md5(concat(lit(prefix), c)), 1, 12), 16, 10).cast("long")
 
+  /** THE 80/10/10 train/val/test assignment (md5 bucket of `c` under
+    * `prefix`, 0–79 → train, 80–89 → val, 90–99 → test). One definition
+    * shared by q66/q76/q81/q102 — the decontamination and straddle
+    * claims are about the REAL split only while every consumer uses
+    * this exact expression (ADVICE-style drift guard, like h48). */
+  private[graft] def splitOf(c: Column, prefix: String): Column = {
+    val b = pmod(h48(prefix, c.cast("string")), lit(100L))
+    when(b < 80, "train").when(b < 90, "val").otherwise("test")
+  }
+
   /** q29 core (shared with q65): exact shingle-Jaccard pairs over the
     * df-capped posting lists — pairs sharing ≥2 shingles, similarity
     * ≥ 0.05, columns (da, db, jaccard). The df cap rides the same sh-hash
@@ -335,10 +345,6 @@ object TextOps {
         .select(col("da").as("u"), col("db").as("v"))
       val labels = Components.starContraction(edges)
         .select(col("doc_id"), col("label"))
-      def splitOf(c: Column, prefix: String) = {
-        val b = pmod(h48(prefix, c.cast("string")), lit(100L))
-        when(b < 80, "train").when(b < 90, "val").otherwise("test")
-      }
       val tagged = docs(s, dir).select(col("doc_id"))
         .join(labels, Seq("doc_id"), "left")
         .select(col("doc_id"),
@@ -366,10 +372,8 @@ object TextOps {
     // cluster sizes, which is how real pipelines split): bucket =
     // h48(doc_id) mod 100 → 80/10/10. Output: per-(lang, split) counts.
     "q66_hash_split" -> ((s, dir) => {
-      val b = pmod(h48("split:", col("doc_id").cast("string")), lit(100L))
-      val split = when(b < 80, "train").when(b < 90, "val").otherwise("test")
       docs(s, dir)
-        .select(col("lang"), split.as("split"))
+        .select(col("lang"), splitOf(col("doc_id"), "split:").as("split"))
         .groupBy("lang", "split")
         .agg(count(lit(1)).as("n"))
         .orderBy("lang", "split")
@@ -422,10 +426,9 @@ object TextOps {
       val deduped = kept
         .withColumn("mn", min("doc_id").over(Window.partitionBy("h")))
         .where(col("doc_id") === col("mn"))
-      val b = pmod(h48("split:", col("doc_id").cast("string")), lit(100L))
-      val part = when(b < 80, "train").when(b < 90, "val").otherwise("test")
       deduped
-        .select(col("lang"), part.as("split"), col("n_chars"))
+        .select(col("lang"),
+          splitOf(col("doc_id"), "split:").as("split"), col("n_chars"))
         .groupBy("lang", "split")
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
         .orderBy("lang", "split")
@@ -443,9 +446,8 @@ object TextOps {
     // pair generation is the bucketed q29 plan; the split join is a
     // broadcast-size id→split map per side at any corpus size.
     "q81_decontamination" -> ((s, dir) => {
-      val b = pmod(h48("split:", col("doc_id").cast("string")), lit(100L))
-      val sp = when(b < 80, "train").when(b < 90, "val").otherwise("test")
-      val assign = docs(s, dir).select(col("doc_id"), sp.as("split"))
+      val assign = docs(s, dir).select(col("doc_id"),
+        splitOf(col("doc_id"), "split:").as("split"))
       val oriented = jaccardPairs(s, dir)
         .join(assign.select(col("doc_id").as("da"), col("split").as("sa")),
           "da")
