@@ -22,6 +22,48 @@ class StreamReplaySpec extends AnyFunSuite {
   private lazy val s = TestSpark.spark
   private val SF_DIR = "/root/testdata/sf0.01"
 
+  test("mapGroupsWithState state survives a query restart from checkpoint") {
+    // fault-tolerance proof: run the stateful plan against a file
+    // source with a checkpoint, STOP the query, land a new batch while
+    // it is down, restart the same plan on the same checkpoint — the
+    // restarted query must (a) process only the new file and (b) carry
+    // the per-user running totals accumulated before the stop. Sink is
+    // foreachBatch (the recovery-capable sink for Update mode).
+    import s.implicits._
+    val root = Files.createTempDirectory("graft_ckpt")
+    val inDir = root.resolve("in"); Files.createDirectories(inDir)
+    val ckpt = root.resolve("ckpt").toString
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    def land(rows: Seq[(Long, java.sql.Timestamp, Double)]): Unit =
+      rows.toDF("user_id", "ts", "value").coalesce(1)
+        .write.mode("append").parquet(inDir.toString)
+    land(Seq((1L, ts(1), 10.0), (1L, ts(2), 5.0), (2L, ts(3), 1.0)))
+    val schema = s.read.parquet(inDir.toString).schema
+    val out = scala.collection.mutable.Set[(Long, Long, Double)]()
+    def run(): org.apache.spark.sql.streaming.StreamingQuery =
+      EventStreams.runningUserTotals(
+          s.readStream.schema(schema).parquet(inDir.toString)
+            .as[EventStreams.UserEvent])
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[(Long, Long, Double)],
+            _: Long) => out.synchronized { out ++= b.collect() }; () }
+        .option("checkpointLocation", ckpt)
+        .outputMode("update").start()
+    val q1 = run(); q1.processAllAvailable(); q1.stop()
+    val afterFirst = out.synchronized(out.toSet)
+    assert(afterFirst((1L, 2L, 15.0)) && afterFirst((2L, 1L, 1.0)))
+    out.synchronized(out.clear())
+    // the new batch lands while the query is DOWN
+    land(Seq((1L, ts(4), 2.0)))
+    val q2 = run(); q2.processAllAvailable(); q2.stop()
+    val afterRestart = out.synchronized(out.toSet)
+    // pre-stop state recovered: user 1's totals continue (2 + 1 events,
+    // 15 + 2 value); user 2 has no new events so emits nothing in Update
+    assert(afterRestart((1L, 3L, 17.0)),
+      s"state not recovered across restart: $afterRestart")
+    assert(!afterRestart.exists(_._1 == 2L))
+  }
+
   test("file-source replay closes exactly the watermark-passed windows") {
     // stage the single parquet file as a file-source directory
     val dir = Files.createTempDirectory("graft_stream_replay")
