@@ -120,7 +120,13 @@ final case class AsOfJoinExec(leftKeys: Seq[Expression],
       var matchRow: UnsafeRow = null
       var matchKey: UnsafeRow = null
       var rNext: InternalRow = null
-      var rNextKey: UnsafeRow = null // copied: rKeyProj reuses its buffer
+      // rNextKey ALIASES rKeyProj's reused buffer: it is only read
+      // (compared) before the next advance() overwrites it, so no copy is
+      // needed per right row — only a RETAINED key (matchKey, which must
+      // survive later advances) is copied, at the same site the matched
+      // row itself is. Keeps the merge at zero allocations per discarded
+      // or non-matching right row.
+      var rNextKey: UnsafeRow = null
       var rNextTs = 0L
       // SQL equality semantics: a NULL key component never equals
       // anything — right rows with a null key are skipped (they could
@@ -132,7 +138,7 @@ final case class AsOfJoinExec(leftKeys: Seq[Expression],
         rNext = null
         while (rNext == null && ri.hasNext) {
           rNext = ri.next()
-          rNextKey = rKeyProj(rNext).copy()
+          rNextKey = rKeyProj(rNext)
           if (rNextKey.anyNull) rNext = null
           else rNextTs = rTsProj(rNext).getLong(0)
         }
@@ -154,7 +160,7 @@ final case class AsOfJoinExec(leftKeys: Seq[Expression],
         while (rNext != null && (cmp < 0 || (cmp == 0 && rNextTs <= lts))) {
           if (cmp == 0) {
             matchRow = rNext.asInstanceOf[UnsafeRow].copy()
-            matchKey = rNextKey
+            matchKey = rNextKey.copy()
           }
           advance()
           cmp = if (rNext == null) 1 else keyOrd.compare(rNextKey, lk)

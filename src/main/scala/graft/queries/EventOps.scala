@@ -202,7 +202,11 @@ object EventOps {
       val first = wk.groupBy("user_id").agg(min("wk").as("cohort"))
       val g = wk.join(first, "user_id")
         .select(col("cohort"),
-          (datediff(col("wk"), col("cohort")) / lit(7)).cast("long")
+          // exact multiple of 7 today (both engines Monday-truncate), but
+          // FLOOR explicitly on BOTH sides: DuckDB's double→BIGINT cast
+          // ROUNDS where Spark's truncates, so a bare cast only works by
+          // the accident of the quotient being integral
+          floor(datediff(col("wk"), col("cohort")) / lit(7)).cast("long")
             .as("week_offset"))
         .groupBy("cohort", "week_offset")
         .agg(count(lit(1)).as("n_users")) // (user, wk) already distinct
@@ -441,8 +445,9 @@ object EventOps {
         |f AS (SELECT user_id, MIN(wk) AS cohort FROM wk GROUP BY user_id),
         |g AS (
         | SELECT f.cohort,
-        |  CAST(date_diff('day', CAST(f.cohort AS DATE), CAST(wk.wk AS DATE))
-        |       / 7 AS BIGINT) AS week_offset,
+        |  CAST(FLOOR(date_diff('day', CAST(f.cohort AS DATE),
+        |                       CAST(wk.wk AS DATE)) / 7) AS BIGINT)
+        |    AS week_offset,
         |  COUNT(*) AS n_users
         | FROM wk JOIN f ON wk.user_id = f.user_id
         | GROUP BY 1, 2),

@@ -266,12 +266,31 @@ object VectorOps {
     * partitioned write — and every later call probes only, so "build
     * once, probe many" is a measurable property: Bench's 2nd..nth samples
     * of q78 time the probe phase alone. Paths carry the per-JVM run token
-    * (Sinks.runToken) so concurrent sessions never collide. */
+    * (Sinks.runToken) so concurrent sessions never collide.
+    *
+    * The memo is keyed by sfDir and VALIDATED against the calling session:
+    * a hit is served only if it was built by this exact session object and
+    * that session is still alive; anything else (new session, stopped
+    * session) rebuilds and REPLACES the entry. This bounds the map at one
+    * live entry per sfDir and can never return a DataFrame bound to a
+    * stopped SparkContext — an identity-hash key could do both after GC
+    * reuses the hash or a session is stopped mid-JVM. */
   private val ivfIndexMemo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), (DataFrame, String)]
+    scala.collection.concurrent.TrieMap
+      .empty[String, (SparkSession, DataFrame, String)]
 
   private def ivfIndex(s: SparkSession, dir: String): (DataFrame, String) =
-    ivfIndexMemo.getOrElseUpdate((System.identityHashCode(s), dir), {
+    ivfIndexMemo.get(dir) match {
+      case Some((sess, cents, path))
+          if (sess eq s) && !sess.sparkContext.isStopped =>
+        (cents, path)
+      case _ =>
+        val built = buildIvfIndex(s, dir)
+        ivfIndexMemo.put(dir, (s, built._1, built._2))
+        built
+    }
+
+  private def buildIvfIndex(s: SparkSession, dir: String): (DataFrame, String) = {
       val (k, _) = kmGeom(s, dir)
       val base = emb(s, dir)
       // Eager checkpoint: the k-means chain runs here, at build time, and
@@ -286,7 +305,7 @@ object VectorOps {
         .select(col("vec_id"), col("e"), col("nrm"), col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(path)
       (cents, path)
-    })
+  }
 
   /** Brute-force best neighbor over the whole corpus for a bounded query
     * set — ground truth for recall@1. */

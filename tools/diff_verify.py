@@ -8,14 +8,18 @@ import pandas as pd
 
 a_dir, b_dir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
-names = sorted(d for d in os.listdir(a_dir)
-               if os.path.isdir(os.path.join(a_dir, d)))
+def qdirs(d):
+    return {x for x in os.listdir(d) if os.path.isdir(os.path.join(d, x))}
+# union of both sides: a query present in only one run (e.g. the other
+# crashed partway) must count as a failure, not vanish from the report
+names = sorted(qdirs(a_dir) | qdirs(b_dir))
 n_pass = n_fail = 0
 for name in names:
     pa = glob.glob(f"{a_dir}/{name}/*.parquet")
     pb = glob.glob(f"{b_dir}/{name}/*.parquet")
-    if not pb:
-        print(f"MISS {name}: absent in {b_dir}"); n_fail += 1; continue
+    if not pa or not pb:
+        side = a_dir if not pa else b_dir
+        print(f"MISS {name}: no parquet under {side}"); n_fail += 1; continue
     da = con.execute(f"SELECT * FROM read_parquet({pa!r})").df()
     db = con.execute(f"SELECT * FROM read_parquet({pb!r})").df()
     if sorted(da.columns) != sorted(db.columns):
