@@ -61,11 +61,13 @@ object VectorOps {
   private def h48(prefix: String, c: Column): Column =
     TextOps.h48(prefix, c)
 
-  /** Rademacher sign for (plane p, dimension pos): parity of the first
-    * hex digit of md5("p,pos") — a public, engine-independent derivation.
-    * Computed ONCE here and inlined as literal arrays in both the Spark
-    * plan and the DuckDB oracle, so the two engines share signs by
-    * construction (no runtime hashing in either plan). */
+  /** Rademacher sign for (plane p, dimension pos): parity of the UNICODE
+    * CODE POINT of the first hex character of md5("p,pos") — note: NOT
+    * the hex digit's numeric value ('b' (98, even) → −1 although 0xb is
+    * odd). Any independent re-derivation must reproduce exactly this
+    * char-code rule. Computed ONCE here and inlined as literal arrays in
+    * both the Spark plan and the DuckDB oracle, so the two engines share
+    * signs by construction (no runtime hashing in either plan). */
   private def planeSign(p: Int, pos: Int): Double = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$p,$pos".getBytes("UTF-8"))
@@ -265,30 +267,29 @@ object VectorOps {
     * call pays the whole build — k-means chain, home-cell assignment,
     * partitioned write — and every later call probes only, so "build
     * once, probe many" is a measurable property: Bench's 2nd..nth samples
-    * of q78 time the probe phase alone. Paths carry the per-JVM run token
-    * (Sinks.runToken) so concurrent sessions never collide.
+    * of q78 time the probe phase alone.
     *
-    * The memo is keyed by sfDir and VALIDATED against the calling session:
-    * a hit is served only if it was built by this exact session object and
-    * that session is still alive; anything else (new session, stopped
-    * session) rebuilds and REPLACES the entry. This bounds the map at one
-    * live entry per sfDir and can never return a DataFrame bound to a
-    * stopped SparkContext — an identity-hash key could do both after GC
-    * reuses the hash or a session is stopped mid-JVM. */
+    * The memo is keyed by (session object, sfDir): the session reference
+    * itself (identity equality — SparkSession doesn't override equals) is
+    * collision-proof because the map's strong reference keeps the object
+    * alive, unlike a bare identityHashCode which can recur after GC. Each
+    * entry's index PATH carries the per-JVM run token (Sinks.runToken)
+    * plus a per-BUILD monotonic id, so two live sessions in one JVM (or
+    * two builds by one session) never write or read the same directory.
+    * Entries whose session has been stopped are pruned on every access —
+    * the map holds at most one live entry per (live session, sfDir) and
+    * can never serve a DataFrame bound to a stopped SparkContext. */
   private val ivfIndexMemo =
     scala.collection.concurrent.TrieMap
-      .empty[String, (SparkSession, DataFrame, String)]
+      .empty[(SparkSession, String), (DataFrame, String)]
+  private val ivfBuildId = new java.util.concurrent.atomic.AtomicLong(0)
 
-  private def ivfIndex(s: SparkSession, dir: String): (DataFrame, String) =
-    ivfIndexMemo.get(dir) match {
-      case Some((sess, cents, path))
-          if (sess eq s) && !sess.sparkContext.isStopped =>
-        (cents, path)
-      case _ =>
-        val built = buildIvfIndex(s, dir)
-        ivfIndexMemo.put(dir, (s, built._1, built._2))
-        built
-    }
+  private def ivfIndex(s: SparkSession, dir: String): (DataFrame, String) = {
+    ivfIndexMemo.keysIterator
+      .filter(_._1.sparkContext.isStopped)
+      .foreach(ivfIndexMemo.remove)
+    ivfIndexMemo.getOrElseUpdate((s, dir), buildIvfIndex(s, dir))
+  }
 
   private def buildIvfIndex(s: SparkSession, dir: String): (DataFrame, String) = {
       val (k, _) = kmGeom(s, dir)
@@ -300,7 +301,8 @@ object VectorOps {
         .where(col("rn") === 1)
         .select(col("vec_id"), col("cid").as("cell"))
       val path = Sinks.runPath("graft_ivf_index") + "_" +
-        java.lang.Integer.toHexString(dir.hashCode)
+        java.lang.Integer.toHexString(dir.hashCode) + "_" +
+        ivfBuildId.incrementAndGet()
       base.join(home, "vec_id")
         .select(col("vec_id"), col("e"), col("nrm"), col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(path)
@@ -309,7 +311,12 @@ object VectorOps {
 
   /** Brute-force best neighbor over the whole corpus for a bounded query
     * set — ground truth for recall@1. */
-  private def bruteBest(s: SparkSession, dir: String, nq: Int): DataFrame = {
+  /** Shared brute-force scoring core (q34 + recall ground truth): exact
+    * cosine of the first `nq` query vectors against the whole corpus,
+    * ranked per query (cos desc, then id). ONE definition so the
+    * rounding/tie-break contract can never drift between the top-k query
+    * and the recall truth it is measured against. */
+  private def bruteRanked(s: SparkSession, dir: String, nq: Int): DataFrame = {
     val all = emb(s, dir)
     val q = all.select(col("vec_id").as("qid"), col("e").as("qe"),
       col("nrm").as("qn")).where(col("qid") < nq)
@@ -320,9 +327,12 @@ object VectorOps {
           .as("cos"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rn", row_number().over(w))
+  }
+
+  private def bruteBest(s: SparkSession, dir: String, nq: Int): DataFrame =
+    bruteRanked(s, dir, nq)
       .where(col("rn") === 1)
       .select(col("qid"), col("vec_id").as("tbest"))
-  }
 
   /** Lloyd iteration count (oracle unrolls the same number of CTEs). */
   private val KM_ITER = 3
@@ -395,7 +405,10 @@ object VectorOps {
       val base = emb(s, dir)
       val (cents, path) = ivfIndex(s, dir) // build once, memoized
       val idx = s.read
-        .schema("vec_id LONG, e ARRAY<DOUBLE>, nrm DOUBLE, cell INT")
+        // cell = a centroid's vec_id: LONG, like every id in the corpus —
+        // an INT here would fail the partition-value parse (silently
+        // dropping whole cells) once ids exceed 2^31
+        .schema("vec_id LONG, e ARRAY<DOUBLE>, nrm DOUBLE, cell LONG")
         .parquet(path)
       val probes = rankCells(base.select(col("vec_id"), col("e")), cents)
         .where(col("rn") <= np)
@@ -425,20 +438,12 @@ object VectorOps {
 
     // Brute-force cosine top-3 for a bounded query set (vec_id < 10) —
     // the exactness baseline every ANN variant is judged against.
-    "q34_cosine_topk" -> ((s, dir) => {
-      val all = emb(s, dir)
-      val q = all.select(col("vec_id").as("qid"), col("e").as("qe"),
-        col("nrm").as("qn")).where(col("qid") < 10)
-      val scored = broadcast(q).crossJoin(all)
-        .where(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id"),
-          round(dot(col("qe"), col("e")) / (col("qn") * col("nrm")), 6)
-            .as("cos"))
-      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
-      scored.withColumn("rank", row_number().over(w).cast("long"))
+    "q34_cosine_topk" -> ((s, dir) =>
+      bruteRanked(s, dir, 10)
+        .withColumn("rank", col("rn").cast("long"))
         .where(col("rank") <= 3)
-        .orderBy("qid", "rank")
-    }),
+        .select(col("qid"), col("vec_id"), col("cos"), col("rank"))
+        .orderBy("qid", "rank")),
 
     // Data-driven blocked nearest neighbor (the IVF-style scale path):
     // the cell is an 8-bit sign quantizer of the vector itself (256 cells
@@ -472,8 +477,14 @@ object VectorOps {
     // exact/MinHash/SimHash/Jaccard): LSH band buckets generate the
     // candidates (never all-pairs), the exact cosine ≥ TAU verifies, and
     // the dedup decision is keep-smallest-id — a vector is a duplicate
-    // iff some retained (smaller-id) vector is within TAU; dup_of is the
-    // smallest such partner, n_dups the number of them. Fully
+    // iff ANY smaller-id vector (itself a duplicate or not) is within
+    // TAU; dup_of is the smallest such partner, n_dups the number of
+    // them. This is the one-pass ANY-smaller-id policy (what a single
+    // groupBy computes at scale), NOT the sequential retained-set policy
+    // the streaming twin implements (streamingNearDup checks only
+    // RETAINED vectors, so on a chain a~b, b~c, a!~c the streaming side
+    // keeps c while this query marks it dup_of b) — the two differ by
+    // design on chains; each is pinned by its own oracle/spec. Fully
     // oracle-checked: DuckDB rebuilds the identical bucketed candidate
     // set from the same inlined hyperplane signs.
     "q75_embedding_near_dup" -> ((s, dir) =>
@@ -513,9 +524,13 @@ object VectorOps {
         .agg(count(lit(1)).as("n_queries"),
           count(col("m.best")).as("n_answered"),
           // per-answered rate: flatters a path that only answers easy
-          // queries, so it is NOT the headline —
-          round(count(when(col("m.best") === col("tbest"), lit(1)))
-            .cast("double") / count(col("m.best")), 4).as("recall_at_1"),
+          // queries, so it is NOT the headline — NULL (not 0/0=NaN) when
+          // a method answers nothing, matching the oracle's NULLIF: Spark
+          // double 0.0/0 is NaN while DuckDB division by zero is NULL,
+          // so the unguarded form hash-diverges exactly on degenerate data
+          when(count(col("m.best")) > 0,
+            round(count(when(col("m.best") === col("tbest"), lit(1)))
+              .cast("double") / count(col("m.best")), 4)).as("recall_at_1"),
           // — standard recall (missing answer = miss) is:
           round(count(when(col("m.best") === col("tbest"), lit(1)))
             .cast("double") / count(lit(1)), 4).as("recall_strict"))
@@ -530,7 +545,7 @@ object VectorOps {
     signs(p).map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
 
   private val E_CTE =
-    """e AS (
+    """e AS MATERIALIZED (
       | SELECT vec_id, embedding::DOUBLE[] AS e,
       |  SQRT(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
       | FROM embeddings)""".stripMargin
@@ -542,7 +557,7 @@ object VectorOps {
   }.mkString(" + ")
 
   private val BLOCKED_CTES =
-    s"""cells AS (
+    s"""cells AS MATERIALIZED (
        | SELECT vec_id, e, nrm, $CELL_SQL AS cell FROM e),
        |bpairs AS (
        | SELECT a.cell, a.vec_id, b.vec_id AS bid,
@@ -572,7 +587,7 @@ object VectorOps {
        | SELECT vec_id,
        |  $bandCols
        | FROM e),
-       |lbands AS (
+       |lbands AS MATERIALIZED (
        | SELECT vec_id, t.band, CASE t.band $bandCase END AS sig
        | FROM sigs CROSS JOIN range($BANDS) t(band)),
        |lbuck AS (
@@ -583,7 +598,7 @@ object VectorOps {
        | SELECT DISTINCT a.vec_id AS da, b.vec_id AS db
        | FROM lmem a JOIN lmem b
        |   ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id),
-       |lscored AS (
+       |lscored AS MATERIALIZED (
        | SELECT da, db,
        |  ROUND(list_dot_product(ea.e, eb.e) / (ea.nrm * eb.nrm), 6) AS cos
        | FROM lcand
@@ -662,7 +677,7 @@ object VectorOps {
     s"""$KK_CTE,
        |$C0_CTE,
        |${(1 to KM_ITER).map(kmIterSql).mkString(",\n")},
-       |pr AS (
+       |pr AS MATERIALIZED (
        | SELECT vec_id, cid, ROW_NUMBER() OVER (
        |   PARTITION BY vec_id ORDER BY d2, cid) AS rn
        | FROM (
@@ -798,7 +813,7 @@ object VectorOps {
          |SELECT method, COUNT(*) AS n_queries,
          | COUNT(best) AS n_answered,
          | ROUND(CAST(COUNT(*) FILTER (best = tbest) AS DOUBLE)
-         |       / COUNT(best), 4) AS recall_at_1,
+         |       / NULLIF(COUNT(best), 0), 4) AS recall_at_1,
          | ROUND(CAST(COUNT(*) FILTER (best = tbest) AS DOUBLE)
          |       / COUNT(*), 4) AS recall_strict
          |FROM ev GROUP BY method ORDER BY method""".stripMargin,

@@ -55,17 +55,21 @@ object EventStreams {
         col("p.ts").as("purchase_ts"))
 
   /** Stream-static broadcast enrichment — the dimension join every
-    * ingest path runs: each micro-batch joins the (re-read) static dim
-    * frame, broadcast, with NO streaming state and no watermark
-    * requirement. At 100 TB of stream this is the same plan per batch:
-    * the dim stays dims-sized; updating the static table between
-    * batches is picked up on the next micro-batch (the standard
-    * slowly-refreshing-dimension pattern). */
+    * ingest path runs: each micro-batch joins the static dim frame,
+    * broadcast, with NO streaming state and no watermark requirement.
+    * At 100 TB of stream this is the same plan per batch: the dim stays
+    * dims-sized. Refresh caveat: for a FILE-backed dim the cached file
+    * listing pins the snapshot at DataFrame creation — in-place updates
+    * are NOT picked up per batch (and deleting listed files fails the
+    * next batch); the per-batch-refresh pattern needs a catalog table
+    * (+ REFRESH TABLE) or a transactional table format. */
   def enrichWithDim(events: DataFrame, dim: DataFrame): DataFrame =
     events.join(broadcast(dim), "event_type")
 
   final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
-  final case class UserAgg(n: Long, total: Double)
+  /** maxTs = latest event time EVER seen for the key, carried so the
+    * event-time timeout is monotone across out-of-order micro-batches. */
+  final case class UserAgg(n: Long, total: Double, maxTs: Long)
 
   /** Custom keyed state via mapGroupsWithState: running per-user count and
     * value sum across micro-batches (Update mode).
@@ -87,15 +91,19 @@ object EventStreams {
           state.remove()
           (user, last.n, last.total)
         } else {
-          val prev = state.getOption.getOrElse(UserAgg(0L, 0.0))
+          val prev = state.getOption.getOrElse(UserAgg(0L, 0.0, Long.MinValue))
           var n = prev.n
           var total = prev.total
-          var maxTs = Long.MinValue
+          // max over ALL batches, not just this one: an out-of-order (but
+          // within-watermark) batch must never move the timeout BACKWARD,
+          // or the state expires before "1 h past the latest event" and a
+          // user's running total silently splits in two
+          var maxTs = prev.maxTs
           rows.foreach { r =>
             n += 1; total += r.value
             if (r.ts.getTime > maxTs) maxTs = r.ts.getTime
           }
-          state.update(UserAgg(n, total))
+          state.update(UserAgg(n, total, maxTs))
           // expire 1 h (event time) after this user's latest event
           state.setTimeoutTimestamp(maxTs + 3600L * 1000L)
           (user, n, total)
@@ -107,7 +115,8 @@ object EventStreams {
   /** −1 sentinels = "no retained near-duplicate in the bucket". */
   final case class DupVerdict(doc_id: Long, bucket: Long, dup_of: Long,
       hamming: Int)
-  final case class BucketState(docs: List[(Long, Long)])
+  /** maxTs: see UserAgg — keeps the bucket's event-time timeout monotone. */
+  final case class BucketState(docs: List[(Long, Long)], maxTs: Long)
 
   /** Streaming INGEST-TIME near-dup filter via flatMapGroupsWithState —
     * the streaming twin of the q54 batch SimHash near-dup: documents
@@ -143,7 +152,7 @@ object EventStreams {
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             var kept = state.getOption.map(_.docs).getOrElse(Nil)
-            var maxTs = Long.MinValue
+            var maxTs = state.getOption.map(_.maxTs).getOrElse(Long.MinValue)
             val out = Vector.newBuilder[DupVerdict]
             rows.toSeq.sortBy(_.doc_id).foreach { d =>
               if (d.ts.getTime > maxTs) maxTs = d.ts.getTime
@@ -158,7 +167,7 @@ object EventStreams {
                   if (kept.size < cap) kept = kept :+ ((d.doc_id, d.fp))
               }
             }
-            state.update(BucketState(kept))
+            state.update(BucketState(kept, maxTs))
             state.setTimeoutTimestamp(maxTs + 3600L * 1000L)
             out.result().iterator
           }
