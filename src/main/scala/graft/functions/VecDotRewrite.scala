@@ -34,6 +34,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * injected into EVERY session via GraftExtensions, so this equivalence
   * has to hold for arbitrary user data, not just this catalog's
   * fixed-width embeddings.
+  *
+  * Two further guards the general contract needs: the operands must be
+  * DETERMINISTIC — the guarded form evaluates l and r twice (Size +
+  * VecDot), which would run a non-deterministic array expression under
+  * the size check and a DIFFERENT draw under the dot — and the fold seed
+  * must be bit-exactly +0.0 (`doubleToRawLongBits` compare): Scala's
+  * boxed `== 0.0` also accepts a -0.0 literal, whose HOF result on empty
+  * arrays is -0.0 while VecDot starts from +0.0.
   */
 object VecDotRewrite extends Rule[LogicalPlan] {
 
@@ -61,7 +69,10 @@ object VecDotRewrite extends Rule[LogicalPlan] {
           LambdaFunction(Add(ax, ay, _),
             Seq(aa: NamedLambdaVariable, ab: NamedLambdaVariable), _),
           LambdaFunction(fin, Seq(fv: NamedLambdaVariable), _))
-        if zero == 0.0 &&
+        if zero.isInstanceOf[Double] &&
+          java.lang.Double.doubleToRawLongBits(zero.asInstanceOf[Double]) ==
+            java.lang.Double.doubleToRawLongBits(0.0) &&
+          l.deterministic && r.deterministic &&
           nonNullDoubleArray(l) && nonNullDoubleArray(r) &&
           commutes(mx, my, zx, zy) && commutes(ax, ay, aa, ab) &&
           isVar(fin, fv) =>

@@ -40,7 +40,15 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan,
   * NULL keys follow SQL equality: a left row with any null key component
   * emits the null-extended row, and null-keyed right rows match nothing
   * (the exec skips them explicitly — the natural row ordering would
-  * otherwise compare NULL equal to NULL; AsOfJoinSpec pins this).
+  * otherwise compare NULL equal to NULL; AsOfJoinSpec pins this). NULL
+  * timestamps follow SQL comparison: `rTs <= lTs` is unknown when either
+  * side is null, so a null-ts right row never becomes a match candidate
+  * and a null-ts left row emits the null-extended row — neither is read
+  * as epoch 0. Floating-point keys are normalized (-0.0 → 0.0, one NaN
+  * bit pattern) at the API boundary, matching what Spark's
+  * NormalizeFloatingNumbers rule does for built-in join keys — without
+  * it, raw UnsafeRow byte comparison would treat -0.0 and 0.0 as
+  * different keys and hash them to different partitions.
   */
 final case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
@@ -140,16 +148,27 @@ final case class AsOfJoinExec(leftKeys: Seq[Expression],
           rNext = ri.next()
           rNextKey = rKeyProj(rNext)
           if (rNextKey.anyNull) rNext = null
-          else rNextTs = rTsProj(rNext).getLong(0)
+          else {
+            val tsRow = rTsProj(rNext)
+            // null ts: `rTs <= lTs` is unknown in SQL — never a candidate
+            // (getLong on the null slot would read it as epoch 0)
+            if (tsRow.isNullAt(0)) rNext = null
+            else rNextTs = tsRow.getLong(0)
+          }
         }
       }
       advance()
       li.map { l =>
         val lk = lKeyProj(l) // reused buffer; only compared this iteration
-        if (lk.anyNull) {
+        val lTsRow = lTsProj(l)
+        if (lk.anyNull || lTsRow.isNullAt(0)) {
+          // null key or null ts: no right row can satisfy the match
+          // predicate (SQL three-valued comparison) — null-extend without
+          // touching the right-side cursor; null-ts left rows sort first
+          // within their key, so the merge state is undisturbed
           resultProj(joined(l, nullRight))
         } else {
-        val lts = lTsProj(l).getLong(0)
+        val lts = lTsRow.getLong(0)
         if (matchRow != null && !matchKey.equals(lk)) {
           matchRow = null; matchKey = null
         }
@@ -193,9 +212,16 @@ object AsOf {
     def attr(p: LogicalPlan, n: String, side: String): Attribute =
       p.output.find(_.name == n).getOrElse(throw new IllegalArgumentException(
         s"as-of $side column '$n' not in [${p.output.map(_.name).mkString(", ")}]"))
+    // Float/double keys get the same canonicalization Spark applies to
+    // built-in join keys (NormalizeFloatingNumbers): without it the
+    // exec's raw byte comparison would split -0.0 from 0.0 and
+    // non-canonical NaNs from NaN, and hash-cluster them apart.
+    def norm(e: Expression): Expression =
+      org.apache.spark.sql.graft.PlanBridge.normalizeFloats(e)
     org.apache.spark.sql.graft.PlanBridge.ofRows(spark,
       AsOfJoinPlan(lp, rp,
-        leftKeys.map(attr(lp, _, "left")), rightKeys.map(attr(rp, _, "right")),
+        leftKeys.map(n => norm(attr(lp, n, "left"))),
+        rightKeys.map(n => norm(attr(rp, n, "right"))),
         attr(lp, leftTs, "left"), attr(rp, rightTs, "right"),
         attr(rp, rightTie, "right")))
   }

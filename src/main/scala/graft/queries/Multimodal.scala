@@ -118,6 +118,15 @@ object Multimodal {
     // non-media files at the source (the container/source partitioning
     // stance above).
     "q86_binary_ingest" -> ((s, dir) => {
+      // The export stage writes through java.nio to a LOCAL directory, so
+      // this demonstration is local-master-only by construction: on a
+      // cluster each executor would write its own /tmp while the driver
+      // lists a different one, and the read-back would silently see zero
+      // files. Fail loudly instead; the cluster form of this pattern
+      // writes via the Hadoop FileSystem API to shared storage.
+      require(s.sparkContext.isLocal,
+        "q86_binary_ingest exports to driver-local tmp and requires a " +
+          "local master; use a shared filesystem path on a cluster")
       val outDir = Sinks.runPath("graft_media") + "_" +
         java.lang.Integer.toHexString(dir.hashCode)
       val p = java.nio.file.Paths.get(outDir)

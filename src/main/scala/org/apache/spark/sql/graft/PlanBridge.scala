@@ -13,4 +13,12 @@ object PlanBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** `NormalizeFloatingNumbers.normalize` is `private[sql]`; the as-of
+    * operator needs it so float/double join keys get the same -0.0/NaN
+    * canonicalization Spark applies to built-in join keys. */
+  def normalizeFloats(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.catalyst.optimizer.NormalizeFloatingNumbers
+      .normalize(e)
 }

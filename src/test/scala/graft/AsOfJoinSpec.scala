@@ -93,6 +93,36 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(m("c") === None)
   }
 
+  test("NULL timestamps follow SQL comparison: never read as epoch 0") {
+    // right row with null rts must never become a match candidate (the
+    // raw long slot would read as 0); left row with null ts null-extends
+    // even though a right row of its key exists
+    val l = Seq((1L, Some(10L), "a"), (1L, None, "b"), (2L, Some(10L), "c"))
+      .toDF("k", "ts", "lv")
+    val r = Seq((1L, None, 1L, "rnullts"), (2L, Some(5L), 2L, "r2"))
+      .toDF("rk", "rts", "tie", "rv")
+    val m = AsOf.join(l, r, "k", "rk", "ts", "rts", "tie")
+      .select("lv", "rv").collect()
+      .map(x => x.getString(0) -> Option(x.getString(1))).toMap
+    assert(m("a") === None, "null-ts right row must not match as epoch 0")
+    assert(m("b") === None, "null-ts left row must null-extend")
+    assert(m("c") === Some("r2"))
+  }
+
+  test("floating-point keys are normalized: -0.0 matches 0.0") {
+    // without NormalizeFloatingNumbers treatment the raw byte compare
+    // (and the hash clustering) would split the two zeros into distinct
+    // keys — Spark's built-in equi-joins match them
+    val l = Seq((0.0, 10L, "a"), (1.0, 10L, "b")).toDF("k", "ts", "lv")
+      .withColumn("k", col("k") * lit(-1.0)) // -0.0 computed, not literal
+    val r = Seq((0.0, 5L, 1L, "rz"), (-1.0, 5L, 2L, "rm")).toDF("rk", "rts", "tie", "rv")
+    val m = AsOf.join(l, r, "k", "rk", "ts", "rts", "tie")
+      .select("lv", "rv").collect()
+      .map(x => x.getString(0) -> Option(x.getString(1))).toMap
+    assert(m("a") === Some("rz"), "-0.0 left key must match 0.0 right key")
+    assert(m("b") === Some("rm"))
+  }
+
   test("fuzz: operator matches the window reference on seeded random data") {
     // narrow key/ts domains force heavy collisions — the hard cases
     // (shared ts across sides, multi-row ties, keys missing on one side)

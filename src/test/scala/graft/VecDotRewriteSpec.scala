@@ -56,6 +56,40 @@ class VecDotRewriteSpec extends AnyFunSuite {
     assert(notDot.collect().head.getDouble(0) === 10.0)
   }
 
+  test("non-deterministic operands are left alone (double-eval hazard)") {
+    // the guarded form evaluates the operand twice (size + dot); on a
+    // non-deterministic array that computes the size of one draw and the
+    // dot of another — the rule must not fire. The shuffle() must be
+    // INLINE in the aggregate (one select): behind an attribute from a
+    // child Project it is safe, since CollapseProject never inlines a
+    // non-deterministic expression into multiple references.
+    val df = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val hof = df.select(
+      aggregate(zip_with(shuffle(nonNull("embedding")),
+          nonNull("embedding"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x).as("d"))
+    assert(!hof.queryExecution.optimizedPlan.toString.contains("vec_dot"),
+      "rule must not duplicate a non-deterministic operand")
+  }
+
+  test("a -0.0 fold seed is left alone (bit-exactness contract)") {
+    // HOF with seed -0.0 returns -0.0 on empty arrays; vec_dot returns
+    // +0.0 — only the bit-exact +0.0 seed may rewrite
+    val df = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(slice(nonNull("embedding"), 1, 0).as("a"),
+        slice(nonNull("embedding"), 1, 0).as("b"))
+    val hof = df.select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(-0.0), (acc, x) => acc + x).as("d"))
+    assert(!hof.queryExecution.optimizedPlan.toString.contains("vec_dot"),
+      "rule must not fire on a -0.0 seed")
+    val out = hof.collect().map(_.getDouble(0))
+    assert(out.nonEmpty && out.forall(d =>
+      java.lang.Double.doubleToRawLongBits(d) ==
+        java.lang.Double.doubleToRawLongBits(-0.0)),
+      "empty-array HOF with -0.0 seed must keep the -0.0 result")
+  }
+
   test("nullable-element arrays are left alone (type contract)") {
     import s.implicits._
     val df = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
