@@ -17,9 +17,9 @@ import graft.model.Tables
   */
 object EventOps {
 
-  private def dPrice(c: org.apache.spark.sql.Column) = c.cast("decimal(12,2)")
-  private def asD(c: org.apache.spark.sql.Column) =
-    c.cast("decimal(38,6)").cast("double")
+  // Money-exactness boundary, shared with Relational: see Exact.
+  private def dPrice(c: org.apache.spark.sql.Column) = Exact.dPrice(c)
+  private def asD(c: org.apache.spark.sql.Column) = Exact.asD(c)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

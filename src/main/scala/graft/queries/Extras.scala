@@ -12,6 +12,39 @@ import graft.model.Tables
   */
 object Extras {
 
+  /** The sort-based exact-quantile core, ONE definition shared by q50
+    * and its approx-comparison twin q70 (drift between them would
+    * silently invalidate the bound q70 asserts). quantile_cont position
+    * (0-indexed): pos = p·(n−1); value = v[floor(pos)] + (pos −
+    * floor(pos)) · (v[ceil(pos)] − v[floor(pos)]). Each boundary row is
+    * selected by an exact rank equality, so the post-window filter keeps
+    * ≤2 rows per (group, quantile) and the final aggregate carries
+    * O(groups) rows. Returns (key, n, q_0, q_1, …) with RAW interpolated
+    * values — callers round at their output boundary. */
+  private def exactQuantiles(df: DataFrame, key: String, value: String,
+      ps: Seq[Double]): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(value)
+    val ranked = df.select(col(key), col(value))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(key)))
+    case class Q(p: Double) {
+      val pos = lit(p) * (col("n") - 1).cast("double")
+      val lo = floor(pos).cast("long") + 1 // row_number is 1-based
+      val hi = ceil(pos).cast("long") + 1
+      def vLo = max(when(col("rn") === lo, col(value)))
+      def vHi = max(when(col("rn") === hi, col(value)))
+      def frac = max(pos - floor(pos))
+      def raw = vLo + frac * (vHi - vLo)
+    }
+    val qs = ps.map(Q.apply)
+    ranked
+      .where(qs.map(q => col("rn") === q.lo || col("rn") === q.hi)
+        .reduce(_ || _))
+      .groupBy(key)
+      .agg(max("n").as("n"),
+        qs.zipWithIndex.map { case (q, i) => q.raw.as(s"q_$i") }: _*)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // As-of join, scale-safe window form: for every purchase, the most
@@ -96,35 +129,13 @@ object Extras {
     // constant mergeable state, once single groups outgrow a sort
     // partition's spill budget — now EXISTS as q70 below, with
     // ApproxPercentileSpec pinning its error against this exact form.
-    "q50_percentiles" -> ((s, dir) => {
-      val w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
-      val ranked = Tables(s, dir).lineitem
-        .select(col("l_returnflag"), col("l_extendedprice"))
-        .withColumn("rn", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy("l_returnflag")))
-      // quantile_cont position (0-indexed): pos = p*(n-1); value =
-      // v[floor(pos)] + (pos - floor(pos)) * (v[ceil(pos)] - v[floor(pos)]).
-      // Each boundary row is selected by an exact rank equality, so the
-      // post-window filter keeps ≤4 rows per group and the final
-      // aggregate carries O(groups) rows.
-      case class Q(p: Double) {
-        val pos = lit(p) * (col("n") - 1).cast("double")
-        val lo = floor(pos).cast("long") + 1 // row_number is 1-based
-        val hi = ceil(pos).cast("long") + 1
-        def vLo = max(when(col("rn") === lo, col("l_extendedprice")))
-        def vHi = max(when(col("rn") === hi, col("l_extendedprice")))
-        def frac = max(pos - floor(pos))
-        def value = round(vLo + frac * (vHi - vLo), 6)
-      }
-      val med = Q(0.5); val p90 = Q(0.9)
-      ranked
-        .where(col("rn") === med.lo || col("rn") === med.hi ||
-          col("rn") === p90.lo || col("rn") === p90.hi)
-        .groupBy("l_returnflag")
-        .agg(max("n").as("n"), med.value.as("median_price"),
-          p90.value.as("p90_price"))
-        .orderBy("l_returnflag")
-    }),
+    "q50_percentiles" -> ((s, dir) =>
+      exactQuantiles(Tables(s, dir).lineitem, "l_returnflag",
+          "l_extendedprice", Seq(0.5, 0.9))
+        .select(col("l_returnflag"), col("n"),
+          round(col("q_0"), 6).as("median_price"),
+          round(col("q_1"), 6).as("p90_price"))
+        .orderBy("l_returnflag")),
 
     // The DECLARED 100 TB swap for q50: approx_percentile (t-digest-like
     // quantile summary, CONSTANT state per group, mergeable map-side)
@@ -137,30 +148,13 @@ object Extras {
     // error — the ApproxPercentileSpec contract, now pinned cross-engine
     // by the driver's hash check instead of rows-only.
     "q70_percentiles_approx" -> ((s, dir) => {
-      // exact side via the q50 sort-based ranked form (NOT the
+      // exact side via the SHARED q50 sort-based ranked form (NOT the
       // `percentile` value-map aggregate — that form alone cost 4.5 s at
       // sf0.1, tripling the query whose point is the cheap scale path)
-      val w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
-      val ranked = Tables(s, dir).lineitem
-        .select(col("l_returnflag"), col("l_extendedprice"))
-        .withColumn("rn", row_number().over(w))
-        .withColumn("nn",
-          count(lit(1)).over(Window.partitionBy("l_returnflag")))
-      case class Q(p: Double) {
-        val pos = lit(p) * (col("nn") - 1).cast("double")
-        val lo = floor(pos).cast("long") + 1
-        val hi = ceil(pos).cast("long") + 1
-        def vLo = max(when(col("rn") === lo, col("l_extendedprice")))
-        def vHi = max(when(col("rn") === hi, col("l_extendedprice")))
-        def frac = max(pos - floor(pos))
-        def value = vLo + frac * (vHi - vLo)
-      }
-      val med = Q(0.5); val p90 = Q(0.9)
-      val exact = ranked
-        .where(col("rn") === med.lo || col("rn") === med.hi ||
-          col("rn") === p90.lo || col("rn") === p90.hi)
-        .groupBy("l_returnflag")
-        .agg(max("nn").as("n"), med.value.as("med_e"), p90.value.as("p90_e"))
+      val exact = exactQuantiles(Tables(s, dir).lineitem, "l_returnflag",
+          "l_extendedprice", Seq(0.5, 0.9))
+        .select(col("l_returnflag"), col("n"),
+          col("q_0").as("med_e"), col("q_1").as("p90_e"))
       val approx = Tables(s, dir).lineitem
         .groupBy("l_returnflag")
         .agg(percentile_approx(col("l_extendedprice"),

@@ -123,8 +123,12 @@ object Poster {
     * dist/light bounds are per-blob aggregates broadcast-rejoined onto the
     * cells (the canonical normalize pattern, app.py:70-78). min/max are
     * order-independent, so the rejoin stays bit-exact cross-engine. */
-  private def shaded(s: SparkSession, n: Int): DataFrame = {
-    val g = grid(s, n)
+  /** The raw per-cell shade inputs (dist/light), before normalization —
+    * shared by shaded() and q18 so the extrema are aggregated from ONE
+    * definition (and, in q18, aggregated only once, not rebuilt through
+    * the rejoin). */
+  private def shadeField(s: SparkSession, n: Int): DataFrame =
+    grid(s, n)
       .join(broadcast(fx(s, "blob_params")
         .select("blob_id", "cx_mean", "cy_mean")), "blob_id")
       .select(col("blob_id"), col("y"), col("x"), col("gx"), col("gy"),
@@ -132,9 +136,16 @@ object Poster {
         (col("gy") - col("cy_mean")).as("ny"))
       .withColumn("dist", sqrt(col("nx") * col("nx") + col("ny") * col("ny")))
       .withColumn("light", col("nx") * lit(LX) + col("ny") * lit(LY))
-    val stats = g.groupBy("blob_id").agg(
+
+  /** A1/A3/A4: per-blob normalizer bounds over the shade field. */
+  private def shadeStats(g: DataFrame): DataFrame =
+    g.groupBy("blob_id").agg(
       max("dist").as("dist_max"), min("light").as("light_min"),
       max("light").as("light_max"))
+
+  private def shaded(s: SparkSession, n: Int): DataFrame = {
+    val g = shadeField(s, n)
+    val stats = shadeStats(g)
     g.join(broadcast(stats), "blob_id")
       .withColumn("radial", least(lit(1.0),
         greatest(lit(0.0), lit(1.0) - col("dist") / col("dist_max"))))
@@ -145,6 +156,32 @@ object Poster {
   }
 
   private def clip01(c: Column): Column = least(lit(1.0), greatest(lit(0.0), c))
+
+  /** One 1-D pass of the separable blur — np.convolve(…, "same") as a
+    * kernel-offset join: shift `coord` by the kernel offset, weight the
+    * carried value, re-aggregate per cell. Absent neighbors ≡ zero
+    * padding (the .where drops out-of-range shifts); round(…, 9) makes
+    * the pass output a deterministic cross-engine intermediate. ONE
+    * definition for q20/q21/q53 (and their oracle CTEs' shape) so the
+    * rounding scale, clip bounds, and offset sign can never drift apart. */
+  private def blurPass(in: DataFrame, k: DataFrame, coord: String,
+      value: Column, out: String): DataFrame = {
+    val keep = Seq("blob_id", "y", "x").filterNot(_ == coord)
+      .map(col) :+ (col(coord) - col("offset").cast("long")).as(coord)
+    in.crossJoin(broadcast(k))
+      .select(keep :+ value.as("p"): _*)
+      .where(col(coord).between(0, N - 1))
+      .groupBy("blob_id", "y", "x")
+      .agg(round(sum("p"), 9).as(out))
+  }
+
+  /** Full separable 2-D blur of a (blob_id, y, x) mask: horizontal then
+    * vertical 1-D pass (app.py:31-37). */
+  private def blur2d(s: SparkSession, mask: DataFrame): DataFrame = {
+    val k = fx(s, "kernel_sigma2")
+    val p1 = blurPass(mask, k, "x", col("weight"), "v1")
+    blurPass(p1, k, "y", col("weight") * col("v1"), "v2")
+  }
 
   /** The common [0,1]² canvas raster (shared by compositing queries). */
   private def canvas(s: SparkSession): DataFrame =
@@ -260,10 +297,7 @@ object Poster {
         min("y").as("py_min"), max("y").as("py_max"),
         round(sum("x") / count(lit(1)), 9).as("cx_mean"),
         round(sum("y") / count(lit(1)), 9).as("cy_mean"))
-      val g = shaded(s, N)
-      val gstats = g.groupBy("blob_id").agg(
-        max("dist").as("dist_max"), min("light").as("light_min"),
-        max("light").as("light_max"))
+      val gstats = shadeStats(shadeField(s, N))
       // count(when…) keeps BIGINT on both sides — DuckDB's SUM(int) would
       // widen to INT128 and break the dtype compare.
       val m = insideExpr(s, grid(s, N)).groupBy("blob_id")
@@ -286,37 +320,17 @@ object Poster {
     "q20_blur_pass1" -> ((s, _) => {
       val m = insideExpr(s, grid(s, N)).where(col("inside"))
         .select("blob_id", "y", "x")
-      m.crossJoin(broadcast(fx(s, "kernel_sigma2")))
-        .select(col("blob_id"), col("y"),
-          (col("x") - col("offset").cast("long")).as("x"), col("weight"))
-        .where(col("x").between(0, N - 1))
-        .groupBy("blob_id", "y", "x")
-        .agg(round(sum("weight"), 9).as("v1"))
+      blurPass(m, fx(s, "kernel_sigma2"), "x", col("weight"), "v1")
         .orderBy("blob_id", "y", "x")
     }),
 
     // A6/O1: full separable 2-D blur — two 1-D passes (app.py:31-37), the
     // reference's hand-rolled optimization preserved structurally. The
     // rounded pass-1 value is the deterministic cross-engine intermediate.
-    "q21_blur_sep2d" -> ((s, _) => {
-      val k = fx(s, "kernel_sigma2")
-      val m = insideExpr(s, grid(s, N)).where(col("inside"))
-        .select("blob_id", "y", "x")
-      val p1 = m.crossJoin(broadcast(k))
-        .select(col("blob_id"), col("y"),
-          (col("x") - col("offset").cast("long")).as("x"), col("weight"))
-        .where(col("x").between(0, N - 1))
-        .groupBy("blob_id", "y", "x")
-        .agg(round(sum("weight"), 9).as("v1"))
-      p1.crossJoin(broadcast(k))
-        .select(col("blob_id"),
-          (col("y") - col("offset").cast("long")).as("y"), col("x"),
-          (col("weight") * col("v1")).as("p"))
-        .where(col("y").between(0, N - 1))
-        .groupBy("blob_id", "y", "x")
-        .agg(round(sum("p"), 9).as("v2"))
-        .orderBy("blob_id", "y", "x")
-    }),
+    "q21_blur_sep2d" -> ((s, _) =>
+      blur2d(s, insideExpr(s, grid(s, N)).where(col("inside"))
+        .select("blob_id", "y", "x"))
+        .orderBy("blob_id", "y", "x")),
 
     // The full per-cell pipeline (app.py:51-93): mask ⨝ shade → rgba.
     // Golden-checked against fixtures/golden_cells_64.parquet in the test
@@ -371,22 +385,8 @@ object Poster {
     // max_by, consistent with q23. Cells may carry a shadow, a blob, or
     // both (full outer join of the two layers).
     "q53_shadow_composite" -> ((s, _) => {
-      val k = fx(s, "kernel_sigma2")
-      val m = canvasInside(s).where(col("inside"))
-        .select("blob_id", "y", "x")
-      val p1 = m.crossJoin(broadcast(k))
-        .select(col("blob_id"), col("y"),
-          (col("x") - col("offset").cast("long")).as("x"), col("weight"))
-        .where(col("x").between(0, N - 1))
-        .groupBy("blob_id", "y", "x")
-        .agg(round(sum("weight"), 9).as("v1"))
-      val p2 = p1.crossJoin(broadcast(k))
-        .select(col("blob_id"),
-          (col("y") - col("offset").cast("long")).as("y"), col("x"),
-          (col("weight") * col("v1")).as("p"))
-        .where(col("y").between(0, N - 1))
-        .groupBy("blob_id", "y", "x")
-        .agg(round(sum("p"), 9).as("v2"))
+      val p2 = blur2d(s, canvasInside(s).where(col("inside"))
+        .select("blob_id", "y", "x"))
       // +0.02 right, −0.02 down (origin lower): content at blur cell
       // (y, x) lands on canvas cell (y − 1, x + 1).
       val shifted = p2.select(col("blob_id"), (col("y") - 1).as("y"),

@@ -97,15 +97,16 @@ object PosterScale {
       // bbox, so mask/shade/blur only ever need the bbox dilated by the
       // kernel radius — every dropped cell provably contributes 0 to
       // every output. Cuts PIP evaluations and blur rows ~3×.
-      val vb = s.read.parquet(s"${Poster.FX}/blob_vertices.parquet")
+      // The ordered arrays come from the SHARED Poster.vertArrays (its
+      // idx-sort struct and NOT-NULL-pinning coalesce are what the
+      // PointInPolygon contract — and the proven q45==q17 equivalence —
+      // depend on); only the bbox aggregate is built here and joined on.
+      // Both are 14-row fixture aggregates, so the extra join is free.
+      val vbox = s.read.parquet(s"${Poster.FX}/blob_vertices.parquet")
         .groupBy("blob_id").agg(
-          // coalesce pins double NOT NULL — see Poster.vertArrays
-          transform(array_sort(collect_list(struct(col("idx"), col("x")))),
-            v => coalesce(v.getField("x"), lit(Double.NaN))).as("xs"),
-          transform(array_sort(collect_list(struct(col("idx"), col("y")))),
-            v => coalesce(v.getField("y"), lit(Double.NaN))).as("ys"),
           min("x").as("vx_min"), max("x").as("vx_max"),
           min("y").as("vy_min"), max("y").as("vy_max"))
+      val vb = vertArrays(s).join(vbox, "blob_id")
       // gsel keeps the padded-grid bounds so the cell-coordinate band
       // bounds derive without another join.
       val stepX = (col("xmax") - col("xmin")) / lit((n - 1).toDouble)

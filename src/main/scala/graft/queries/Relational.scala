@@ -21,17 +21,11 @@ import graft.model.Tables
   */
 object Relational {
 
-  // Exact decimal views of the money/measure columns. DECIMAL(12,2) holds
-  // any price in the data; DECIMAL(6,4) holds the (1±x) factors. Products
-  // stay well under precision 38 in both Spark and DuckDB.
-  private def dPrice(c: Column) = c.cast("decimal(12,2)")
-  private def dFrac(c: Column)  = c.cast("decimal(6,4)")
-  // Output boundary for decimal sums: squeeze to scale 6 (exact — the
-  // source data carries ≤6 meaningful decimals) BEFORE the double cast.
-  // DuckDB's int128 decimal→double conversion is off by 1 ulp once the
-  // unscaled value exceeds 53 bits; at scale 6 the mantissa stays small
-  // enough that both engines convert correctly rounded.
-  private def asD(c: Column)    = c.cast("decimal(38,6)").cast("double")
+  // Money-exactness boundary: see the shared Exact object for the
+  // decimal-width and double-cast rationale.
+  private def dPrice(c: Column) = Exact.dPrice(c)
+  private def dFrac(c: Column)  = Exact.dFrac(c)
+  private def asD(c: Column)    = Exact.asD(c)
 
   /** Fixed lang domain of the documents table (stable across every SF —
     * pivot needs an explicit value list for a deterministic schema; an

@@ -154,8 +154,8 @@ object ScaleOps {
       pre.join(dimU, pre("l_orderkey") === dimU("o_orderkey"), "left_semi")
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n_items"),
-          sum(col("l_extendedprice").cast("decimal(12,2)"))
-            .cast("decimal(38,6)").cast("double").as("sum_price"))
+          Exact.asD(sum(Exact.dPrice(col("l_extendedprice"))))
+            .as("sum_price"))
         .orderBy("l_returnflag")
     }),
 
