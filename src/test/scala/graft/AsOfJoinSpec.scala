@@ -144,6 +144,39 @@ class AsOfJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("fuzz with nulls: operator implements SQL three-valued semantics") {
+    // the window reference can't serve here (partitionBy groups null keys
+    // TOGETHER and a null-ts right row would leak its tie/rv through the
+    // ignore-nulls last()), so the model is an independent local replay
+    // of the contract: match iff key non-null equal AND both ts non-null
+    // AND rts <= lts; winner = max (rts, tie)
+    for (seed <- 11 to 15) {
+      val rnd = new scala.util.Random(seed)
+      def maybe(n: Int): Option[Long] =
+        if (rnd.nextDouble() < 0.15) None else Some(rnd.nextInt(n).toLong)
+      val lRows = Seq.fill(200)((maybe(10), maybe(30), s"l${rnd.nextInt(1000)}"))
+      val rRows = Seq.tabulate(200)(i => (maybe(10), maybe(30), i.toLong, s"r$i"))
+      val l = lRows.toDF("k", "ts", "lv")
+      val r = rRows.toDF("rk", "rts", "tie", "rv")
+      val got = AsOf.join(l, r, "k", "rk", "ts", "rts", "tie")
+        .select("k", "ts", "lv", "rts", "tie", "rv").collect()
+        .map(x => (Option(x.get(0)), Option(x.get(1)), x.getString(2),
+          Option(x.get(3)), Option(x.get(4)), Option(x.get(5))))
+      val expect = lRows.map { case (k, ts, lv) =>
+        val best = for {
+          kk <- k; lts <- ts
+          b <- rRows.filter(rr => rr._1.contains(kk) && rr._2.exists(_ <= lts))
+            .sortBy(rr => (rr._2.get, rr._3)).lastOption
+        } yield b
+        (k.map(x => x: Any), ts.map(x => x: Any), lv,
+          best.map(_._2.get: Any), best.map(_._3: Any), best.map(_._4: Any))
+      }
+      assert(got.groupBy(identity).view.mapValues(_.size).toMap ===
+        expect.groupBy(identity).view.mapValues(_.size).toMap,
+        s"mismatch at seed $seed")
+    }
+  }
+
   test("empty sides: empty right null-extends every left row; empty left emits nothing") {
     val emptyR = right.where(lit(false))
     val a = viaOperator(left, emptyR).collect()
