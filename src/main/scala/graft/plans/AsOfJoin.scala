@@ -6,9 +6,11 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute,
   Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder,
   UnsafeProjection, UnsafeRow}
-import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution,
-  Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan,
+  ResolvedHint}
+import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution,
+  ClusteredDistribution, Distribution, IdentityBroadcastMode, Partitioning,
+  UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan,
   SparkStrategy}
 
@@ -53,7 +55,8 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan,
 final case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTs: Expression, rightTs: Expression,
-    rightTie: Expression) extends BinaryNode {
+    rightTie: Expression, broadcastRight: Boolean = false)
+    extends BinaryNode {
   require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size &&
     leftKeys.map(_.dataType) == rightKeys.map(_.dataType),
     s"as-of keys must be same-arity, same-typed: " +
@@ -70,8 +73,13 @@ final case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
   * externally-built sessions). */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lks, rks, lts, rts, tie) =>
-      AsOfJoinExec(lks, rks, lts, rts, tie, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinPlan(l, r, lks, rks, lts, rts, tie, bcast) =>
+      if (bcast)
+        BroadcastAsOfJoinExec(lks, rks, lts, rts, tie,
+          planLater(l), planLater(r)) :: Nil
+      else
+        AsOfJoinExec(lks, rks, lts, rts, tie,
+          planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -191,11 +199,122 @@ final case class AsOfJoinExec(leftKeys: Seq[Expression],
   }
 }
 
+/** Broadcast backward as-of join — the zero-shuffle physical form for a
+  * SMALL right side (a reference timeline: config changes, exchange-rate
+  * ticks, deploy markers) against an arbitrarily large left side. The
+  * sort-merge exec above requires BOTH children hash-clustered AND
+  * sorted, which at 100 TB means a full exchange + sort of the event
+  * log even when the right side is kilobytes; this exec instead takes
+  * the right side as a broadcast (EnsureRequirements inserts the
+  * BroadcastExchange from the declared distribution), builds one
+  * per-key (ts, tie)-sorted index per task, and answers each left row
+  * with a hash lookup + binary search — the left side keeps its
+  * partitioning AND ordering (both are passed through), so downstream
+  * stages see the same properties as before the join. The selection
+  * mirrors Spark's own broadcast-hash-vs-SMJ choice and is driven the
+  * same way: wrap the right side in `broadcast(...)`.
+  *
+  * Same semantics as AsOfJoinExec (one contract, pinned by the same
+  * specs): SQL null keys/timestamps, inclusive ≤, last-(ts, tie) tie
+  * break, LEFT OUTER null-extension. */
+final case class BroadcastAsOfJoinExec(leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTs: Expression, rightTs: Expression, rightTie: Expression,
+    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    UnspecifiedDistribution ::
+      BroadcastDistribution(IdentityBroadcastMode) :: Nil
+
+  // the big side flows through untouched — both properties survive
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override protected def withNewChildrenInternal(newLeft: SparkPlan,
+      newRight: SparkPlan): BroadcastAsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val outAttrs = output
+    val rightSortTypes = Seq(rightTs.dataType, rightTie.dataType)
+    val bcast = right.executeBroadcast[Array[InternalRow]]()
+    left.execute().mapPartitions({ li =>
+      // per-task index build from the broadcast rows: key -> entries
+      // sorted ascending by (ts, tie). Build cost is |R| log |R| per
+      // task with |R| small by contract (it was broadcast); lookups are
+      // O(log |R_key|) per left row.
+      val rKeyProj = UnsafeProjection.create(rightKeys, rOut)
+      val rTsProj = UnsafeProjection.create(Seq(rightTs), rOut)
+      val rSortProj = UnsafeProjection.create(Seq(rightTs, rightTie), rOut)
+      val sortOrd =
+        RowOrdering.createNaturalAscendingOrdering(rightSortTypes)
+      val grouped = new java.util.HashMap[UnsafeRow,
+        scala.collection.mutable.ArrayBuffer[(UnsafeRow, Long, InternalRow)]]()
+      bcast.value.foreach { r =>
+        val k = rKeyProj(r)
+        val tsRow = rTsProj(r)
+        // SQL semantics, same as the merge exec: null-keyed and null-ts
+        // right rows can never match — excluded from the index
+        if (!k.anyNull && !tsRow.isNullAt(0)) {
+          var buf = grouped.get(k)
+          if (buf == null) {
+            buf = scala.collection.mutable.ArrayBuffer
+              .empty[(UnsafeRow, Long, InternalRow)]
+            grouped.put(k.copy(), buf)
+          }
+          buf += ((rSortProj(r).copy(), tsRow.getLong(0), r))
+        }
+      }
+      val index = new java.util.HashMap[UnsafeRow,
+        (Array[Long], Array[InternalRow])](grouped.size())
+      grouped.forEach { (k, buf) =>
+        val sorted = buf.sortBy(_._1: InternalRow)(sortOrd)
+        index.put(k, (sorted.map(_._2).toArray, sorted.map(_._3).toArray))
+      }
+      val lKeyProj = UnsafeProjection.create(leftKeys, lOut)
+      val lTsProj = UnsafeProjection.create(Seq(leftTs), lOut)
+      val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
+      val nullRight = new GenericInternalRow(rOut.size)
+      val joined = new JoinedRow
+      li.map { l =>
+        val lk = lKeyProj(l) // reused buffer: probed, never stored
+        val lTsRow = lTsProj(l)
+        var hit: InternalRow = nullRight
+        if (!lk.anyNull && !lTsRow.isNullAt(0)) {
+          val entry = index.get(lk)
+          if (entry != null) {
+            val (tss, rws) = entry
+            val lts = lTsRow.getLong(0)
+            // entries sort by (ts, tie): rows with ts ≤ lts are a
+            // prefix, and its LAST element is the (ts, tie)-max match
+            var lo = 0; var hi = tss.length - 1; var ans = -1
+            while (lo <= hi) {
+              val mid = (lo + hi) >>> 1
+              if (tss(mid) <= lts) { ans = mid; lo = mid + 1 }
+              else hi = mid - 1
+            }
+            if (ans >= 0) hit = rws(ans)
+          }
+        }
+        resultProj(joined(l, hit))
+      }
+    }, preservesPartitioning = true)
+  }
+}
+
 /** DataFrame surface: `AsOf.join(purchases, clicks, "user_id", "user_id",
   * "ts", "click_ts", "click_id")`, or the Seq overload for composite
   * keys. Children are taken at their ANALYZED plans; name the right
   * side's columns apart from the left's before calling (the node's
-  * output is the concatenation). */
+  * output is the concatenation). Wrapping the right side in Spark's
+  * `broadcast(...)` hint selects the zero-shuffle
+  * BroadcastAsOfJoinExec, exactly as it selects broadcast-hash for
+  * built-in joins. */
 object AsOf {
   def join(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
@@ -208,7 +327,16 @@ object AsOf {
     val spark: SparkSession = left.sparkSession
     graft.functions.GraftExtensions.ensureRegistered(spark)
     val lp = left.queryExecution.analyzed
-    val rp = right.queryExecution.analyzed
+    // `broadcast(right)` arrives as ResolvedHint(BROADCAST) at the root
+    // of the analyzed plan — consume it as the physical-form selector
+    // (the hint node itself must not sit under the custom operator,
+    // where no rule would strip it)
+    val (rp, bcast) = right.queryExecution.analyzed match {
+      case h: ResolvedHint if h.hints.strategy.contains(
+          org.apache.spark.sql.catalyst.plans.logical.BROADCAST) =>
+        (h.child, true)
+      case p => (p, false)
+    }
     def attr(p: LogicalPlan, n: String, side: String): Attribute =
       p.output.find(_.name == n).getOrElse(throw new IllegalArgumentException(
         s"as-of $side column '$n' not in [${p.output.map(_.name).mkString(", ")}]"))
@@ -223,6 +351,6 @@ object AsOf {
         leftKeys.map(n => norm(attr(lp, n, "left"))),
         rightKeys.map(n => norm(attr(rp, n, "right"))),
         attr(lp, leftTs, "left"), attr(rp, rightTs, "right"),
-        attr(rp, rightTie, "right")))
+        attr(rp, rightTie, "right"), broadcastRight = bcast))
   }
 }

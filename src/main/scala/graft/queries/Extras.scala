@@ -91,6 +91,34 @@ object Extras {
         .orderBy("event_id")
     }),
 
+    // The SAME as-of semantics a third time, through the ZERO-SHUFFLE
+    // broadcast physical form: `broadcast(clicks)` selects
+    // BroadcastAsOfJoinExec — the purchase side is neither exchanged nor
+    // sorted (its scan partitioning flows through), each task answers
+    // purchases by hash-lookup + binary search against the broadcast
+    // click index. THE scale shape for a big event log vs a small
+    // reference timeline (config changes, rate ticks, deploy markers):
+    // the sort-merge form (q77) pays a full shuffle+sort of the log;
+    // this one touches it in place. Same oracle as q77 — one contract,
+    // three plans (window, merge, broadcast), all hash-identical.
+    "q113_asof_broadcast" -> ((s, dir) => {
+      val ev = Tables(s, dir).events
+      val p = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val c = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"),
+          col("user_id").as("c_user"), col("ts").as("click_ts"))
+      graft.plans.AsOf
+        .join(p, broadcast(c), "user_id", "c_user", "ts", "click_ts",
+          "click_id")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("click_ts").as("asof_click_ts"),
+          col("click_id").as("asof_click_id"),
+          (unix_micros(col("ts")) - unix_micros(col("click_ts")))
+            .as("gap_us"))
+        .orderBy("event_id")
+    }),
+
     // Levenshtein over BANDED document pairs (same lang, doc_id within a
     // window of 5): edit distance on the 20-char prefix. The band join is
     // keyed on (lang, doc_id-block): the left side emits its block and the
@@ -248,7 +276,37 @@ object Extras {
     }),
   )
 
+  /** ONE oracle for the native as-of pair (q77 merge / q113 broadcast):
+    * two physical forms of the same contract must hash-match the same
+    * SQL — sharing the string makes divergence impossible by
+    * construction. */
+  private val ASOF_NATIVE_ORACLE =
+    """SELECT event_id, user_id, ts, asof_click_ts, asof_click_id,
+      | epoch_us(ts) - epoch_us(asof_click_ts) AS gap_us
+      |FROM (
+      | SELECT event_id, user_id, ts, event_type,
+      |  LAST_VALUE(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+      |   OVER (PARTITION BY user_id
+      |         ORDER BY ts,
+      |           CASE WHEN event_type = 'click' THEN 0 ELSE 1 END,
+      |           event_id
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |   AS asof_click_ts,
+      |  LAST_VALUE(CASE WHEN event_type = 'click' THEN event_id END
+      |             IGNORE NULLS)
+      |   OVER (PARTITION BY user_id
+      |         ORDER BY ts,
+      |           CASE WHEN event_type = 'click' THEN 0 ELSE 1 END,
+      |           event_id
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |   AS asof_click_id
+      | FROM events WHERE event_type IN ('click', 'purchase')) t
+      |WHERE event_type = 'purchase'
+      |ORDER BY event_id""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    "q113_asof_broadcast" -> ASOF_NATIVE_ORACLE,
+
     "q47_asof_join" ->
       """SELECT event_id, user_id, ts, asof_click_ts,
         | epoch_us(ts) - epoch_us(asof_click_ts) AS gap_us
@@ -262,29 +320,7 @@ object Extras {
         |WHERE event_type = 'purchase'
         |ORDER BY event_id""".stripMargin,
 
-    "q77_asof_native" ->
-      """SELECT event_id, user_id, ts, asof_click_ts, asof_click_id,
-        | epoch_us(ts) - epoch_us(asof_click_ts) AS gap_us
-        |FROM (
-        | SELECT event_id, user_id, ts, event_type,
-        |  LAST_VALUE(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
-        |   OVER (PARTITION BY user_id
-        |         ORDER BY ts,
-        |           CASE WHEN event_type = 'click' THEN 0 ELSE 1 END,
-        |           event_id
-        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |   AS asof_click_ts,
-        |  LAST_VALUE(CASE WHEN event_type = 'click' THEN event_id END
-        |             IGNORE NULLS)
-        |   OVER (PARTITION BY user_id
-        |         ORDER BY ts,
-        |           CASE WHEN event_type = 'click' THEN 0 ELSE 1 END,
-        |           event_id
-        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |   AS asof_click_id
-        | FROM events WHERE event_type IN ('click', 'purchase')) t
-        |WHERE event_type = 'purchase'
-        |ORDER BY event_id""".stripMargin,
+    "q77_asof_native" -> ASOF_NATIVE_ORACLE,
 
     "q48_levenshtein" ->
       """SELECT a.doc_id AS da, b.doc_id AS db, a.lang,

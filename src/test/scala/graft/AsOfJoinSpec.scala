@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.scalatest.funsuite.AnyFunSuite
-import graft.plans.{AsOf, AsOfJoinExec}
+import graft.plans.{AsOf, AsOfJoinExec, BroadcastAsOfJoinExec}
 
 /** The custom whole-operator plan (AsOfJoinPlan → AsOfJoinStrategy →
   * AsOfJoinExec): semantics pinned against an independently-composed
@@ -236,5 +236,52 @@ class AsOfJoinSpec extends AnyFunSuite {
       s"expected the native as-of exec only:\n$plan")
     assert("Exchange hashpartitioning".r.findAllIn(plan).size === 2,
       s"expected one exchange per side:\n$plan")
+  }
+
+  private def viaBroadcast(l: org.apache.spark.sql.DataFrame,
+      r: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    AsOf.join(l, broadcast(r), "k", "rk", "ts", "rts", "tie")
+      .select("k", "ts", "lv", "rts", "tie", "rv")
+
+  test("broadcast(right) plans the zero-shuffle exec: no exchange or sort on the left side") {
+    val qe = viaBroadcast(left, right).queryExecution
+    assert(qe.sparkPlan.exists(_.isInstanceOf[BroadcastAsOfJoinExec]),
+      s"expected the broadcast exec:\n${qe.sparkPlan}")
+    val plan = qe.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"),
+      s"right side must arrive as a broadcast:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"the left side must NOT shuffle:\n$plan")
+    assert(!plan.contains("Sort "),
+      s"neither side may sort — the index sorts per task:\n$plan")
+  }
+
+  test("broadcast exec matches the merge exec on every fuzz shape (incl. nulls)") {
+    // same contract, two physical forms — multiset-identical output on
+    // collision-heavy data and on null keys/timestamps
+    for (seed <- 21 to 25) {
+      val rnd = new scala.util.Random(seed)
+      def maybe(n: Int): Option[Long] =
+        if (rnd.nextDouble() < 0.15) None else Some(rnd.nextInt(n).toLong)
+      val l = Seq.fill(250)((maybe(15), maybe(40), s"l${rnd.nextInt(1000)}"))
+        .toDF("k", "ts", "lv")
+      val r = Seq.tabulate(250)(i => (maybe(15), maybe(40), i.toLong, s"r$i"))
+        .toDF("rk", "rts", "tie", "rv")
+      val a = viaBroadcast(l, r).collect().map(_.toSeq)
+      val b = viaOperator(l, r).collect().map(_.toSeq)
+      assert(a.groupBy(identity).view.mapValues(_.size).toMap ===
+        b.groupBy(identity).view.mapValues(_.size).toMap,
+        s"broadcast/merge divergence at seed $seed")
+    }
+  }
+
+  test("broadcast exec: -0.0/0.0 float keys still match (normalization upstream)") {
+    val l = Seq((0.0, 10L, "a")).toDF("k", "ts", "lv")
+      .withColumn("k", col("k") * lit(-1.0))
+    val r = Seq((0.0, 5L, 1L, "rz")).toDF("rk", "rts", "tie", "rv")
+    val m = AsOf.join(l, broadcast(r), "k", "rk", "ts", "rts", "tie")
+      .select("lv", "rv").collect()
+      .map(x => x.getString(0) -> Option(x.getString(1))).toMap
+    assert(m("a") === Some("rz"))
   }
 }
