@@ -66,6 +66,24 @@ object EventStreams {
   def enrichWithDim(events: DataFrame, dim: DataFrame): DataFrame =
     events.join(broadcast(dim), "event_type")
 
+  /** Point-in-time-correct stream enrichment — the as-of upgrade of
+    * enrichWithDim for VERSIONED dimensions (rate ticks, config
+    * changes, model-version rollouts): each event joins the latest dim
+    * version whose effective ts ≤ the event's ts — never a future
+    * version, which is exactly the lookahead leak a plain equi-join
+    * commits when the dim carries history. Stream-static and fully
+    * STATELESS: `broadcast(dimHistory)` selects the zero-shuffle
+    * BroadcastAsOfJoinExec (plans/AsOfJoin.scala) inside every
+    * micro-batch — no watermark, no state store, no shuffle of the
+    * stream; the dim history stays dims-sized and is re-broadcast per
+    * batch. At 100 TB of stream this is the same per-batch plan shape
+    * as enrichWithDim, with the version cut made on event time. */
+  def asOfEnrich(events: DataFrame, dimHistory: DataFrame,
+      eventKey: String, dimKey: String,
+      eventTs: String, dimTs: String, dimTie: String): DataFrame =
+    graft.plans.AsOf.join(events, broadcast(dimHistory),
+      Seq(eventKey), Seq(dimKey), eventTs, dimTs, dimTie)
+
   final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   /** maxTs = latest event time EVER seen for the key, carried so the
     * event-time timeout is monotone across out-of-order micro-batches. */

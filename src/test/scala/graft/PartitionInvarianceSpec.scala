@@ -34,7 +34,11 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // late r6: decimal-pinned PageRank sums and the A-ES weighted ranks
     // must not depend on summation/merge order
     "q104_pagerank",
-    "q107_weighted_sample")
+    "q107_weighted_sample",
+    // the broadcast as-of rebuilds its (ts, tie)-sorted index per TASK
+    // from broadcast rows whose arrival order the layout controls — the
+    // sort + binary search must erase that order completely
+    "q113_asof_broadcast")
 
   private def run(name: String): Array[Row] =
     SparkEntry.queries(name)(s, sfDir).collect()

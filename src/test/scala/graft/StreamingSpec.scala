@@ -76,6 +76,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows === Set(1L -> 1.5, 2L -> 0.5, 3L -> 1.5))
   }
 
+  test("as-of enrichment picks the version effective AT the event, per micro-batch") {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    // versioned dim: click weight changes at t=1:02 and t=1:04
+    val dimHist = Seq(
+      ("click", ts(1, 1), 1L, 1.0),
+      ("click", ts(1, 2), 2L, 2.0),
+      ("click", ts(1, 4), 3L, 4.0)
+    ).toDF("d_type", "eff_ts", "ver", "weight")
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val df = in.toDF().toDF("event_id", "ts", "event_type")
+    val q = EventStreams.asOfEnrich(df, dimHist,
+        "event_type", "d_type", "ts", "eff_ts", "ver")
+      .select("event_id", "weight")
+      .writeStream.format("memory").queryName("asof_enriched")
+      .outputMode("append").start()
+    in.addData((1L, ts(1, 0), "click"), (2L, ts(1, 2), "click"))
+    q.processAllAvailable()
+    in.addData((3L, ts(1, 3), "click"), (4L, ts(1, 5), "click"))
+    q.processAllAvailable()
+    val rows = s.table("asof_enriched").collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Double]("weight")).map(_.toDouble))
+      .toMap
+    q.stop()
+    // t=1:00 precedes every version -> null-extended (NO lookahead);
+    // t=1:02 matches the version effective that instant (inclusive <=);
+    // t=1:03 still v2; t=1:05 (second batch) the new v3
+    assert(rows === Map(1L -> None, 2L -> Some(2.0),
+      3L -> Some(2.0), 4L -> Some(4.0)))
+  }
+
   test("stream-stream interval join matches purchases within 30 min of a click") {
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
