@@ -38,7 +38,10 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // the broadcast as-of rebuilds its (ts, tie)-sorted index per TASK
     // from broadcast rows whose arrival order the layout controls — the
     // sort + binary search must erase that order completely
-    "q113_asof_broadcast")
+    "q113_asof_broadcast",
+    // incremental dedup: the persisted index's bucket cap and the
+    // broadcast probe must not depend on build/probe partitioning
+    "q114_incremental_dedup")
 
   private def run(name: String): Array[Row] =
     SparkEntry.queries(name)(s, sfDir).collect()
