@@ -26,6 +26,7 @@ object SparkEntry {
     _root_.graft.queries.Sinks.queries,
     _root_.graft.queries.Curation.queries,
     _root_.graft.queries.ScaleOps.queries,
+    _root_.graft.queries.Selection.queries,
   )
   private def oracleCatalogs = Seq(
     _root_.graft.queries.Relational.oracles,
@@ -39,6 +40,7 @@ object SparkEntry {
     _root_.graft.queries.Sinks.oracles,
     _root_.graft.queries.Curation.oracles,
     _root_.graft.queries.ScaleOps.oracles,
+    _root_.graft.queries.Selection.oracles,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

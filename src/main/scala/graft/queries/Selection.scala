@@ -1,0 +1,257 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.model.Tables
+
+/** Round-6 data-selection tier — the operators that decide WHICH data a
+  * training run sees, sitting between curation (Curation/TextOps) and
+  * batching (q84): importance-weighted domain selection (DSIR, Xie et
+  * al. NeurIPS'23), contrastive positive/hard-negative pair mining for
+  * embedding-model training, the salted-join skew remedy promoted from
+  * aggregation (q80) to the join side, and the adjacent-pair statistics
+  * that seed a BPE tokenizer-training run.
+  *
+  * Scale stance: the two language models in q115 reduce to ONE grouped
+  * frequency table each (hash shuffle on token) merged by an outer join
+  * on the same key; the corpus-level scalars (token totals, vocab size)
+  * are 1-row frames broadcast back (the J2 pattern). q116 bounds its
+  * query set (the q34 contract: brute force is for bounded eval sets —
+  * production mining would swap the scored subtree for the q69 IVF
+  * candidates without touching the rank/role logic). q117 replicates
+  * the DIM side S× and salts the fact side per-ROW, so one skewed user
+  * spreads over S tasks — the join is pinned shuffle-hash because at
+  * production scale the dim does not broadcast (here it would, hiding
+  * the very exchange the query demonstrates). q118's top-k is a
+  * distributed TakeOrdered (orderBy+limit), never a single-partition
+  * window — the q90 vocabulary pattern.
+  *
+  * Determinism: q115 pins each token's log-ratio to DECIMAL(28,12)
+  * before the per-doc sum (decimal addition is order-free — the q82
+  * discipline); q116 rounds cosines to 6 decimals before ranking and
+  * breaks ties on vec_id; q117 outputs exact counts and decimal sums
+  * (the Exact boundary); q118's ordering (cnt desc, a, b) is total.
+  */
+object Selection {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).documents
+
+  /** DSIR target domain: the curated slice importance weights aim at.
+    * Must match the literal source list in the q115 oracle. */
+  private val DSIR_TARGET = Seq("src1", "src2")
+
+  /** Salt fan-out for the skew-join remedy; must match the oracle-free
+    * side only (the oracle is the UNSALTED join — salting must not
+    * change the answer). */
+  private val SALT = 8
+
+  /** Merge-candidate report size; must match the q118 oracle LIMIT. */
+  private val PAIR_K = 20
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // DSIR importance-weighted selection (Xie et al., "Data Selection
+    // for Language Models via Importance Resampling"): score every doc
+    // by how much more likely its tokens are under a TARGET-domain
+    // unigram model than under the RAW-corpus model,
+    //   w(doc) = (1/n) Σ_tok [ln p_t(tok) − ln p_r(tok)],
+    // with add-1 smoothing over the joint vocabulary so raw-only tokens
+    // stay finite. selected = w > 0 ("more target-like than raw").
+    // Per-token log-ratios are pinned to DECIMAL(28,12) BEFORE the
+    // per-doc sum (order-free summation, the q82 discipline); the mean
+    // divides in double and rounds 4 at the output boundary.
+    "q115_dsir_selection" -> ((s, dir) => {
+      val toks = docs(s, dir)
+        .select(col("doc_id"), col("source"),
+          explode(split(col("text"), " ")).as("tok"))
+      val rawFreq = toks.groupBy("tok").agg(count(lit(1)).as("tf_r"))
+      val tgtFreq = toks.where(col("source").isin(DSIR_TARGET: _*))
+        .groupBy("tok").agg(count(lit(1)).as("tf_t"))
+      // Corpus scalars off the two freq tables (not a third scan):
+      // vocab size + raw token total from rawFreq, target total from
+      // tgtFreq; 1×1 frames, broadcast-rejoined (J2).
+      val rawTot = rawFreq.agg(count(lit(1)).as("v"), sum("tf_r").as("n_r"))
+      val tgtTot = tgtFreq.agg(sum("tf_t").as("n_t"))
+      val model = rawFreq
+        .join(tgtFreq, Seq("tok"), "left")
+        .crossJoin(broadcast(rawTot.crossJoin(tgtTot)))
+        .select(col("tok"),
+          (log((coalesce(col("tf_t"), lit(0L)) + 1).cast("double") /
+               (col("n_t") + col("v")).cast("double")) -
+           log((col("tf_r") + 1).cast("double") /
+               (col("n_r") + col("v")).cast("double")))
+            .cast("decimal(28,12)").as("lw"))
+      toks.join(model, "tok")
+        .groupBy("doc_id", "source")
+        .agg(count(lit(1)).as("n_toks"),
+          round(sum("lw").cast("double") / count(lit(1)), 4)
+            .as("dsir_weight"))
+        .withColumn("selected", col("dsir_weight") > 0)
+        .orderBy("doc_id")
+    }),
+
+    // Contrastive pair mining — the training-set construction step for
+    // embedding models (sentence-transformers style): for each query
+    // vector, its nearest SAME-label neighbor (the positive) and the 2
+    // nearest DIFFERENT-label neighbors (hard negatives — close in
+    // embedding space, wrong by label: exactly the pairs a contrastive
+    // loss learns most from). One scored subtree feeds both branches;
+    // cosines round to 6 before ranking, ties break on vec_id (the q34
+    // contract). Query set bounded to vec_id < 10 — production mining
+    // would swap the brute subtree for q69's IVF candidates.
+    "q116_hard_negatives" -> ((s, dir) => {
+      val all = VectorOps.emb(s, dir)
+      val q = all.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+          col("e").as("qe"), col("nrm").as("qn"))
+      val scored = broadcast(q).crossJoin(all)
+        .where(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("qlabel"), col("vec_id"), col("label"),
+          round(call_function("vec_dot", col("qe"), col("e")) /
+            (col("qn") * col("nrm")), 6).as("cos"))
+      val w = Window.partitionBy("qid")
+        .orderBy(col("cos").desc, col("vec_id"))
+      val pos = scored.where(col("label") === col("qlabel"))
+        .withColumn("rnk", row_number().over(w)).where(col("rnk") === 1)
+        .withColumn("role", lit("positive"))
+      val neg = scored.where(col("label") =!= col("qlabel"))
+        .withColumn("rnk", row_number().over(w)).where(col("rnk") <= 2)
+        .withColumn("role", lit("hard_negative"))
+      pos.unionByName(neg)
+        .select(col("qid"), col("role"), col("rnk").cast("long").as("rnk"),
+          col("vec_id"), col("label"), col("cos"))
+        .orderBy("qid", "role", "rnk")
+    }),
+
+    // Salted skew JOIN — q80's remedy promoted from aggregation to the
+    // join itself: the dim side (customer) is replicated SALT× and the
+    // fact side (events) salts per-ROW on event_id, so a hot user_id's
+    // rows spread across SALT join tasks instead of pinning one. The
+    // join is pinned shuffle-hash: at production scale the dim does NOT
+    // broadcast, and auto-broadcast here would erase the salted
+    // exchange the query exists to demonstrate. The ORACLE is the
+    // plain unsalted join — the remedy must change the plan, never the
+    // answer. Money stays decimal to the output boundary (Exact).
+    "q117_salted_join" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val facts = t.events
+        .select(col("user_id"), Exact.dPrice(col("value")).as("v"),
+          pmod(xxhash64(col("event_id")), lit(SALT.toLong)).as("salt"))
+      val dim = t.customer
+        .select(col("c_custkey"), col("c_nationkey"),
+          explode(sequence(lit(0L), lit(SALT.toLong - 1))).as("salt"))
+      facts
+        .join(dim.hint("shuffle_hash"),
+          facts("user_id") === dim("c_custkey") &&
+            facts("salt") === dim("salt"))
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_events"),
+          Exact.asD(sum(col("v"))).as("sum_value"))
+        .orderBy("c_nationkey")
+    }),
+
+    // BPE merge-pair statistics — step 1 of every tokenizer-training
+    // run (Sennrich et al. 2016): count adjacent token pairs across the
+    // corpus and report the top-K merge candidates. The pair explode is
+    // per-doc bounded (n−1 pairs); the top-k is a distributed
+    // TakeOrdered on the total order (cnt desc, a, b) — no
+    // single-partition window (the q90 pattern). A full training loop
+    // re-runs this after each merge; the per-round statistic is this
+    // exact query.
+    "q118_merge_pairs" -> ((s, dir) => {
+      val toks = docs(s, dir)
+        .select(split(col("text"), " ").as("toks"))
+        .where(size(col("toks")) >= 2)
+      toks
+        // sequence(1, size-1) is safe under the >= 2 filter (Spark's
+        // sequence DESCENDS when end < start — the shingles guard).
+        .select(explode(expr(
+          "transform(sequence(1, size(toks) - 1), " +
+            "i -> struct(toks[i - 1] AS a, toks[i] AS b))")).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(PAIR_K)
+    }),
+  )
+
+  def oracles: Map[String, String] = Map(
+
+    "q115_dsir_selection" ->
+      """WITH toks AS MATERIALIZED (
+        | SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+        | FROM documents),
+        |rawf AS MATERIALIZED (
+        | SELECT tok, COUNT(*) AS tf_r FROM toks GROUP BY tok),
+        |tgtf AS (
+        | SELECT tok, COUNT(*) AS tf_t FROM toks
+        | WHERE source IN ('src1', 'src2') GROUP BY tok),
+        |rawtot AS (SELECT COUNT(*) AS v, SUM(tf_r) AS n_r FROM rawf),
+        |tgttot AS (SELECT SUM(tf_t) AS n_t FROM tgtf),
+        |model AS (
+        | SELECT r.tok,
+        |  CAST(ln(CAST(COALESCE(t.tf_t, 0) + 1 AS DOUBLE)
+        |          / CAST(n_t + v AS DOUBLE))
+        |     - ln(CAST(r.tf_r + 1 AS DOUBLE)
+        |          / CAST(n_r + v AS DOUBLE)) AS DECIMAL(28,12)) AS lw
+        | FROM rawf r LEFT JOIN tgtf t USING (tok), rawtot, tgttot)
+        |SELECT k.doc_id, k.source, COUNT(*) AS n_toks,
+        | ROUND(CAST(SUM(m.lw) AS DOUBLE) / COUNT(*), 4) AS dsir_weight,
+        | (ROUND(CAST(SUM(m.lw) AS DOUBLE) / COUNT(*), 4) > 0) AS selected
+        |FROM toks k JOIN model m USING (tok)
+        |GROUP BY k.doc_id, k.source ORDER BY k.doc_id""".stripMargin,
+
+    "q116_hard_negatives" ->
+      """WITH e AS MATERIALIZED (
+        | SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |  embedding::DOUBLE[] AS e,
+        |  SQRT(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+        |    AS nrm
+        | FROM embeddings),
+        |scored AS MATERIALIZED (
+        | SELECT q.vec_id AS qid, q.label AS qlabel, a.vec_id, a.label,
+        |  ROUND(list_dot_product(q.e, a.e) / (q.nrm * a.nrm), 6) AS cos
+        | FROM e q JOIN e a ON a.vec_id != q.vec_id
+        | WHERE q.vec_id < 10),
+        |pos AS (
+        | SELECT qid, 'positive' AS role, rnk, vec_id, label, cos FROM (
+        |  SELECT qid, vec_id, label, cos,
+        |   ROW_NUMBER() OVER (PARTITION BY qid
+        |     ORDER BY cos DESC, vec_id) AS rnk
+        |  FROM scored WHERE label = qlabel) WHERE rnk = 1),
+        |neg AS (
+        | SELECT qid, 'hard_negative' AS role, rnk, vec_id, label, cos
+        | FROM (
+        |  SELECT qid, vec_id, label, cos,
+        |   ROW_NUMBER() OVER (PARTITION BY qid
+        |     ORDER BY cos DESC, vec_id) AS rnk
+        |  FROM scored WHERE label != qlabel) WHERE rnk <= 2)
+        |SELECT qid, role, rnk, vec_id, label, cos FROM pos
+        |UNION ALL
+        |SELECT qid, role, rnk, vec_id, label, cos FROM neg
+        |ORDER BY qid, role, rnk""".stripMargin,
+
+    // The UNSALTED join: the remedy must be answer-invariant.
+    "q117_salted_join" ->
+      """SELECT c.c_nationkey, COUNT(*) AS n_events,
+        | CAST(CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DECIMAL(38,6))
+        |   AS DOUBLE) AS sum_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY c.c_nationkey ORDER BY c.c_nationkey""".stripMargin,
+
+    "q118_merge_pairs" ->
+      """WITH t AS (
+        | SELECT string_split(text, ' ') AS toks FROM documents
+        | WHERE len(string_split(text, ' ')) >= 2),
+        |pairs AS (
+        | SELECT unnest(list_transform(
+        |   range(1, len(toks)),
+        |   i -> struct_pack(a := toks[i], b := toks[i + 1]))) AS p
+        | FROM t)
+        |SELECT p.a AS a, p.b AS b, COUNT(*) AS cnt
+        |FROM pairs GROUP BY 1, 2
+        |ORDER BY cnt DESC, a, b LIMIT 20""".stripMargin,
+  )
+}
