@@ -50,6 +50,15 @@ object Selection {
   /** Merge-candidate report size; must match the q118 oracle LIMIT. */
   private val PAIR_K = 20
 
+  /** MMR geometry: selection size and the relevance/diversity tradeoff.
+    * Must match the q119 oracle's unroll depth and literals. */
+  private val MMR_K = 5
+  private val MMR_LAMBDA = 0.7
+  /** The diversity weight as its own literal — NOT computed as
+    * 1.0 − λ, whose double value (0.30000000000000004) differs from
+    * the parsed literal 0.3 the oracle uses. */
+  private val MMR_MU = 0.3
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // DSIR importance-weighted selection (Xie et al., "Data Selection
@@ -175,9 +184,127 @@ object Selection {
         .orderBy(col("cnt").desc, col("a"), col("b"))
         .limit(PAIR_K)
     }),
+
+    // MMR diverse selection (Carbonell & Goldstein '98) — the greedy
+    // diversity-aware pick every "select a representative subset"
+    // curation step runs: round r adds the vector maximizing
+    //   score = λ·rel − (1−λ)·max_{s ∈ selected} cos(v, s),
+    // rel = cosine to the corpus centroid, empty-set max = 0 (so round
+    // 1 scores λ·rel under the SAME formula the oracle unrolls). Each
+    // round is ONE distributed pass over the corpus against a
+    // broadcast ≤K selected set — O(K·n) total, the canonical
+    // distributed form of the greedy facility-location family; driver
+    // state is K rows (the Components/kmeans fixpoint-loop exception:
+    // iterative driver state bounded by the iteration count, never by
+    // the data). Determinism: centroid components round 9 (q36), all
+    // cosines and scores round 6 before the argmax, ties on vec_id.
+    "q119_mmr_selection" -> ((s, dir) => {
+      val base = VectorOps.emb(s, dir)
+      // Corpus centroid as ONE array row built distributively (64
+      // structs through collect_list), broadcast-rejoined — no driver
+      // collect on the data path.
+      val cent = base
+        .select(posexplode(col("e")).as(Seq("pos", "v")))
+        .groupBy("pos").agg(round(avg("v"), 9).as("c"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("c"))))
+          .as("pc"))
+        // coalesce pins `double NOT NULL` elements for vec_dot (the emb
+        // contract); centroid components are never actually null.
+        .select(transform(col("pc"),
+          x => coalesce(x.getField("c"), lit(Double.NaN))).as("c"))
+        .select(col("c"),
+          sqrt(call_function("vec_dot", col("c"), col("c"))).as("cn"))
+      val rel = base.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("e"), col("nrm"),
+          round(call_function("vec_dot", col("e"), col("c")) /
+            (col("nrm") * col("cn")), 6).as("rel"))
+        .localCheckpoint(false)
+      val lam = MMR_LAMBDA
+      var sel = Vector.empty[(Long, Seq[Double], Double, Double, Double)]
+      var exhausted = false // corpus smaller than K: stop early
+      while (!exhausted && sel.length < MMR_K) {
+        val picked =
+          if (sel.isEmpty)
+            rel.select(col("vec_id"), col("e"), col("nrm"), col("rel"),
+              round(lit(lam) * col("rel"), 6).as("score"))
+          else {
+            import s.implicits._
+            val selDf = sel.map(t => (t._1, t._2, t._3))
+              .toDF("sid", "se", "sn")
+            rel.where(!col("vec_id").isin(sel.map(_._1): _*))
+              .crossJoin(broadcast(selDf))
+              .select(col("vec_id"), col("e"), col("nrm"), col("rel"),
+                round(call_function("vec_dot", col("e"), col("se")) /
+                  (col("nrm") * col("sn")), 6).as("sim"))
+              .groupBy("vec_id")
+              .agg(first("e").as("e"), first("nrm").as("nrm"),
+                first("rel").as("rel"), max("sim").as("maxsim"))
+              .select(col("vec_id"), col("e"), col("nrm"), col("rel"),
+                round(lit(lam) * col("rel") -
+                  lit(MMR_MU) * col("maxsim"), 6).as("score"))
+          }
+        val row = picked
+          .orderBy(col("score").desc, col("vec_id")).limit(1).collect()
+        if (row.isEmpty) exhausted = true
+        else {
+          val r = row(0)
+          sel = sel :+ ((r.getLong(0), r.getSeq[Double](1), r.getDouble(2),
+            r.getDouble(3), r.getDouble(4)))
+        }
+      }
+      import s.implicits._
+      sel.zipWithIndex
+        .map { case (t, i) => ((i + 1).toLong, t._1, t._4, t._5) }
+        .toDF("rnk", "vec_id", "rel", "score")
+        .orderBy("rnk")
+    }),
   )
 
+  /** One unrolled MMR round for the q119 oracle: pick the argmax of
+    * λ·rel − µ·maxsim over the not-yet-selected, maxsim vs sel{i-1}. */
+  private def mmrRoundSql(i: Int): String =
+    s"""s$i AS (
+       | SELECT $i AS rnk, r.vec_id, r.e, r.nrm, r.rel,
+       |  ROUND(CAST($MMR_LAMBDA AS DOUBLE) * r.rel
+       |      - CAST($MMR_MU AS DOUBLE) * m.maxsim, 6) AS score
+       | FROM rel r JOIN (
+       |  SELECT r2.vec_id,
+       |   MAX(ROUND(list_dot_product(r2.e, s.e) / (r2.nrm * s.nrm), 6))
+       |     AS maxsim
+       |  FROM rel r2 CROSS JOIN sel${i - 1} s
+       |  WHERE r2.vec_id NOT IN (SELECT vec_id FROM sel${i - 1})
+       |  GROUP BY r2.vec_id) m ON r.vec_id = m.vec_id
+       | ORDER BY score DESC, r.vec_id LIMIT 1),
+       |sel$i AS (SELECT * FROM sel${i - 1} UNION ALL SELECT * FROM s$i)"""
+      .stripMargin
+
   def oracles: Map[String, String] = Map(
+
+    "q119_mmr_selection" ->
+      s"""WITH e AS MATERIALIZED (
+         | SELECT vec_id, embedding::DOUBLE[] AS e,
+         |  SQRT(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+         |    AS nrm
+         | FROM embeddings),
+         |cent AS (
+         | SELECT list(c ORDER BY pos) AS c FROM (
+         |  SELECT pos, ROUND(AVG(v), 9) AS c FROM (
+         |   SELECT generate_subscripts(e, 1) AS pos, unnest(e) AS v
+         |   FROM e)
+         |  GROUP BY pos)),
+         |cn AS (SELECT SQRT(list_dot_product(c, c)) AS cn FROM cent),
+         |rel AS MATERIALIZED (
+         | SELECT vec_id, e.e AS e, nrm,
+         |  ROUND(list_dot_product(e.e, cent.c) / (nrm * cn.cn), 6) AS rel
+         | FROM e, cent, cn),
+         |s1 AS (
+         | SELECT 1 AS rnk, vec_id, e, nrm, rel,
+         |  ROUND(CAST($MMR_LAMBDA AS DOUBLE) * rel, 6) AS score
+         | FROM rel ORDER BY score DESC, vec_id LIMIT 1),
+         |sel1 AS (SELECT * FROM s1),
+         |${(2 to MMR_K).map(mmrRoundSql).mkString(",\n")}
+         |SELECT CAST(rnk AS BIGINT) AS rnk, vec_id, rel, score
+         |FROM sel$MMR_K ORDER BY rnk""".stripMargin,
 
     "q115_dsir_selection" ->
       """WITH toks AS MATERIALIZED (

@@ -78,6 +78,45 @@ class SelectionSpec extends AnyFunSuite {
       "target-domain docs must out-score the rest under their own model")
   }
 
+  test("q119 matches an independent local greedy MMR model") {
+    val out = SparkEntry.queries("q119_mmr_selection")(s, sfDir).collect()
+    assert(out.length == 5)
+    assert(out.map(_.getLong(1)).distinct.length == 5,
+      "MMR must never select the same vector twice")
+    // Independent model: plain-Scala greedy over the collected corpus
+    // with the query's exact rounding contract.
+    val vecs = graft.model.Tables(s, sfDir).embeddings
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double))")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    def rnd(x: Double, p: Int): Double =
+      BigDecimal(x).setScale(p, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val dim = vecs.head._2.length
+    val cent = Array.tabulate(dim) { i =>
+      rnd(vecs.values.map(_(i)).sum / vecs.size, 9)
+    }
+    val cn = math.sqrt(dot(cent, cent))
+    val nrm = vecs.map { case (id, e) => id -> math.sqrt(dot(e, e)) }
+    val rel = vecs.map { case (id, e) =>
+      id -> rnd(dot(e, cent) / (nrm(id) * cn), 6)
+    }
+    var picked = Vector.empty[Long]
+    while (picked.length < 5) {
+      val cand = vecs.keys.filterNot(picked.contains).map { id =>
+        val maxsim =
+          if (picked.isEmpty) 0.0
+          else picked.map(p =>
+            rnd(dot(vecs(id), vecs(p)) / (nrm(id) * nrm(p)), 6)).max
+        id -> rnd(0.7 * rel(id) - 0.3 * maxsim, 6)
+      }.toSeq
+      picked = picked :+ cand.minBy { case (id, sc) => (-sc, id) }._1
+    }
+    assert(out.map(_.getLong(1)).toSeq == picked,
+      "distributed greedy must pick the model's exact id sequence")
+  }
+
   test("q118 top-k ordering is total and counts are consistent") {
     val rows = SparkEntry.queries("q118_merge_pairs")(s, sfDir).collect()
     assert(rows.length <= 20)
