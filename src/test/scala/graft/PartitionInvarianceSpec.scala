@@ -41,7 +41,12 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q113_asof_broadcast",
     // incremental dedup: the persisted index's bucket cap and the
     // broadcast probe must not depend on build/probe partitioning
-    "q114_incremental_dedup")
+    "q114_incremental_dedup",
+    // selection tier: the DSIR decimal sum must be summation-order-free
+    // and the MMR greedy's per-round argmax (centroid avg, first()-on-
+    // constant groups, driver-collected picks) must be layout-free
+    "q115_dsir_selection",
+    "q119_mmr_selection")
 
   private def run(name: String): Array[Row] =
     SparkEntry.queries(name)(s, sfDir).collect()
