@@ -38,16 +38,18 @@ object Selection {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir).documents
 
-  /** DSIR target domain: the curated slice importance weights aim at.
-    * Must match the literal source list in the q115 oracle. */
+  /** DSIR target domain: the curated slice importance weights aim at
+    * (interpolated into the q115 oracle, so the two sides can't drift). */
   private val DSIR_TARGET = Seq("src1", "src2")
+  private def dsirTargetSql: String =
+    DSIR_TARGET.map(t => s"'$t'").mkString(", ")
 
   /** Salt fan-out for the skew-join remedy; must match the oracle-free
     * side only (the oracle is the UNSALTED join — salting must not
     * change the answer). */
   private val SALT = 8
 
-  /** Merge-candidate report size; must match the q118 oracle LIMIT. */
+  /** Merge-candidate report size (interpolated into the q118 oracle). */
   private val PAIR_K = 20
 
   /** MMR geometry: selection size and the relevance/diversity tradeoff.
@@ -307,14 +309,14 @@ object Selection {
          |FROM sel$MMR_K ORDER BY rnk""".stripMargin,
 
     "q115_dsir_selection" ->
-      """WITH toks AS MATERIALIZED (
+      s"""WITH toks AS MATERIALIZED (
         | SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
         | FROM documents),
         |rawf AS MATERIALIZED (
         | SELECT tok, COUNT(*) AS tf_r FROM toks GROUP BY tok),
         |tgtf AS (
         | SELECT tok, COUNT(*) AS tf_t FROM toks
-        | WHERE source IN ('src1', 'src2') GROUP BY tok),
+        | WHERE source IN ($dsirTargetSql) GROUP BY tok),
         |rawtot AS (SELECT COUNT(*) AS v, SUM(tf_r) AS n_r FROM rawf),
         |tgttot AS (SELECT SUM(tf_t) AS n_t FROM tgtf),
         |model AS (
@@ -369,7 +371,7 @@ object Selection {
         |GROUP BY c.c_nationkey ORDER BY c.c_nationkey""".stripMargin,
 
     "q118_merge_pairs" ->
-      """WITH t AS (
+      s"""WITH t AS (
         | SELECT string_split(text, ' ') AS toks FROM documents
         | WHERE len(string_split(text, ' ')) >= 2),
         |pairs AS (
@@ -379,6 +381,6 @@ object Selection {
         | FROM t)
         |SELECT p.a AS a, p.b AS b, COUNT(*) AS cnt
         |FROM pairs GROUP BY 1, 2
-        |ORDER BY cnt DESC, a, b LIMIT 20""".stripMargin,
+        |ORDER BY cnt DESC, a, b LIMIT $PAIR_K""".stripMargin,
   )
 }

@@ -137,19 +137,41 @@ class SelectionFuzzSpec extends AnyFunSuite {
     }
   }
 
-  test("q117 salted join drops fact rows with no dim match (inner)") {
-    // The catalog data joins totally; pin the inner-join arm by
-    // checking the aggregate totals exclude nothing on the REAL data:
-    // sum over the salted output == plain event count with a match.
-    val sfDir = "/root/testdata/sf0.001"
-    val out = SparkEntry.queries("q117_salted_join")(s, sfDir).collect()
-    val t = graft.model.Tables(s, sfDir)
-    val matched = t.events
-      .join(t.customer,
-        org.apache.spark.sql.functions.col("user_id") ===
-          org.apache.spark.sql.functions.col("c_custkey"))
-      .count()
-    assert(out.map(_.getLong(1)).sum == matched,
-      "salting must neither drop nor duplicate matched fact rows")
+  test("q117 salted join drops unmatched/null-key facts, keeps the rest") {
+    // The catalog data joins totally, so the inner-join arm needs a
+    // synthetic table pair: events with user_ids beyond the customer
+    // range AND null user_ids, both of which the join must drop
+    // without touching the matched rows' counts or sums.
+    import s.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_selfuzz_j").toString
+    val rnd = new scala.util.Random(51)
+    val events = (0L until 200L).map { id =>
+      val uid: java.lang.Long =
+        if (id % 13 == 0) null // null keys: never equal, must drop
+        else java.lang.Long.valueOf(rnd.nextInt(15).toLong) // 10..14 unmatched
+      (id, id * 1000000000L, uid, "e" + (id % 3),
+        (rnd.nextInt(10000) + 1) / 100.0, "{}")
+    }
+    events.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(2)
+      .write.mode("overwrite").parquet(dir + "/events.parquet")
+    (0L until 10L).map(k => (k, "c" + k, (k % 3).toInt, 0.0))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(dir + "/customer.parquet")
+    val out = SparkEntry.queries("q117_salted_join")(s, dir)
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val want = events
+      .filter(e => e._3 != null && e._3 < 10)
+      .groupBy(e => (e._3.toLong % 3).toInt)
+      .map { case (nk, es) =>
+        nk -> ((es.size.toLong,
+          es.map(e => BigDecimal(e._5).setScale(2)).sum.toDouble))
+      }
+    assert(out == want,
+      "salting must drop exactly the unmatched/null-key facts and " +
+        "neither drop nor duplicate matched rows")
   }
 }

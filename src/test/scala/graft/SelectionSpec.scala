@@ -52,10 +52,14 @@ class SelectionSpec extends AnyFunSuite {
       else assert(emb(qid) != lab,
         s"hard negative for q$qid must differ in label")
     }
+    // sf0.001 has 10 well-populated labels, so every query is
+    // guaranteed a positive and 2 hard negatives — exact arity, not
+    // <=, or a dropped role would pass vacuously.
     val perQ = rows.groupBy(r => r.getLong(0))
+    assert(perQ.size == 10, "one group per bounded-set query vector")
     perQ.foreach { case (qid, rs) =>
-      assert(rs.count(_.getString(1) == "positive") <= 1)
-      assert(rs.count(_.getString(1) == "hard_negative") <= 2)
+      assert(rs.count(_.getString(1) == "positive") == 1, s"q$qid")
+      assert(rs.count(_.getString(1) == "hard_negative") == 2, s"q$qid")
     }
   }
 
