@@ -27,6 +27,7 @@ object SparkEntry {
     _root_.graft.queries.Curation.queries,
     _root_.graft.queries.ScaleOps.queries,
     _root_.graft.queries.Selection.queries,
+    _root_.graft.queries.Retrieval.queries,
   )
   private def oracleCatalogs = Seq(
     _root_.graft.queries.Relational.oracles,
@@ -41,6 +42,7 @@ object SparkEntry {
     _root_.graft.queries.Curation.oracles,
     _root_.graft.queries.ScaleOps.oracles,
     _root_.graft.queries.Selection.oracles,
+    _root_.graft.queries.Retrieval.oracles,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,445 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.model.Tables
+
+/** Round-6 retrieval & redundancy tier — the corpus-query and
+  * span-level-redundancy operators that round out the LLM-pipeline
+  * surface: BM25 sparse retrieval (Robertson-Walker Okapi weighting, the
+  * lexical complement to q34's dense cosine top-k), an interval-overlap
+  * join (the one join geometry the catalog lacked: range × range, recast
+  * as a bucket equi-join), duplicated n-gram SPAN detection (substring-
+  * level dedup in the spirit of Lee et al., "Deduplicating Training Data
+  * Makes Language Models Better" — doc-level dedup q25-q29 cannot see a
+  * copied paragraph inside an otherwise-unique doc), directed shingle
+  * containment (Broder's asymmetric |A∩B|/|A| — catches a doc QUOTED
+  * inside a larger one, where symmetric Jaccard q29 is diluted by the
+  * larger doc's size), and equal-token curriculum binning (difficulty-
+  * ordered stage assignment under a fixed per-stage token budget).
+  *
+  * Scale stance: q120 builds ONE (doc, term) frequency table and derives
+  * doc length + document frequency from it with two keyed windows (no
+  * rejoin, no second scan); the bounded query set and the two corpus
+  * scalars ride broadcasts (the J2 pattern). q121 turns the theta join
+  * (interval overlap) into an equi-join on the hour bucket: incidents
+  * are bucket-aligned so ONLY the session side explodes (bounded by
+  * session duration), and every bucket match is provably an overlap —
+  * no post-join dedup. q122/q123 are inverted-index plans (the q29
+  * family): posting lists keyed by shingle, df computed as count-over-
+  * window (no rejoin), q123's lists df-capped before the pair join.
+  * q124 replaces the global-sort + corpus-wide cumulative window (the
+  * classic curriculum anti-pattern) with a two-pass histogram: the
+  * cumulative window runs over the VALUE-BOUNDED difficulty histogram
+  * (integer centi-difficulty ⇒ ≤ a few hundred rows at any corpus
+  * size), which then broadcasts back onto the corpus.
+  *
+  * Determinism: q120 pins each term's contribution to DECIMAL(28,12)
+  * before the per-(query, doc) sum (order-free summation, the q82/q115
+  * discipline), rounds BEFORE ranking, and breaks rank ties on doc_id;
+  * q121/q122 are integer-only up to their outputs; q123 rounds
+  * containment to 6 decimals with a total (containment, a, b) order;
+  * q124's difficulty key is integer centi-difficulty (`n_chars·100 div
+  * n_toks`) so the histogram key never touches double rounding.
+  */
+object Retrieval {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).documents
+
+  /** BM25 shape parameters (Okapi defaults) and report size. k1+1 is its
+    * own literal: 1.2 + 1.0 in binary double need not equal the parsed
+    * literal 2.2 the oracle uses (the MMR_MU lesson). */
+  private val BM25_K1 = 1.2
+  private val BM25_K1P1 = 2.2
+  private val BM25_B = 0.75
+  private val BM25_TOPK = 10
+  /** Query-doc selector: doc_id % QMOD == 0 — a bounded, corpus-derived
+    * query set (5 queries at sf0.01, 50 at sf0.1). */
+  private val QMOD = 100
+
+  /** q121 geometry: q38's session gap, the incident bucket width, and
+    * the error count that promotes an hour to an incident. */
+  private val GAP_US = 1800L * 1000000L
+  private val HOUR_US = 3600L * 1000000L
+  private val ERR_MIN = 5L
+
+  /** q123 posting-list df cap (the q29 guard): above this corpus's max
+    * shingle df, so the guard is value-inert here while pinning the
+    * 100 TB shape — a boilerplate shingle shared by millions of docs
+    * must not produce a quadratic bucket. */
+  private val CONTAIN_DF_CAP = 1000
+  private val CONTAIN_TOPK = 20
+
+  /** q124 stage count. */
+  private val NBINS = 4
+
+  /** Word-3-gram shingles WITH position: (doc_id, pos (1-based), sh).
+    * The q122 span logic needs adjacency, so unlike TextOps.shingles
+    * this keeps every occurrence and its offset. Sub-3-token docs yield
+    * no rows (Spark's sequence(1, 0) DESCENDS — the when-guard matches
+    * DuckDB's empty range()). */
+  private def posShingles(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(when(size(col("toks")) >= 3,
+        transform(sequence(lit(1), size(col("toks")) - 2),
+          i => struct(i.cast("long").as("pos"),
+            concat_ws(" ", element_at(col("toks"), i),
+              element_at(col("toks"), i + 1),
+              element_at(col("toks"), i + 2)).as("sh"))))
+        .otherwise(array().cast("array<struct<pos:bigint,sh:string>>")))
+        .as("ps"))
+      .select(col("doc_id"), col("ps.pos").as("pos"), col("ps.sh").as("sh"))
+
+  /** The positioned-shingle CTE chain shared by the q122/q123 oracles —
+    * interpolated so the two SQL sides can't drift from each other. */
+  private val SHINGLE_SQL =
+    """t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |sp AS MATERIALIZED (
+      | SELECT doc_id, ps.pos AS pos, ps.sh AS sh FROM (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+      |    i -> struct_pack(pos := i,
+      |      sh := toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])))
+      |    AS ps
+      |  FROM t))""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // BM25 top-k retrieval (Robertson et al., Okapi at TREC-3) — the
+    // sparse-retrieval workhorse for corpus search and decontamination
+    // sweeps; complements dense retrieval (q34 brute cosine, q69 IVF).
+    //   score(q,d) = Σ_{t∈q} ln(1 + (N−df+.5)/(df+.5))
+    //                · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    // ONE (doc, term) tf table feeds everything: dl and df are keyed
+    // windows over it (no rejoin), N/avgdl are a 1-row broadcast, the
+    // query side (distinct terms of docs with doc_id % QMOD == 0) is a
+    // corpus-derived bounded broadcast. Self-matches are excluded.
+    // Per-term contributions are pinned to DECIMAL(28,12) before the
+    // per-(query, doc) sum; ranking happens AFTER the 6-dp round with a
+    // doc_id tiebreak, so rank order is cross-engine total.
+    "q120_bm25_retrieval" -> ((s, dir) => {
+      val toks = docs(s, dir)
+        .select(col("doc_id"),
+          explode(split(col("text"), " ")).as("tok"))
+      val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val aug = tf
+        .withColumn("dl", sum("tf").over(Window.partitionBy("doc_id")))
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("tok")))
+      val scal = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+        .agg(count(lit(1)).as("n_docs"),
+          (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+      val qt = toks.where(col("doc_id") % QMOD === 0)
+        .select(col("doc_id").as("qid"), col("tok")).distinct()
+      val idf = log(lit(1.0) +
+        ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)))
+      val tfn = (col("tf").cast("double") * lit(BM25_K1P1)) /
+        (col("tf").cast("double") + lit(BM25_K1) *
+          (lit(1.0 - BM25_B) +
+            lit(BM25_B) * col("dl").cast("double") / col("avgdl")))
+      val scored = aug
+        .join(broadcast(qt), "tok")
+        .where(col("doc_id") =!= col("qid"))
+        .crossJoin(broadcast(scal))
+        .select(col("qid"), col("doc_id"),
+          (idf * tfn).cast("decimal(28,12)").as("c"))
+        .groupBy("qid", "doc_id")
+        .agg(round(sum("c").cast("double"), 6).as("bm25"))
+      scored
+        .withColumn("rnk", row_number().over(Window.partitionBy("qid")
+          .orderBy(col("bm25").desc, col("doc_id"))))
+        .where(col("rnk") <= BM25_TOPK)
+        .select(col("qid"), col("rnk").cast("long").as("rnk"),
+          col("doc_id"), col("bm25"))
+        .orderBy("qid", "rnk")
+    }),
+
+    // Interval-overlap join — session intervals (q38's 30-min-gap
+    // sessionization) × incident windows (hours with ≥ ERR_MIN error
+    // events). The naive plan is a theta join (s0 < i1 AND i0 ≤ s1 —
+    // a BroadcastNestedLoop at best, a CartesianProduct at worst); the
+    // scale plan exploits the incidents being BUCKET-ALIGNED: explode
+    // each session to the hour buckets it touches (bounded by session
+    // duration — ≤ n_events·gap) and equi-join on the bucket. Because
+    // an incident occupies exactly its own bucket, bucket match ⟺
+    // interval overlap (proof in RetrievalSpec), so there is no
+    // post-join dedup and no residual filter. Arbitrary right-side
+    // intervals would explode both sides and dedup pairs — same plan
+    // family. overlap_us treats sessions as closed [s0,s1] and
+    // incidents as half-open [i0,i1): a point session AT the incident
+    // start overlaps (0 µs), one at the incident END does not.
+    "q121_interval_join" -> ((s, dir) => {
+      val ev = Tables(s, dir).events
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val gap = unix_micros(col("ts")) -
+        lag(unix_micros(col("ts")), 1).over(w)
+      val sess = ev
+        .withColumn("new_sess",
+          when(gap.isNull || gap > GAP_US, 1L).otherwise(0L))
+        .withColumn("session_id", sum("new_sess").over(w))
+        .groupBy("user_id", "session_id")
+        .agg(unix_micros(min("ts")).as("s0"),
+          unix_micros(max("ts")).as("s1"))
+      val inc = ev.where(col("event_type") === "error")
+        .groupBy(expr(s"unix_micros(ts) div $HOUR_US").as("bkt"))
+        .agg(count(lit(1)).as("n_errors"))
+        .where(col("n_errors") >= ERR_MIN)
+      sess
+        .withColumn("bkt", explode(sequence(
+          expr(s"s0 div $HOUR_US"), expr(s"s1 div $HOUR_US"))))
+        .join(inc, "bkt")
+        .select(col("user_id"), col("session_id"),
+          (col("bkt") * HOUR_US).as("incident_start_us"),
+          col("n_errors"),
+          (least(col("s1"), (col("bkt") + 1) * HOUR_US) -
+            greatest(col("s0"), col("bkt") * HOUR_US)).as("overlap_us"))
+        .orderBy("user_id", "session_id", "incident_start_us")
+    }),
+
+    // Duplicated n-gram SPAN detection — substring-level redundancy
+    // (Lee et al. 2022): a shingle occurrence is "shared" when its
+    // 3-gram appears in ≥ 2 DISTINCT docs (within-doc repeats don't
+    // count), and consecutive shared positions chain into spans via
+    // gaps-and-islands (pos − row_number). Per doc: total shared
+    // occurrences, the longest shared span in TOKENS (run + 2), and
+    // the shared fraction — the signals a span-level dedup pass cuts
+    // on. Inverted-index plan: distinct (doc, shingle) postings, df as
+    // count-over-window on the shingle key, one (doc_id, sh)-keyed
+    // join back to positions, then per-doc windows. Every doc appears
+    // in the output (sub-3-token docs as all-zero rows).
+    "q122_duplicate_spans" -> ((s, dir) => {
+      val sp = posShingles(docs(s, dir))
+      val dup = sp.select(col("doc_id"), col("sh")).distinct()
+        .withColumn("dfd", count(lit(1)).over(Window.partitionBy("sh")))
+        .where(col("dfd") >= 2)
+        .select(col("doc_id"), col("sh"))
+      val runs = sp.join(dup, Seq("doc_id", "sh"))
+        .withColumn("grp", col("pos") - row_number().over(
+          Window.partitionBy("doc_id").orderBy("pos")))
+        .groupBy("doc_id", "grp").agg(count(lit(1)).as("len"))
+      val agg = runs.groupBy("doc_id")
+        .agg(max("len").as("maxrun"), sum("len").as("ndup"))
+      docs(s, dir)
+        .select(col("doc_id"),
+          greatest(size(split(col("text"), " ")) - 2, lit(0))
+            .cast("long").as("n_shingles"))
+        .join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_shingles"),
+          coalesce(col("ndup"), lit(0L)).as("n_dup_shingles"),
+          coalesce(col("maxrun") + 2, lit(0L)).as("max_dup_span"),
+          round(when(col("n_shingles") === 0, lit(0.0))
+            .otherwise(coalesce(col("ndup"), lit(0L)).cast("double") /
+              col("n_shingles")), 6).as("dup_frac"))
+        .orderBy("doc_id")
+    }),
+
+    // Directed shingle containment (Broder '97): c(A→B) = |A∩B| / |A|
+    // over distinct word-3-gram sets. Asymmetric by design — a short
+    // doc fully quoted inside a long one scores c≈1 in that direction
+    // while its symmetric Jaccard (q29) is diluted to |A|/|B|; this is
+    // the boilerplate/quotation detector. Same inverted-index family
+    // as q29: per-doc set size and per-shingle df both as windows on
+    // the distinct posting table (no rejoin), df-capped lists, ordered
+    // pairs from the shingle-keyed self-join carrying the LEFT side's
+    // size, then one grouped count. Top-k under a total order.
+    "q123_containment" -> ((s, dir) => {
+      val p = posShingles(docs(s, dir))
+        .select(col("doc_id"), col("sh")).distinct()
+        .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
+        .where(col("df") <= CONTAIN_DF_CAP)
+      p.as("x").join(p.as("y"),
+          col("x.sh") === col("y.sh") &&
+            col("x.doc_id") =!= col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .agg(max(col("x.sz")).as("size_a"), count(lit(1)).as("inter"))
+        .select(col("a"), col("b"), col("inter"), col("size_a"),
+          round(col("inter").cast("double") / col("size_a"), 6)
+            .as("containment"))
+        .orderBy(col("containment").desc, col("a"), col("b"))
+        .limit(CONTAIN_TOPK)
+    }),
+
+    // Equal-token curriculum binning — order docs by difficulty (mean
+    // chars per token) and cut the ordering into NBINS stages of equal
+    // TOKEN budget (not equal doc count): the data-ordering step a
+    // curriculum or annealed-mixture schedule consumes. The classic
+    // formulation (global sort + corpus-wide cumulative sum) funnels
+    // the whole corpus through one partition; this plan aggregates a
+    // VALUE-BOUNDED histogram first — integer centi-difficulty
+    // (n_chars·100 div n_toks, exact in both engines) has at most a
+    // few hundred distinct values regardless of corpus size — runs the
+    // cumulative window over the histogram, derives each bucket's
+    // stage with integer floor division, and broadcasts the bucket →
+    // stage map back onto the corpus. Stage boundaries sit between
+    // difficulty buckets, so assignment is deterministic everywhere.
+    "q124_curriculum_bins" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("n_chars"),
+          size(split(col("text"), " ")).cast("long").as("n_toks"))
+        .withColumn("dc", expr("n_chars * 100 div n_toks"))
+      val hist = d.groupBy("dc").agg(sum("n_toks").as("btoks"))
+      val tot = hist.agg(sum("btoks").as("total"))
+      val stages = hist
+        .withColumn("cumb", coalesce(sum("btoks").over(
+          Window.orderBy("dc")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .crossJoin(broadcast(tot))
+        .select(col("dc"), expr(s"cumb * $NBINS div total").as("stage"))
+      d.join(broadcast(stages), "dc")
+        .groupBy("stage")
+        .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"),
+          (min("dc").cast("double") / 100).as("min_difficulty"),
+          (max("dc").cast("double") / 100).as("max_difficulty"))
+        .orderBy("stage")
+    }),
+  )
+
+  def oracles: Map[String, String] = Map(
+
+    "q120_bm25_retrieval" ->
+      s"""WITH toks AS MATERIALIZED (
+        | SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        | FROM documents),
+        |tf AS MATERIALIZED (
+        | SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |aug AS (
+        | SELECT doc_id, tok, tf,
+        |  SUM(tf) OVER (PARTITION BY doc_id) AS dl,
+        |  COUNT(*) OVER (PARTITION BY tok) AS df
+        | FROM tf),
+        |scal AS (
+        | SELECT COUNT(*) AS n_docs,
+        |  CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+        | FROM (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1)),
+        |qt AS (SELECT DISTINCT doc_id AS qid, tok FROM toks
+        |       WHERE doc_id % $QMOD = 0),
+        |contrib AS (
+        | SELECT q.qid, a.doc_id,
+        |  CAST(ln(CAST(1 AS DOUBLE)
+        |     + (CAST(n_docs - df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+        |       / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+        |   * (CAST(tf AS DOUBLE) * CAST($BM25_K1P1 AS DOUBLE))
+        |     / (CAST(tf AS DOUBLE) + CAST($BM25_K1 AS DOUBLE)
+        |        * (CAST(0.25 AS DOUBLE) + CAST($BM25_B AS DOUBLE)
+        |           * CAST(dl AS DOUBLE) / avgdl))
+        |   AS DECIMAL(28,12)) AS c
+        | FROM aug a JOIN qt q USING (tok) CROSS JOIN scal
+        | WHERE a.doc_id != q.qid),
+        |scored AS (
+        | SELECT qid, doc_id, ROUND(CAST(SUM(c) AS DOUBLE), 6) AS bm25
+        | FROM contrib GROUP BY 1, 2),
+        |ranked AS (
+        | SELECT qid, doc_id, bm25,
+        |  ROW_NUMBER() OVER (PARTITION BY qid
+        |    ORDER BY bm25 DESC, doc_id) AS rnk
+        | FROM scored)
+        |SELECT qid, rnk, doc_id, bm25 FROM ranked
+        |WHERE rnk <= $BM25_TOPK ORDER BY qid, rnk""".stripMargin,
+
+    // the THETA form of the same join — equal hash proves the bucket
+    // equi-join recast changed the plan, not the answer
+    "q121_interval_join" ->
+      s"""WITH flagged AS (
+        | SELECT user_id, event_id, ts,
+        |  CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w IS NULL
+        |         OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > $GAP_US
+        |       THEN 1 ELSE 0 END AS new_sess
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        | SELECT user_id,
+        |  CAST(SUM(new_sess) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS BIGINT) AS session_id, ts
+        | FROM flagged),
+        |si AS (
+        | SELECT user_id, session_id,
+        |  MIN(epoch_us(ts)) AS s0, MAX(epoch_us(ts)) AS s1
+        | FROM sess GROUP BY 1, 2),
+        |inc AS (
+        | SELECT (epoch_us(ts) // $HOUR_US) * $HOUR_US AS i0,
+        |  COUNT(*) AS n_errors
+        | FROM events WHERE event_type = 'error'
+        | GROUP BY 1 HAVING COUNT(*) >= $ERR_MIN)
+        |SELECT s.user_id, s.session_id, i.i0 AS incident_start_us,
+        | i.n_errors,
+        | LEAST(s.s1, i.i0 + $HOUR_US) - GREATEST(s.s0, i.i0)
+        |   AS overlap_us
+        |FROM si s JOIN inc i
+        |  ON s.s0 < i.i0 + $HOUR_US AND i.i0 <= s.s1
+        |ORDER BY s.user_id, s.session_id, incident_start_us""".stripMargin,
+
+    "q122_duplicate_spans" ->
+      s"""WITH $SHINGLE_SQL,
+        |dup AS (
+        | SELECT doc_id, sh FROM (
+        |  SELECT doc_id, sh, COUNT(*) OVER (PARTITION BY sh) AS dfd
+        |  FROM (SELECT DISTINCT doc_id, sh FROM sp))
+        | WHERE dfd >= 2),
+        |runs AS (
+        | SELECT doc_id, grp, COUNT(*) AS len FROM (
+        |  SELECT sp.doc_id, sp.pos,
+        |   sp.pos - ROW_NUMBER() OVER (PARTITION BY sp.doc_id
+        |     ORDER BY sp.pos) AS grp
+        |  FROM sp JOIN dup USING (doc_id, sh))
+        | GROUP BY 1, 2),
+        |agg AS (
+        | SELECT doc_id, MAX(len) AS maxrun, SUM(len) AS ndup
+        | FROM runs GROUP BY 1),
+        |base AS (
+        | SELECT doc_id,
+        |  GREATEST(CAST(len(string_split(text, ' ')) AS BIGINT) - 2, 0)
+        |    AS n_shingles
+        | FROM documents)
+        |SELECT b.doc_id, b.n_shingles,
+        | CAST(COALESCE(a.ndup, 0) AS BIGINT) AS n_dup_shingles,
+        | COALESCE(a.maxrun + 2, 0) AS max_dup_span,
+        | ROUND(CASE WHEN b.n_shingles = 0 THEN CAST(0 AS DOUBLE)
+        |       ELSE CAST(COALESCE(a.ndup, 0) AS DOUBLE) / b.n_shingles
+        |       END, 6) AS dup_frac
+        |FROM base b LEFT JOIN agg a USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin,
+
+    "q123_containment" ->
+      s"""WITH $SHINGLE_SQL,
+        |p AS MATERIALIZED (
+        | SELECT doc_id, sh, sz, df FROM (
+        |  SELECT doc_id, sh,
+        |   COUNT(*) OVER (PARTITION BY doc_id) AS sz,
+        |   COUNT(*) OVER (PARTITION BY sh) AS df
+        |  FROM (SELECT DISTINCT doc_id, sh FROM sp))
+        | WHERE df <= $CONTAIN_DF_CAP),
+        |ag AS (
+        | SELECT x.doc_id AS a, y.doc_id AS b,
+        |  MAX(x.sz) AS size_a, COUNT(*) AS inter
+        | FROM p x JOIN p y
+        |   ON x.sh = y.sh AND x.doc_id != y.doc_id
+        | GROUP BY 1, 2)
+        |SELECT a, b, inter, size_a,
+        | ROUND(CAST(inter AS DOUBLE) / size_a, 6) AS containment
+        |FROM ag ORDER BY containment DESC, a, b
+        |LIMIT $CONTAIN_TOPK""".stripMargin,
+
+    "q124_curriculum_bins" ->
+      s"""WITH d AS MATERIALIZED (
+        | SELECT doc_id, n_chars,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+        |  n_chars * 100 // CAST(len(string_split(text, ' ')) AS BIGINT)
+        |    AS dc
+        | FROM documents),
+        |hist AS (SELECT dc, SUM(n_toks) AS btoks FROM d GROUP BY 1),
+        |tot AS (SELECT SUM(btoks) AS total FROM hist),
+        |st AS (
+        | SELECT dc, COALESCE(SUM(btoks) OVER (ORDER BY dc
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |   AS cumb
+        | FROM hist),
+        |stg AS (SELECT dc, CAST(cumb * $NBINS // total AS BIGINT) AS stage
+        |        FROM st, tot)
+        |SELECT stage, COUNT(*) AS n_docs,
+        | CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+        | CAST(MIN(d.dc) AS DOUBLE) / 100 AS min_difficulty,
+        | CAST(MAX(d.dc) AS DOUBLE) / 100 AS max_difficulty
+        |FROM d JOIN stg USING (dc) GROUP BY 1 ORDER BY stage""".stripMargin,
+  )
+}

@@ -1,0 +1,214 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Retrieval & redundancy tier (q120–q124) invariants beyond the DuckDB
+  * hash check: the q121 bucket-recast equivalence proof, BM25 and
+  * duplicate-span cross-checks against local reference models through
+  * the REAL catalog queries (the CurationFuzzSpec contract), the q123
+  * asymmetry that motivates directed containment, and q124's
+  * partition/budget laws.
+  */
+class RetrievalSpec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def writeDocs(tag: String,
+      rows: Seq[(Long, String)]): String = {
+    import s.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory(s"graft_retr_$tag").toString
+    rows.toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'srcX' AS source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .coalesce(2)
+      .write.mode("overwrite").parquet(dir + "/documents.parquet")
+    dir
+  }
+
+  // ---------------------------------------------------------------- q121
+  // The scale plan replaces the theta join (s0 < i1 AND i0 <= s1) with an
+  // equi-join on exploded hour buckets. The recast is sound iff, for a
+  // closed session [s0, s1] and an incident occupying exactly its own
+  // bucket [bH, (b+1)H):   b ∈ [s0 div H, s1 div H]  ⟺  the theta holds.
+  // Exhaustive check over every (s0, s1, b) in a range that covers all
+  // alignment cases (boundary hits, containment, disjoint, point
+  // sessions). Integer division IS floor here: epoch_us ≥ 0.
+  test("q121 bucket equi-join ⟺ interval-overlap theta (exhaustive)") {
+    val H = 4L
+    for (s0 <- 0L to 24L; s1 <- s0 to 24L; b <- 0L to 7L) {
+      val bucketHit = (s0 / H) <= b && b <= (s1 / H)
+      val theta = s0 < (b + 1) * H && b * H <= s1
+      assert(bucketHit == theta,
+        s"s0=$s0 s1=$s1 b=$b H=$H: bucket=$bucketHit theta=$theta")
+    }
+  }
+
+  test("q121 on catalog data: overlap positive-length or boundary-touch") {
+    // sf0.001's event stream never reaches ERR_MIN errors in one hour;
+    // sf0.01 is the smallest scale where incidents exist.
+    val rows = SparkEntry.queries("q121_interval_join")(
+      s, "/root/testdata/sf0.01").collect()
+    assert(rows.nonEmpty, "sf0.01 must surface at least one incident")
+    val H = 3600L * 1000000L
+    rows.foreach { r =>
+      val (i0, ov) = (r.getLong(2), r.getLong(4))
+      assert(i0 % H == 0, "incident start must be bucket-aligned")
+      // closed-session × half-open-incident: a session whose only
+      // contact is the incident START yields overlap 0; anything else
+      // inside the bucket is positive and at most the bucket width.
+      assert(ov >= 0 && ov <= H, s"overlap $ov out of [0, $H]")
+    }
+  }
+
+  // ---------------------------------------------------------------- q120
+  test("q120 BM25 matches a local model on a synthetic corpus") {
+    for (seed <- 31 to 32) {
+      val rnd = new scala.util.Random(seed)
+      // Zipf-ish vocabulary so df spans common → rare; 120 docs ⇒ two
+      // query docs (0, 100) under the doc_id % 100 == 0 selector.
+      def tok() = "w" + (math.pow(rnd.nextDouble(), 2.0) * 40).toInt
+      val rows = (0L until 120L).map { id =>
+        (id, Seq.fill(3 + rnd.nextInt(25))(tok()).mkString(" "))
+      }
+      val dir = writeDocs(s"bm25_$seed", rows)
+      val got = SparkEntry.queries("q120_bm25_retrieval")(s, dir)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getDouble(3))))
+      // Local model with the query's exact constants and rounding.
+      val toks = rows.map { case (id, t) => id -> t.split(" ").toSeq }
+      val tf = toks.flatMap { case (id, ts) =>
+        ts.groupBy(identity).map { case (t, v) => (id, t, v.size.toLong) }
+      }
+      val dl = tf.groupBy(_._1).map { case (id, xs) =>
+        id -> xs.map(_._3).sum }
+      val df = tf.groupBy(_._2).map { case (t, xs) => t -> xs.size.toLong }
+      val n = dl.size.toLong
+      val avgdl = dl.values.sum.toDouble / n
+      val scores = for {
+        qid <- Seq(0L, 100L)
+        qts = toks.toMap.apply(qid).distinct
+        (did, ts) <- toks if did != qid
+        inter = qts.filter(ts.contains) if inter.nonEmpty
+      } yield {
+        val c = inter.map { t =>
+          val idf = math.log(1.0 +
+            ((n - df(t)).toDouble + 0.5) / (df(t).toDouble + 0.5))
+          val tfd = tf.find(x => x._1 == did && x._2 == t).get._3
+          val tfn = tfd.toDouble * 2.2 /
+            (tfd.toDouble + 1.2 * (0.25 + 0.75 * dl(did) / avgdl))
+          BigDecimal(idf * tfn).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+        }.sum
+        (qid, did, BigDecimal(c.toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      val want = scores.groupBy(_._1).flatMap { case (qid, xs) =>
+        xs.sortBy(x => (-x._3, x._2)).take(10).zipWithIndex.map {
+          case ((_, did, sc), i) => (qid, i + 1L) -> ((did, sc)) }
+      }
+      assert(got.toMap == want, s"seed $seed")
+      assert(got.length == want.size, s"seed $seed arity")
+    }
+  }
+
+  // ---------------------------------------------------------------- q122
+  test("q122 spans match a local model; copied paragraph is seen") {
+    // Docs 1/2 share a 6-token paragraph embedded in otherwise-unique
+    // text (the span-level case doc-level dedup misses); doc 3 is
+    // unique; doc 4 is sub-3-token (must yield the all-zero row); doc 5
+    // repeats ITS OWN shingle (within-doc repeat must NOT count).
+    val para = "the quick brown fox jumps high"
+    val rows = Seq(
+      1L -> s"alpha beta $para gamma delta",
+      2L -> s"one two three $para four",
+      3L -> "unique text only here nothing shared",
+      4L -> "too short",
+      5L -> "rep rep rep rep rep rep rep")
+    val dir = writeDocs("spans", rows)
+    val got = SparkEntry.queries("q122_duplicate_spans")(s, dir)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    // Local model: positioned 3-gram shingles, shared = in ≥2 docs.
+    val sh = rows.map { case (id, t) =>
+      val ts = t.split(" ")
+      id -> (if (ts.length < 3) Seq.empty
+             else (0 to ts.length - 3).map(i =>
+               (i + 1L, ts.slice(i, i + 3).mkString(" "))))
+    }
+    val docsPer = sh.flatMap { case (id, ps) =>
+      ps.map(_._2).distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).toSet }
+    val want = sh.map { case (id, ps) =>
+      val shared = ps.filter(p => docsPer(p._2).size >= 2).map(_._1)
+      val runs = if (shared.isEmpty) Seq.empty[Long] else {
+        shared.zipWithIndex.groupBy { case (p, i) => p - i }
+          .values.map(_.size.toLong).toSeq
+      }
+      val ndup = shared.size.toLong
+      val span = if (runs.isEmpty) 0L else runs.max + 2
+      val frac = if (ps.isEmpty) 0.0 else BigDecimal(ndup.toDouble / ps.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      id -> ((ps.size.toLong, ndup, span, frac))
+    }.toMap
+    assert(got == want)
+    // The shared paragraph spans 4 shingles ⇒ max span 6 tokens in both.
+    assert(got(1L)._3 == 6 && got(2L)._3 == 6)
+    assert(got(4L) == ((0L, 0L, 0L, 0.0)), "sub-3-token all-zero row")
+    assert(got(5L)._2 == 0L, "within-doc repeats are not duplication")
+  }
+
+  // ---------------------------------------------------------------- q123
+  test("q123 containment is directional: quoted doc scores 1.0") {
+    // A's whole text appears contiguously inside B ⇒ c(A→B) = 1 while
+    // c(B→A) = |A|/|B| — the asymmetry symmetric Jaccard dilutes.
+    val rows = Seq(
+      1L -> "a b c d e",                  // 3 distinct shingles
+      2L -> "x y a b c d e z",            // contains doc 1 ⇒ 6 shingles
+      3L -> "totally different words here five six")
+    val dir = writeDocs("contain", rows)
+    val got = SparkEntry.queries("q123_containment")(s, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(got((1L, 2L)) == ((3L, 3L, 1.0)), "A fully quoted in B")
+    assert(got((2L, 1L)) == ((3L, 6L, 0.5)), "reverse direction diluted")
+    assert(!got.keySet.exists(p => p._1 == 3L || p._2 == 3L),
+      "disjoint doc must produce no pair")
+  }
+
+  // ---------------------------------------------------------------- q124
+  test("q124 stages partition the corpus into ordered token-budget bins") {
+    val t = graft.model.Tables(s, sfDir)
+    val rows = SparkEntry.queries("q124_curriculum_bins")(s, sfDir)
+      .collect()
+    assert(rows.map(_.getLong(0)).toSeq == (0L until 4L).toSeq,
+      "exactly stages 0..3 in order")
+    val (nd, nt) = (rows.map(_.getLong(1)).sum, rows.map(_.getLong(2)).sum)
+    val base = t.documents
+      .selectExpr("CAST(size(split(text, ' ')) AS BIGINT) AS n",
+        "n_chars * 100 div CAST(size(split(text, ' ')) AS BIGINT) AS dc")
+    assert(nd == base.count(), "stages must partition every doc")
+    assert(nt == base.agg(sum("n")).head.getLong(0),
+      "token mass must be conserved")
+    // Difficulty ranges are disjoint and ordered: boundaries sit
+    // BETWEEN integer centi-difficulty buckets.
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo.getDouble(4) < hi.getDouble(3),
+        "stage difficulty ranges must not overlap")
+    }
+    // Budget balance: each stage's token mass deviates from total/4 by
+    // less than the heaviest single difficulty bucket (the granularity
+    // floor of any bucket-aligned equal-budget cut).
+    val maxBucket = base.groupBy("dc").agg(sum("n").as("b"))
+      .agg(max("b")).head.getLong(0)
+    rows.foreach { r =>
+      assert(math.abs(r.getLong(2) - nt / 4.0) < maxBucket + 1,
+        s"stage ${r.getLong(0)} budget ${r.getLong(2)} vs ${nt / 4.0}")
+    }
+  }
+}
