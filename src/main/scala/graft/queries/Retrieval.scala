@@ -19,10 +19,14 @@ import graft.model.Tables
   * larger doc's size), and equal-token curriculum binning (difficulty-
   * ordered stage assignment under a fixed per-stage token budget).
   *
-  * Scale stance: q120 builds ONE (doc, term) frequency table and derives
-  * doc length + document frequency from it with two keyed windows (no
-  * rejoin, no second scan); the bounded query set and the two corpus
-  * scalars ride broadcasts (the J2 pattern). q121 turns the theta join
+  * Scale stance: q120 builds ONE (doc, term) frequency table, restricts
+  * it to the bounded query vocabulary FIRST (broadcast semi-filter), and
+  * aggregates df from the restricted postings with map-side combine —
+  * deliberately NOT a count-over-window on the term key, whose hot
+  * partitions (a stop word touches every doc) cannot be AQE-split the
+  * way a skewed join can. The only corpus-wide shuffles key on the
+  * uniform doc_id; query set, df table, and corpus scalars all ride
+  * broadcasts (the J2 pattern). q121 turns the theta join
   * (interval overlap) into an equi-join on the hour bucket: incidents
   * are bucket-aligned so ONLY the session side explodes (bounded by
   * session duration), and every bucket match is provably an overlap —
@@ -111,10 +115,17 @@ object Retrieval {
     // sweeps; complements dense retrieval (q34 brute cosine, q69 IVF).
     //   score(q,d) = Σ_{t∈q} ln(1 + (N−df+.5)/(df+.5))
     //                · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
-    // ONE (doc, term) tf table feeds everything: dl and df are keyed
-    // windows over it (no rejoin), N/avgdl are a 1-row broadcast, the
-    // query side (distinct terms of docs with doc_id % QMOD == 0) is a
-    // corpus-derived bounded broadcast. Self-matches are excluded.
+    // ONE (doc, term) tf table feeds everything. Plan shape, in order:
+    // dl = groupBy(doc_id) — uniform key, map-side combine; postings
+    // are then semi-filtered to the query vocabulary (broadcast) BEFORE
+    // any per-term work, so df aggregates only query-relevant postings
+    // (partial combine → |query vocab| rows → broadcast back). The
+    // full-corpus term key is never a shuffle or window partition key —
+    // a stop word's df row still counts every doc, but through a
+    // combiner tree, not a single hot partition. N/avgdl are a 1-row
+    // broadcast; the query side (distinct terms of docs with
+    // doc_id % QMOD == 0) is a corpus-derived bounded broadcast.
+    // Self-matches are excluded.
     // Per-term contributions are pinned to DECIMAL(28,12) before the
     // per-(query, doc) sum; ranking happens AFTER the 6-dp round with a
     // doc_id tiebreak, so rank order is cross-engine total.
@@ -123,14 +134,13 @@ object Retrieval {
         .select(col("doc_id"),
           explode(split(col("text"), " ")).as("tok"))
       val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-      val aug = tf
-        .withColumn("dl", sum("tf").over(Window.partitionBy("doc_id")))
-        .withColumn("df", count(lit(1)).over(Window.partitionBy("tok")))
-      val scal = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-        .agg(count(lit(1)).as("n_docs"),
-          (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+      val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+      val scal = dl.agg(count(lit(1)).as("n_docs"),
+        (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
       val qt = toks.where(col("doc_id") % QMOD === 0)
         .select(col("doc_id").as("qid"), col("tok")).distinct()
+      val tfq = tf.join(broadcast(qt.select("tok").distinct()), "tok")
+      val dfq = tfq.groupBy("tok").agg(count(lit(1)).as("df"))
       val idf = log(lit(1.0) +
         ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
           (col("df").cast("double") + lit(0.5)))
@@ -138,9 +148,11 @@ object Retrieval {
         (col("tf").cast("double") + lit(BM25_K1) *
           (lit(1.0 - BM25_B) +
             lit(BM25_B) * col("dl").cast("double") / col("avgdl")))
-      val scored = aug
+      val scored = tfq
+        .join(broadcast(dfq), "tok")
         .join(broadcast(qt), "tok")
         .where(col("doc_id") =!= col("qid"))
+        .join(dl, "doc_id")
         .crossJoin(broadcast(scal))
         .select(col("qid"), col("doc_id"),
           (idf * tfn).cast("decimal(28,12)").as("c"))
