@@ -46,7 +46,13 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // and the MMR greedy's per-round argmax (centroid avg, first()-on-
     // constant groups, driver-collected picks) must be layout-free
     "q115_dsir_selection",
-    "q119_mmr_selection")
+    "q119_mmr_selection",
+    // retrieval tier: BM25's decimal contribution sum and rank ties,
+    // the containment top-k boundary, and the curriculum histogram cut
+    // must all be summation-/layout-order-free
+    "q120_bm25_retrieval",
+    "q123_containment",
+    "q124_curriculum_bins")
 
   private def run(name: String): Array[Row] =
     SparkEntry.queries(name)(s, sfDir).collect()
