@@ -21,19 +21,47 @@ object EventOps {
   private def dPrice(c: org.apache.spark.sql.Column) = Exact.dPrice(c)
   private def asD(c: org.apache.spark.sql.Column) = Exact.asD(c)
 
+  /** The W4 inactivity gap (30 min) — single-sourced for every consumer
+    * of the session definition (q38 here, q121 in Retrieval). */
+  private[queries] val SESSION_GAP_US = 1800L * 1000000L
+
+  /** Sessionization core shared by q38/q121: lag-gap flag + running sum
+    * under the (ts, event_id) total order. Adds `new_sess` and
+    * `session_id` to the event rows; callers aggregate as they need. */
+  private[queries] def sessionized(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gap = unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1)
+      .over(w)
+    ev.withColumn("new_sess",
+        when(gap.isNull || gap > SESSION_GAP_US, 1L).otherwise(0L))
+      .withColumn("session_id", sum("new_sess").over(w))
+  }
+
+  /** The oracle-side twin of [[sessionized]]: CTE chain ending in
+    * `sess(user_id, ts, session_id BIGINT)` — interpolated by the q38
+    * and q121 oracles so the two session definitions can't drift. */
+  private[queries] val SESSION_SQL =
+    s"""flagged AS (
+      | SELECT user_id, event_id, ts,
+      |  CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w IS NULL
+      |         OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+      |            > $SESSION_GAP_US
+      |       THEN 1 ELSE 0 END AS new_sess
+      | FROM events
+      | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      | SELECT user_id, ts,
+      |  CAST(SUM(new_sess) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id) AS BIGINT) AS session_id
+      | FROM flagged)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // W4 sessionization: lag-gap flag + running sum builds session ids;
     // 30-minute inactivity closes a session. Output is one row per
     // session (bounded by sessions, not events).
     "q38_sessionize" -> ((s, dir) => {
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      val gap = unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1)
-        .over(w)
-      Tables(s, dir).events
-        .withColumn("new_sess",
-          when(gap.isNull || gap > 1800L * 1000000L, 1L).otherwise(0L))
-        .withColumn("session_id", sum("new_sess").over(w))
+      sessionized(Tables(s, dir).events)
         .groupBy("user_id", "session_id")
         .agg(count(lit(1)).as("n_events"),
           min("ts").as("session_start"), max("ts").as("session_end"),
@@ -328,19 +356,8 @@ object EventOps {
 
   def oracles: Map[String, String] = Map(
     "q38_sessionize" ->
-      """WITH flagged AS (
-        | SELECT user_id, event_id, ts,
-        |  CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w IS NULL
-        |         OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
-        |       THEN 1 ELSE 0 END AS new_sess
-        | FROM events
-        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |sess AS (
-        | SELECT user_id, ts,
-        |  SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-        |    AS session_id
-        | FROM flagged)
-        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+      s"""WITH $SESSION_SQL
+        |SELECT user_id, session_id,
         | COUNT(*) AS n_events,
         | MIN(ts) AS session_start, MAX(ts) AS session_end,
         | epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us

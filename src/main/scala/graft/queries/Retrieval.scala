@@ -54,30 +54,32 @@ object Retrieval {
 
   /** BM25 shape parameters (Okapi defaults) and report size. k1+1 is its
     * own literal: 1.2 + 1.0 in binary double need not equal the parsed
-    * literal 2.2 the oracle uses (the MMR_MU lesson). */
-  private val BM25_K1 = 1.2
-  private val BM25_K1P1 = 2.2
-  private val BM25_B = 0.75
-  private val BM25_TOPK = 10
+    * literal 2.2 the oracle uses (the MMR_MU lesson). package-private so
+    * RetrievalSpec's local model follows a retune instead of silently
+    * testing stale values. */
+  private[graft] val BM25_K1 = 1.2
+  private[graft] val BM25_K1P1 = 2.2
+  private[graft] val BM25_B = 0.75
+  private[graft] val BM25_TOPK = 10
   /** Query-doc selector: doc_id % QMOD == 0 — a bounded, corpus-derived
     * query set (5 queries at sf0.01, 50 at sf0.1). */
-  private val QMOD = 100
+  private[graft] val QMOD = 100
 
-  /** q121 geometry: q38's session gap, the incident bucket width, and
-    * the error count that promotes an hour to an incident. */
-  private val GAP_US = 1800L * 1000000L
-  private val HOUR_US = 3600L * 1000000L
-  private val ERR_MIN = 5L
+  /** q121 geometry: the incident bucket width and the error count that
+    * promotes an hour to an incident (the session gap itself is
+    * single-sourced in EventOps.SESSION_GAP_US). */
+  private[graft] val HOUR_US = 3600L * 1000000L
+  private[graft] val ERR_MIN = 5L
 
   /** q123 posting-list df cap (the q29 guard): above this corpus's max
     * shingle df, so the guard is value-inert here while pinning the
     * 100 TB shape — a boilerplate shingle shared by millions of docs
     * must not produce a quadratic bucket. */
-  private val CONTAIN_DF_CAP = 1000
-  private val CONTAIN_TOPK = 20
+  private[graft] val CONTAIN_DF_CAP = 1000
+  private[graft] val CONTAIN_TOPK = 20
 
   /** q124 stage count. */
-  private val NBINS = 4
+  private[graft] val NBINS = 4
 
   /** Word-3-gram shingles WITH position: (doc_id, pos (1-based), sh).
     * The q122 span logic needs adjacency, so unlike TextOps.shingles
@@ -96,8 +98,8 @@ object Retrieval {
         .as("ps"))
       .select(col("doc_id"), col("ps.pos").as("pos"), col("ps.sh").as("sh"))
 
-  /** The positioned-shingle CTE chain shared by the q122/q123 oracles —
-    * interpolated so the two SQL sides can't drift from each other. */
+  /** The positioned-shingle CTE chain for the q122 oracle (q123 is
+    * positionless and reuses TextOps.SH_CTE instead). */
   private val SHINGLE_SQL =
     """t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
       |sp AS MATERIALIZED (
@@ -183,13 +185,7 @@ object Retrieval {
     // start overlaps (0 µs), one at the incident END does not.
     "q121_interval_join" -> ((s, dir) => {
       val ev = Tables(s, dir).events
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      val gap = unix_micros(col("ts")) -
-        lag(unix_micros(col("ts")), 1).over(w)
-      val sess = ev
-        .withColumn("new_sess",
-          when(gap.isNull || gap > GAP_US, 1L).otherwise(0L))
-        .withColumn("session_id", sum("new_sess").over(w))
+      val sess = EventOps.sessionized(ev)
         .groupBy("user_id", "session_id")
         .agg(unix_micros(min("ts")).as("s0"),
           unix_micros(max("ts")).as("s1"))
@@ -256,8 +252,7 @@ object Retrieval {
     // pairs from the shingle-keyed self-join carrying the LEFT side's
     // size, then one grouped count. Top-k under a total order.
     "q123_containment" -> ((s, dir) => {
-      val p = posShingles(docs(s, dir))
-        .select(col("doc_id"), col("sh")).distinct()
+      val p = TextOps.shingles(docs(s, dir))
         .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
         .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
         .where(col("df") <= CONTAIN_DF_CAP)
@@ -333,7 +328,7 @@ object Retrieval {
         |       / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
         |   * (CAST(tf AS DOUBLE) * CAST($BM25_K1P1 AS DOUBLE))
         |     / (CAST(tf AS DOUBLE) + CAST($BM25_K1 AS DOUBLE)
-        |        * (CAST(0.25 AS DOUBLE) + CAST($BM25_B AS DOUBLE)
+        |        * (CAST(${1.0 - BM25_B} AS DOUBLE) + CAST($BM25_B AS DOUBLE)
         |           * CAST(dl AS DOUBLE) / avgdl))
         |   AS DECIMAL(28,12)) AS c
         | FROM aug a JOIN qt q USING (tok) CROSS JOIN scal
@@ -352,18 +347,7 @@ object Retrieval {
     // the THETA form of the same join — equal hash proves the bucket
     // equi-join recast changed the plan, not the answer
     "q121_interval_join" ->
-      s"""WITH flagged AS (
-        | SELECT user_id, event_id, ts,
-        |  CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w IS NULL
-        |         OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > $GAP_US
-        |       THEN 1 ELSE 0 END AS new_sess
-        | FROM events
-        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |sess AS (
-        | SELECT user_id,
-        |  CAST(SUM(new_sess) OVER (PARTITION BY user_id
-        |    ORDER BY ts, event_id) AS BIGINT) AS session_id, ts
-        | FROM flagged),
+      s"""WITH ${EventOps.SESSION_SQL},
         |si AS (
         | SELECT user_id, session_id,
         |  MIN(epoch_us(ts)) AS s0, MAX(epoch_us(ts)) AS s1
@@ -413,13 +397,13 @@ object Retrieval {
         |ORDER BY b.doc_id""".stripMargin,
 
     "q123_containment" ->
-      s"""WITH $SHINGLE_SQL,
+      s"""WITH ${TextOps.SH_CTE},
         |p AS MATERIALIZED (
         | SELECT doc_id, sh, sz, df FROM (
         |  SELECT doc_id, sh,
         |   COUNT(*) OVER (PARTITION BY doc_id) AS sz,
         |   COUNT(*) OVER (PARTITION BY sh) AS df
-        |  FROM (SELECT DISTINCT doc_id, sh FROM sp))
+        |  FROM sh)
         | WHERE df <= $CONTAIN_DF_CAP),
         |ag AS (
         | SELECT x.doc_id AS a, y.doc_id AS b,
@@ -439,7 +423,8 @@ object Retrieval {
         |  n_chars * 100 // CAST(len(string_split(text, ' ')) AS BIGINT)
         |    AS dc
         | FROM documents),
-        |hist AS (SELECT dc, SUM(n_toks) AS btoks FROM d GROUP BY 1),
+        |hist AS MATERIALIZED (
+        | SELECT dc, SUM(n_toks) AS btoks FROM d GROUP BY 1),
         |tot AS (SELECT SUM(btoks) AS total FROM hist),
         |st AS (
         | SELECT dc, COALESCE(SUM(btoks) OVER (ORDER BY dc

@@ -205,7 +205,7 @@ object Sinks {
         .partitionBy("lang").parquet(path)
       roundTripSummary(
         s.read.schema(docs.schema).parquet(path)
-          .select(docs.columns.map(col): _*))
+          .select(docs.columns.toIndexedSeq.map(col): _*))
     }),
   )
 

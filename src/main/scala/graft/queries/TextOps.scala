@@ -67,8 +67,9 @@ object TextOps {
   }
 
   /** Distinct word-3-gram shingles per doc: (doc_id, sh). 1-based
-    * element_at aligns with DuckDB list indexing in the oracle. */
-  private def shingles(d: DataFrame): DataFrame =
+    * element_at aligns with DuckDB list indexing in the oracle. Shared
+    * with Retrieval's q123 (positionless containment). */
+  private[queries] def shingles(d: DataFrame): DataFrame =
     d.select(col("doc_id"), split(col("text"), " ").as("toks"))
       // guard: Spark's sequence(1, 0) DESCENDS; docs under 3 tokens must
       // yield an empty shingle array, matching DuckDB's empty range().
@@ -876,8 +877,9 @@ object TextOps {
       | WHERE ROUND(CAST(shared AS DOUBLE) / (na.nsh + nb.nsh - shared), 6)
       |       >= 0.05)""".stripMargin
 
-  /** Shared distinct-shingle CTE (uncapped — q27's universe). */
-  private val SH_CTE =
+  /** Shared distinct-shingle CTE (uncapped — q27's universe; also the
+    * q123 oracle's posting universe). */
+  private[queries] val SH_CTE =
     """sh AS (
       | SELECT DISTINCT doc_id, sh FROM (
       |  SELECT doc_id,

@@ -14,17 +14,9 @@ class CurationFuzzSpec extends AnyFunSuite {
 
   /** Write a synthetic documents table; returns its sfDir. */
   private def writeDocs(seed: Int,
-      rows: Seq[(Long, String, String)]): String = {
-    import s.implicits._
-    val dir = java.nio.file.Files
-      .createTempDirectory(s"graft_fuzz_$seed").toString
-    rows.toDF("doc_id", "text", "lang")
-      .selectExpr("doc_id", "text", "lang", "'src' AS source",
-        "CAST(length(text) AS BIGINT) AS n_chars")
-      .coalesce(2)
-      .write.mode("overwrite").parquet(dir + "/documents.parquet")
-    dir
-  }
+      rows: Seq[(Long, String, String)]): String =
+    TestDocs.write(s, s"fuzz_$seed",
+      rows.map { case (id, t, lang) => (id, t, lang, "src") })
 
   test("q84 packing matches a local reference on random corpora") {
     for (seed <- 1 to 3) {

@@ -11,21 +11,14 @@ import org.apache.spark.sql.functions._
   * partition/budget laws.
   */
 class RetrievalSpec extends AnyFunSuite {
+  import graft.queries.Retrieval
   private lazy val s = TestSpark.spark
   private val sfDir = "/root/testdata/sf0.001"
 
   private def writeDocs(tag: String,
-      rows: Seq[(Long, String)]): String = {
-    import s.implicits._
-    val dir = java.nio.file.Files
-      .createTempDirectory(s"graft_retr_$tag").toString
-    rows.toDF("doc_id", "text")
-      .selectExpr("doc_id", "text", "'en' AS lang", "'srcX' AS source",
-        "CAST(length(text) AS BIGINT) AS n_chars")
-      .coalesce(2)
-      .write.mode("overwrite").parquet(dir + "/documents.parquet")
-    dir
-  }
+      rows: Seq[(Long, String)]): String =
+    TestDocs.write(s, s"retr_$tag",
+      rows.map { case (id, t) => (id, t, "en", "srcX") })
 
   // ---------------------------------------------------------------- q121
   // The scale plan replaces the theta join (s0 < i1 AND i0 <= s1) with an
@@ -51,7 +44,7 @@ class RetrievalSpec extends AnyFunSuite {
     val rows = SparkEntry.queries("q121_interval_join")(
       s, "/root/testdata/sf0.01").collect()
     assert(rows.nonEmpty, "sf0.01 must surface at least one incident")
-    val H = 3600L * 1000000L
+    val H = Retrieval.HOUR_US
     rows.foreach { r =>
       val (i0, ov) = (r.getLong(2), r.getLong(4))
       assert(i0 % H == 0, "incident start must be bucket-aligned")
@@ -88,7 +81,7 @@ class RetrievalSpec extends AnyFunSuite {
       val n = dl.size.toLong
       val avgdl = dl.values.sum.toDouble / n
       val scores = for {
-        qid <- Seq(0L, 100L)
+        qid <- (0L until 120L).filter(_ % Retrieval.QMOD == 0)
         qts = toks.toMap.apply(qid).distinct
         (did, ts) <- toks if did != qid
         inter = qts.filter(ts.contains) if inter.nonEmpty
@@ -97,15 +90,18 @@ class RetrievalSpec extends AnyFunSuite {
           val idf = math.log(1.0 +
             ((n - df(t)).toDouble + 0.5) / (df(t).toDouble + 0.5))
           val tfd = tf.find(x => x._1 == did && x._2 == t).get._3
-          val tfn = tfd.toDouble * 2.2 /
-            (tfd.toDouble + 1.2 * (0.25 + 0.75 * dl(did) / avgdl))
+          val tfn = tfd.toDouble * Retrieval.BM25_K1P1 /
+            (tfd.toDouble + Retrieval.BM25_K1 *
+              ((1.0 - Retrieval.BM25_B) +
+                Retrieval.BM25_B * dl(did) / avgdl))
           BigDecimal(idf * tfn).setScale(12, BigDecimal.RoundingMode.HALF_UP)
         }.sum
         (qid, did, BigDecimal(c.toDouble)
           .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
       }
       val want = scores.groupBy(_._1).flatMap { case (qid, xs) =>
-        xs.sortBy(x => (-x._3, x._2)).take(10).zipWithIndex.map {
+        xs.sortBy(x => (-x._3, x._2)).take(Retrieval.BM25_TOPK)
+          .zipWithIndex.map {
           case ((_, did, sc), i) => (qid, i + 1L) -> ((did, sc)) }
       }
       assert(got.toMap == want, s"seed $seed")
@@ -186,8 +182,9 @@ class RetrievalSpec extends AnyFunSuite {
     val t = graft.model.Tables(s, sfDir)
     val rows = SparkEntry.queries("q124_curriculum_bins")(s, sfDir)
       .collect()
-    assert(rows.map(_.getLong(0)).toSeq == (0L until 4L).toSeq,
-      "exactly stages 0..3 in order")
+    assert(rows.map(_.getLong(0)).toSeq ==
+      (0L until Retrieval.NBINS).toSeq,
+      "exactly stages 0..NBINS-1 in order")
     val (nd, nt) = (rows.map(_.getLong(1)).sum, rows.map(_.getLong(2)).sum)
     val base = t.documents
       .selectExpr("CAST(size(split(text, ' ')) AS BIGINT) AS n",
@@ -206,9 +203,10 @@ class RetrievalSpec extends AnyFunSuite {
     // floor of any bucket-aligned equal-budget cut).
     val maxBucket = base.groupBy("dc").agg(sum("n").as("b"))
       .agg(max("b")).head.getLong(0)
+    val target = nt.toDouble / Retrieval.NBINS
     rows.foreach { r =>
-      assert(math.abs(r.getLong(2) - nt / 4.0) < maxBucket + 1,
-        s"stage ${r.getLong(0)} budget ${r.getLong(2)} vs ${nt / 4.0}")
+      assert(math.abs(r.getLong(2) - target) < maxBucket + 1,
+        s"stage ${r.getLong(0)} budget ${r.getLong(2)} vs $target")
     }
   }
 }

@@ -16,17 +16,9 @@ class SelectionFuzzSpec extends AnyFunSuite {
   private lazy val s = TestSpark.spark
 
   private def writeDocs(seed: Int,
-      rows: Seq[(Long, String, String)]): String = {
-    import s.implicits._
-    val dir = java.nio.file.Files
-      .createTempDirectory(s"graft_selfuzz_$seed").toString
-    rows.toDF("doc_id", "text", "source")
-      .selectExpr("doc_id", "text", "'en' AS lang", "source",
-        "CAST(length(text) AS BIGINT) AS n_chars")
-      .coalesce(2)
-      .write.mode("overwrite").parquet(dir + "/documents.parquet")
-    dir
-  }
+      rows: Seq[(Long, String, String)]): String =
+    TestDocs.write(s, s"selfuzz_$seed",
+      rows.map { case (id, t, src) => (id, t, "en", src) })
 
   private def writeVecs(seed: Int,
       rows: Seq[(Long, Array[Float], Int)]): String = {
