@@ -50,6 +50,29 @@ object VectorOps {
   private val BUCKET_CAP = 50
   /** Recall eval query-set bound: first RECALL_Q vec_ids. */
   private val RECALL_Q = 200
+
+  /** q125 ranking-quality depth, and the per-position discount /
+    * reciprocal-rank decimals computed ONCE driver-side (12 dp) and
+    * inlined as IDENTICAL CASE text in both engines (the signList
+    * pattern): no runtime log2 in either plan, so libm differences
+    * cannot touch the metrics. */
+  private val NDCG_K = 10
+  private def dec12(x: Double): String =
+    BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toString
+  private def disc12(i: Int): String =
+    dec12(1.0 / (math.log(i + 1.0) / math.log(2.0)))
+  private lazy val DISC_CASE = (1 to NDCG_K)
+    .map(i => s"WHEN $i THEN CAST(${disc12(i)} AS DECIMAL(14,12))")
+    .mkString("CASE pos ", " ", " END")
+  private lazy val RR_CASE = (1 to NDCG_K)
+    .map(i => s"WHEN $i THEN CAST(${dec12(1.0 / i)} AS DECIMAL(14,12))")
+    .mkString("CASE pos ", " ", " END")
+  /** Ideal DCG@K (grades K..1 in discount order), exact decimal over the
+    * same 12-dp discount literals — every query's ideal, since the brute
+    * truth always has ≥ K non-self neighbors on these corpora. */
+  private lazy val IDCG = (1 to NDCG_K)
+    .map(i => BigDecimal(NDCG_K + 1 - i) * BigDecimal(disc12(i)))
+    .sum.toString
   /** Embedding near-dup threshold: a pair is a duplicate when its exact
     * cosine (rounded to 6 before the test, both engines) is ≥ TAU. */
   private val TAU = 0.40
@@ -112,7 +135,7 @@ object VectorOps {
 
   /** q35 core: best in-cell neighbor per vector (vec_id, cell, best, cos).
     * Vectors alone in their cell have no candidates and are absent. */
-  private def blockedBest(s: SparkSession, dir: String): DataFrame = {
+  private def blockedRanked(s: SparkSession, dir: String): DataFrame = {
     val a = emb(s, dir).withColumn("cell", quantCell)
     val pairs = a.select(col("vec_id"), col("cell"), col("e"), col("nrm"))
       .as("a")
@@ -124,9 +147,12 @@ object VectorOps {
           .as("cos"))
     val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("bid"))
     pairs.withColumn("rn", row_number().over(w))
+  }
+
+  private def blockedBest(s: SparkSession, dir: String): DataFrame =
+    blockedRanked(s, dir)
       .where(col("rn") === 1)
       .select(col("vec_id"), col("cell"), col("bid").as("best"), col("cos"))
-  }
 
   /** q37 core: banded-LSH best neighbor per vector (vec_id, best, cos).
     * BANDS bands × BITS md5-sign hyperplane bits; candidates are vectors
@@ -141,6 +167,18 @@ object VectorOps {
       .agg(max(struct(col("x.cos").as("cos"), (-col("x.other")).as("no"),
         col("x.other").as("other"))).as("b"))
       .select(col("vec_id"), col("b.other").as("best"), col("b.cos").as("cos"))
+
+  /** Full LSH candidate ranking per vector (q125's top-K list; lshBest
+    * keeps its window-free max-struct form for the rn=1 case). Same
+    * (cos desc, id) tie contract as every ranked core. */
+  private def lshRanked(s: SparkSession, dir: String): DataFrame =
+    lshScored(s, dir).select(explode(array(
+        struct(col("da").as("vec_id"), col("db").as("other"), col("cos")),
+        struct(col("db").as("vec_id"), col("da").as("other"), col("cos"))))
+        .as("x"))
+      .select(col("x.vec_id"), col("x.other"), col("x.cos").as("cos"))
+      .withColumn("rn", row_number().over(Window.partitionBy("vec_id")
+        .orderBy(col("cos").desc, col("other"))))
 
   /** Shared LSH candidate pipeline: exact-cosine-scored unordered pairs
     * (da < db, cos) whose members share any 2..BUCKET_CAP band bucket —
@@ -232,7 +270,7 @@ object VectorOps {
     * per-query candidate count, makes the pruning measurable in the
     * output). Queries with no non-self candidate in any probed cell are
     * absent, as in q35/q37. */
-  private def ivfBest(s: SparkSession, dir: String): DataFrame = {
+  private def ivfRanked(s: SparkSession, dir: String): DataFrame = {
     val (k, np) = kmGeom(s, dir)
     val base = emb(s, dir)
     // Cell ranking per vector; home (rn=1) ⊆ probes (rn≤np), so one
@@ -257,9 +295,12 @@ object VectorOps {
       .withColumn("n_cand", count(lit(1)).over(p))
       .withColumn("rn",
         row_number().over(p.orderBy(col("cos").desc, col("bid"))))
+  }
+
+  private def ivfBest(s: SparkSession, dir: String): DataFrame =
+    ivfRanked(s, dir)
       .where(col("rn") === 1)
       .select(col("vec_id"), col("bid").as("best"), col("cos"), col("n_cand"))
-  }
 
   /** Build-once registry for the q78 serving index (VERDICT r5 #2): per
     * (session, sfDir), the eagerly-checkpointed k-means codebook plus the
@@ -534,6 +575,65 @@ object VectorOps {
           // — standard recall (missing answer = miss) is:
           round(count(when(col("m.best") === col("tbest"), lit(1)))
             .cast("double") / count(lit(1)), 4).as("recall_strict"))
+        .orderBy("method")
+    }),
+
+    // Ranking-quality eval: MRR@10 / nDCG@10 / recall@10 of all three
+    // ANN paths against the brute-force truth RANKING (grade = 11 −
+    // truth rank for the true top-10, 0 otherwise) — recall@1 (q51)
+    // cannot distinguish "true best at rank 2" from "not found at all",
+    // which is exactly what a retrieval pipeline tunes. Shapes: ONE
+    // brute truth pass (the q51 discipline), each method's list cut to
+    // top-K by the ranked window (WindowGroupLimit), metric arithmetic
+    // = integer grades × inlined decimal discount literals summed
+    // exactly (order-free), one double division per metric at the end.
+    // Mean nDCG = Σ dcg / (n · IDCG): the per-query ideal is constant
+    // because the brute truth always has ≥ K non-self neighbors here.
+    // Structural invariant (pinned in RankingQualitySpec): because every
+    // path VERIFIES candidates with the same rounded-cosine/tie contract
+    // as the truth, the true best ranks FIRST whenever it is a candidate
+    // at all ⇒ mrr_at_10 ≡ recall_at_10 ≡ q51.recall_strict; nDCG is
+    // the metric that genuinely adds information here (graded credit for
+    // the rest of the true top-10). The metrics diverge only for a
+    // method whose final scorer is approximate — e.g. ranking by the
+    // quantized score itself — which is exactly what this query is for.
+    "q125_ranking_quality" -> ((s, dir) => {
+      import s.implicits._
+      val grades = bruteRanked(s, dir, RECALL_Q)
+        .where(col("rn") <= NDCG_K)
+        .select(col("qid").as("gqid"), col("vec_id").as("gvid"),
+          (lit(NDCG_K + 1) - col("rn")).cast("int").as("grade"))
+      def cut(d: DataFrame, id: String, nbr: String, m: String) =
+        d.where(col(id) < RECALL_Q && col("rn") <= NDCG_K)
+          .select(lit(m).as("method"), col(id).as("qid"),
+            col(nbr).as("bid"), col("rn").cast("int").as("pos"))
+      val meth = cut(blockedRanked(s, dir), "vec_id", "bid", "blocked")
+        .unionByName(cut(ivfRanked(s, dir), "vec_id", "bid", "ivf"))
+        .unionByName(cut(lshRanked(s, dir), "vec_id", "other", "lsh"))
+      val hit = meth.join(grades,
+          col("qid") === col("gqid") && col("bid") === col("gvid"), "left")
+        .select(col("method"), col("qid"), col("pos"),
+          coalesce(col("grade"), lit(0)).as("rel"),
+          when(col("grade") === NDCG_K, 1).otherwise(0).as("is_best"))
+      val perq = hit
+        .groupBy("method", "qid")
+        .agg(sum(col("rel") * expr(DISC_CASE)).as("dcg"),
+          max(col("is_best")).as("found"),
+          max(when(col("is_best") === 1, expr(RR_CASE))).as("rr"))
+      val base = grades.select(col("gqid").as("qid")).distinct()
+        .crossJoin(Seq("blocked", "ivf", "lsh").toDF("method"))
+      base.join(perq, Seq("method", "qid"), "left")
+        .groupBy("method")
+        .agg(count(lit(1)).as("n_queries"),
+          round(sum(coalesce(col("found"), lit(0))).cast("double") /
+            count(lit(1)), 4).as("recall_at_10"),
+          round(sum(coalesce(col("rr"),
+              lit(0).cast("decimal(14,12)"))).cast("double") /
+            count(lit(1)), 6).as("mrr_at_10"),
+          round(sum(coalesce(col("dcg"),
+              lit(0).cast("decimal(14,12)"))).cast("double") /
+            (count(lit(1)) * expr(s"CAST($IDCG AS DOUBLE)")), 6)
+            .as("ndcg_at_10"))
         .orderBy("method")
     }),
   )
@@ -817,5 +917,51 @@ object VectorOps {
          | ROUND(CAST(COUNT(*) FILTER (best = tbest) AS DOUBLE)
          |       / COUNT(*), 4) AS recall_strict
          |FROM ev GROUP BY method ORDER BY method""".stripMargin,
+
+    "q125_ranking_quality" ->
+      s"""WITH $E_CTE,
+         |$TRUTH_CTES,
+         |$BLOCKED_CTES,
+         |$LSH_CTES,
+         |$IVF_CTES,
+         |grades AS MATERIALIZED (
+         | SELECT qid, vec_id, CAST($NDCG_K + 1 - rn AS INT) AS grade
+         | FROM tranked WHERE rn <= $NDCG_K),
+         |meth AS (
+         | SELECT 'blocked' AS method, vec_id AS qid, bid, rn AS pos
+         | FROM branked WHERE vec_id < $RECALL_Q AND rn <= $NDCG_K
+         | UNION ALL
+         | SELECT 'ivf', vec_id, bid, rn FROM iranked
+         | WHERE vec_id < $RECALL_Q AND rn <= $NDCG_K
+         | UNION ALL
+         | SELECT 'lsh', vec_id, other, rn FROM lranked
+         | WHERE vec_id < $RECALL_Q AND rn <= $NDCG_K),
+         |hit AS (
+         | SELECT m.method, m.qid, m.pos,
+         |  COALESCE(g.grade, 0) AS rel,
+         |  CASE WHEN g.grade = $NDCG_K THEN 1 ELSE 0 END AS is_best
+         | FROM meth m LEFT JOIN grades g
+         |   ON m.qid = g.qid AND m.bid = g.vec_id),
+         |perq AS (
+         | SELECT method, qid,
+         |  SUM(rel * ($DISC_CASE)) AS dcg,
+         |  MAX(is_best) AS found,
+         |  MAX(CASE WHEN is_best = 1 THEN ($RR_CASE) END) AS rr
+         | FROM hit GROUP BY 1, 2),
+         |qbase AS (
+         | SELECT m.method, q.qid
+         | FROM (SELECT DISTINCT qid FROM tranked) q
+         | CROSS JOIN (VALUES ('blocked'), ('ivf'), ('lsh')) m(method))
+         |SELECT b.method, COUNT(*) AS n_queries,
+         | ROUND(CAST(SUM(COALESCE(p.found, 0)) AS DOUBLE)
+         |       / COUNT(*), 4) AS recall_at_10,
+         | ROUND(CAST(SUM(COALESCE(p.rr, CAST(0 AS DECIMAL(14,12))))
+         |         AS DOUBLE) / COUNT(*), 6) AS mrr_at_10,
+         | ROUND(CAST(SUM(COALESCE(p.dcg, CAST(0 AS DECIMAL(14,12))))
+         |         AS DOUBLE)
+         |       / (COUNT(*) * CAST($IDCG AS DOUBLE)), 6) AS ndcg_at_10
+         |FROM qbase b LEFT JOIN perq p
+         |  ON b.method = p.method AND b.qid = p.qid
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q125 ranking-quality invariants beyond the DuckDB hash: metric
+  * ranges, the self-scored-candidate identity (mrr@10 ≡ recall@10 ≡
+  * q51's recall_strict — every ANN path verifies candidates with the
+  * truth's own rounded-cosine/tie contract, so the true best ranks
+  * first whenever it is found at all), and cross-query consistency
+  * with q51 computed from the same session.
+  */
+class RankingQualitySpec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("q125 metrics are in range and honor the self-scored identity") {
+    val rows = SparkEntry.queries("q125_ranking_quality")(s, sfDir)
+      .collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("blocked", "ivf", "lsh"), "one row per method, ordered")
+    rows.foreach { r =>
+      val (m, rec, mrr, ndcg) =
+        (r.getString(0), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      Seq(rec, mrr, ndcg).foreach(v =>
+        assert(v >= 0.0 && v <= 1.0, s"$m metric $v out of [0,1]"))
+      // Self-scored candidate lists: true best is rank 1 iff found.
+      assert(math.abs(mrr - rec) < 2e-4,
+        s"$m: mrr $mrr must equal recall@10 $rec (rounding apart)")
+      // Graded credit can only add to the binary hit signal.
+      assert(ndcg + 1e-9 >= mrr * (1.0 / 3.0),
+        s"$m: found-at-1 queries alone contribute 10/IDCG ≈ mrr/3")
+      if (rec == 0.0) assert(mrr == 0.0, s"$m: no hit ⇒ no rr mass")
+    }
+  }
+
+  test("q125 recall@10 equals q51 recall_strict for every method") {
+    val q125 = SparkEntry.queries("q125_ranking_quality")(s, sfDir)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val q51 = SparkEntry.queries("q51_ann_recall")(s, sfDir)
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(q125.keySet == q51.keySet)
+    q125.foreach { case (m, rec10) =>
+      assert(math.abs(rec10 - q51(m)) < 2e-4,
+        s"$m: recall@10 $rec10 vs q51 recall_strict ${q51(m)}")
+    }
+  }
+}
