@@ -139,8 +139,11 @@ object Retrieval {
       val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
       val scal = dl.agg(count(lit(1)).as("n_docs"),
         (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
-      val qt = toks.where(col("doc_id") % QMOD === 0)
-        .select(col("doc_id").as("qid"), col("tok")).distinct()
+      // tf already holds ONE row per (doc, term): the query vocabulary
+      // comes from it directly — no distinct, and no second corpus scan
+      // (2× the IO at 100 TB for an identical result).
+      val qt = tf.where(col("doc_id") % QMOD === 0)
+        .select(col("doc_id").as("qid"), col("tok"))
       val tfq = tf.join(broadcast(qt.select("tok").distinct()), "tok")
       val dfq = tfq.groupBy("tok").agg(count(lit(1)).as("df"))
       val idf = log(lit(1.0) +

@@ -177,6 +177,68 @@ class RetrievalSpec extends AnyFunSuite {
       "disjoint doc must produce no pair")
   }
 
+  test("q123 containment matches a local set model on random corpora") {
+    for (seed <- 41 to 42) {
+      val rnd = new scala.util.Random(seed)
+      // Tiny vocabulary ⇒ dense 3-gram collisions across docs.
+      val rows = (0L until 60L).map { id =>
+        (id, Seq.fill(3 + rnd.nextInt(12))("t" + rnd.nextInt(6))
+          .mkString(" "))
+      }
+      val dir = writeDocs(s"cont_$seed", rows)
+      val got = SparkEntry.queries("q123_containment")(s, dir)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4)))
+      val sets = rows.map { case (id, t) =>
+        val ts = t.split(" ")
+        id -> (0 to ts.length - 3).map(i =>
+          ts.slice(i, i + 3).mkString(" ")).toSet
+      }.toMap
+      val want = (for {
+        (a, sa) <- sets.toSeq if sa.nonEmpty
+        (b, sb) <- sets.toSeq if a != b
+        inter = (sa & sb).size if inter > 0
+      } yield (a, b, inter.toLong, sa.size.toLong,
+        BigDecimal(inter.toDouble / sa.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        .sortBy(x => (-x._5, x._1, x._2))
+        .take(Retrieval.CONTAIN_TOPK)
+      assert(got.toSeq == want, s"seed $seed")
+    }
+  }
+
+  test("q124 bins match a local histogram model on random corpora") {
+    for (seed <- 51 to 52) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (0L until 200L).map { id =>
+        (id, Seq.fill(1 + rnd.nextInt(20))(
+          "w" * (1 + rnd.nextInt(9))).mkString(" "))
+      }
+      val dir = writeDocs(s"bins_$seed", rows)
+      val got = SparkEntry.queries("q124_curriculum_bins")(s, dir)
+        .collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+        .toMap
+      val d = rows.map { case (id, t) =>
+        val nt = t.split(" ").length.toLong
+        (id, nt, t.length.toLong * 100 / nt)
+      }
+      val hist = d.groupBy(_._3).map { case (dc, xs) =>
+        dc -> xs.map(_._2).sum }.toSeq.sortBy(_._1)
+      val total = hist.map(_._2).sum
+      val cum = hist.scanLeft(0L)(_ + _._2)
+      val stageOf = hist.zip(cum).map { case ((dc, _), cumb) =>
+        dc -> cumb * Retrieval.NBINS / total }.toMap
+      val want = d.groupBy(x => stageOf(x._3)).map { case (st, xs) =>
+        st -> ((xs.size.toLong, xs.map(_._2).sum,
+          xs.map(_._3).min.toDouble / 100, xs.map(_._3).max.toDouble / 100))
+      }
+      assert(got == want, s"seed $seed")
+    }
+  }
+
   // ---------------------------------------------------------------- q124
   test("q124 stages partition the corpus into ordered token-budget bins") {
     val t = graft.model.Tables(s, sfDir)
