@@ -40,26 +40,26 @@ object Selection {
 
   /** DSIR target domain: the curated slice importance weights aim at
     * (interpolated into the q115 oracle, so the two sides can't drift). */
-  private val DSIR_TARGET = Seq("src1", "src2")
+  private[graft] val DSIR_TARGET = Seq("src1", "src2")
   private def dsirTargetSql: String =
     DSIR_TARGET.map(t => s"'$t'").mkString(", ")
 
   /** Salt fan-out for the skew-join remedy; must match the oracle-free
     * side only (the oracle is the UNSALTED join — salting must not
     * change the answer). */
-  private val SALT = 8
+  private[graft] val SALT = 8
 
   /** Merge-candidate report size (interpolated into the q118 oracle). */
-  private val PAIR_K = 20
+  private[graft] val PAIR_K = 20
 
   /** MMR geometry: selection size and the relevance/diversity tradeoff.
     * Must match the q119 oracle's unroll depth and literals. */
-  private val MMR_K = 5
-  private val MMR_LAMBDA = 0.7
+  private[graft] val MMR_K = 5
+  private[graft] val MMR_LAMBDA = 0.7
   /** The diversity weight as its own literal — NOT computed as
     * 1.0 − λ, whose double value (0.30000000000000004) differs from
     * the parsed literal 0.3 the oracle uses. */
-  private val MMR_MU = 0.3
+  private[graft] val MMR_MU = 0.3
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -77,19 +77,18 @@ object Selection {
       val toks = docs(s, dir)
         .select(col("doc_id"), col("source"),
           explode(split(col("text"), " ")).as("tok"))
-      val rawFreq = toks.groupBy("tok").agg(count(lit(1)).as("tf_r"))
-      val tgtFreq = toks.where(col("source").isin(DSIR_TARGET: _*))
-        .groupBy("tok").agg(count(lit(1)).as("tf_t"))
-      // Corpus scalars off the two freq tables (not a third scan):
-      // vocab size + raw token total from rawFreq, target total from
-      // tgtFreq; 1×1 frames, broadcast-rejoined (J2).
-      val rawTot = rawFreq.agg(count(lit(1)).as("v"), sum("tf_r").as("n_r"))
-      val tgtTot = tgtFreq.agg(sum("tf_t").as("n_t"))
-      val model = rawFreq
-        .join(tgtFreq, Seq("tok"), "left")
-        .crossJoin(broadcast(rawTot.crossJoin(tgtTot)))
+      // BOTH language models from ONE grouped pass (conditional count
+      // for the target side — no second explode, no outer merge join);
+      // the corpus scalars are one 1-row frame off it, broadcast back
+      // (J2). Two corpus scans total: this freq build + the doc rejoin.
+      val freq = toks.groupBy("tok").agg(count(lit(1)).as("tf_r"),
+        count(when(col("source").isin(DSIR_TARGET: _*), 1)).as("tf_t"))
+      val tot = freq.agg(count(lit(1)).as("v"), sum("tf_r").as("n_r"),
+        sum("tf_t").as("n_t"))
+      val model = freq
+        .crossJoin(broadcast(tot))
         .select(col("tok"),
-          (log((coalesce(col("tf_t"), lit(0L)) + 1).cast("double") /
+          (log((col("tf_t") + 1).cast("double") /
                (col("n_t") + col("v")).cast("double")) -
            log((col("tf_r") + 1).cast("double") /
                (col("n_r") + col("v")).cast("double")))
@@ -122,6 +121,10 @@ object Selection {
         .select(col("qid"), col("qlabel"), col("vec_id"), col("label"),
           round(call_function("vec_dot", col("qe"), col("e")) /
             (col("qn") * col("nrm")), 6).as("cos"))
+        // One physical evaluation for both role branches: their filters
+        // differ below the qid exchange, so ReuseExchange alone cannot
+        // dedup the broadcast crossJoin (the q119 `rel` idiom).
+        .localCheckpoint(false)
       val w = Window.partitionBy("qid")
         .orderBy(col("cos").desc, col("vec_id"))
       val pos = scored.where(col("label") === col("qlabel"))
@@ -288,7 +291,7 @@ object Selection {
          |  SQRT(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
          |    AS nrm
          | FROM embeddings),
-         |cent AS (
+         |cent AS MATERIALIZED (
          | SELECT list(c ORDER BY pos) AS c FROM (
          |  SELECT pos, ROUND(AVG(v), 9) AS c FROM (
          |   SELECT generate_subscripts(e, 1) AS pos, unnest(e) AS v
@@ -312,22 +315,28 @@ object Selection {
       s"""WITH toks AS MATERIALIZED (
         | SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
         | FROM documents),
-        |rawf AS MATERIALIZED (
-        | SELECT tok, COUNT(*) AS tf_r FROM toks GROUP BY tok),
-        |tgtf AS (
-        | SELECT tok, COUNT(*) AS tf_t FROM toks
-        | WHERE source IN ($dsirTargetSql) GROUP BY tok),
-        |rawtot AS (SELECT COUNT(*) AS v, SUM(tf_r) AS n_r FROM rawf),
-        |tgttot AS (SELECT SUM(tf_t) AS n_t FROM tgtf),
+        |freq AS MATERIALIZED (
+        | SELECT tok, COUNT(*) AS tf_r,
+        |  COUNT(*) FILTER (source IN ($dsirTargetSql)) AS tf_t
+        | FROM toks GROUP BY tok),
+        |tot AS (
+        | SELECT COUNT(*) AS v, SUM(tf_r) AS n_r, SUM(tf_t) AS n_t
+        | FROM freq),
         |model AS (
-        | SELECT r.tok,
-        |  CAST(ln(CAST(COALESCE(t.tf_t, 0) + 1 AS DOUBLE)
+        | SELECT tok,
+        |  CAST(ln(CAST(tf_t + 1 AS DOUBLE)
         |          / CAST(n_t + v AS DOUBLE))
-        |     - ln(CAST(r.tf_r + 1 AS DOUBLE)
+        |     - ln(CAST(tf_r + 1 AS DOUBLE)
         |          / CAST(n_r + v AS DOUBLE)) AS DECIMAL(28,12)) AS lw
-        | FROM rawf r LEFT JOIN tgtf t USING (tok), rawtot, tgttot)
+        | FROM freq, tot)
         |SELECT k.doc_id, k.source, COUNT(*) AS n_toks,
-        | ROUND(CAST(SUM(m.lw) AS DOUBLE) / COUNT(*), 4) AS dsir_weight,
+        | -- + 0 normalizes the signed zero: DuckDB's float-based ROUND
+        | -- yields -0.0 for means in (-5e-5, 0) while Spark's
+        | -- BigDecimal round has no signed zero — the weight metric is
+        | -- CENTERED at 0, so this band is populated (20 docs at sf0.1)
+        | -- and -0.0 vs +0.0 flips a byte-level hash compare.
+        | ROUND(CAST(SUM(m.lw) AS DOUBLE) / COUNT(*), 4) + 0
+        |   AS dsir_weight,
         | (ROUND(CAST(SUM(m.lw) AS DOUBLE) / COUNT(*), 4) > 0) AS selected
         |FROM toks k JOIN model m USING (tok)
         |GROUP BY k.doc_id, k.source ORDER BY k.doc_id""".stripMargin,

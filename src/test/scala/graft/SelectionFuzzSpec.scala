@@ -13,6 +13,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * separating them).
   */
 class SelectionFuzzSpec extends AnyFunSuite {
+  import graft.queries.Selection
   private lazy val s = TestSpark.spark
 
   private def writeDocs(seed: Int,
@@ -55,7 +56,7 @@ class SelectionFuzzSpec extends AnyFunSuite {
         (id, t.split(" ").toSeq, src) }
       val rawF = toks.flatMap(_._2).groupBy(identity)
         .map { case (k, v) => k -> v.size.toLong }
-      val tgtF = toks.filter(_._3 == "src1").flatMap(_._2)
+      val tgtF = toks.filter(t => Selection.DSIR_TARGET.contains(t._3)).flatMap(_._2)
         .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
       val v = rawF.size.toLong
       val nR = rawF.values.sum
@@ -80,7 +81,7 @@ class SelectionFuzzSpec extends AnyFunSuite {
       val rnd = new scala.util.Random(seed)
       val rows = (0L until 150L).map { id =>
         val n = rnd.nextInt(6) // 0..5 tokens: 0/1-token guard arm
-        (id, Seq.fill(n)("t" + rnd.nextInt(4)).mkString(" "), "src")
+        (id, Seq.fill(n)("t" + rnd.nextInt(6)).mkString(" "), "src")
       }
       val dir = writeDocs(seed, rows)
       val got = SparkEntry.queries("q118_merge_pairs")(s, dir)
@@ -92,7 +93,7 @@ class SelectionFuzzSpec extends AnyFunSuite {
         .groupBy(identity).map { case ((a, b), v) =>
           (a, b, v.size.toLong) }
       val want = counts.toSeq
-        .sortBy { case (a, b, c) => (-c, a, b) }.take(20)
+        .sortBy { case (a, b, c) => (-c, a, b) }.take(Selection.PAIR_K)
       assert(got == want, s"seed $seed")
     }
   }
@@ -110,8 +111,8 @@ class SelectionFuzzSpec extends AnyFunSuite {
       val dir = writeVecs(seed, rows)
       val got = SparkEntry.queries("q119_mmr_selection")(s, dir)
         .collect().map(_.getLong(1)).toSeq
-      assert(got.length == 5)
-      assert(got.distinct.length == 5)
+      assert(got.length == Selection.MMR_K)
+      assert(got.distinct.length == Selection.MMR_K)
       // Duplicate directions tie exactly, so within a family every
       // pick must be the smallest not-yet-picked id — the pure vec_id
       // tie-break property (family repeats are legitimate when the

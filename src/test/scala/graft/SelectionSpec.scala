@@ -9,6 +9,7 @@ import org.apache.spark.sql.functions._
   * DSIR's smoothing guarantee.
   */
 class SelectionSpec extends AnyFunSuite {
+  import graft.queries.Selection
   private lazy val s = TestSpark.spark
   private val sfDir = "/root/testdata/sf0.001"
 
@@ -75,7 +76,7 @@ class SelectionSpec extends AnyFunSuite {
     // Target-domain docs score at least as high on average as the rest:
     // the defining property of an importance weight toward that domain.
     val (tgt, rest) = rows.partition(r =>
-      Seq("src1", "src2").contains(r.getString(1)))
+      Selection.DSIR_TARGET.contains(r.getString(1)))
     val avg = (xs: Array[org.apache.spark.sql.Row]) =>
       xs.map(_.getDouble(3)).sum / xs.length
     assert(avg(tgt) > avg(rest),
@@ -84,8 +85,8 @@ class SelectionSpec extends AnyFunSuite {
 
   test("q119 matches an independent local greedy MMR model") {
     val out = SparkEntry.queries("q119_mmr_selection")(s, sfDir).collect()
-    assert(out.length == 5)
-    assert(out.map(_.getLong(1)).distinct.length == 5,
+    assert(out.length == Selection.MMR_K)
+    assert(out.map(_.getLong(1)).distinct.length == Selection.MMR_K,
       "MMR must never select the same vector twice")
     // Independent model: plain-Scala greedy over the collected corpus
     // with the query's exact rounding contract.
@@ -107,13 +108,13 @@ class SelectionSpec extends AnyFunSuite {
       id -> rnd(dot(e, cent) / (nrm(id) * cn), 6)
     }
     var picked = Vector.empty[Long]
-    while (picked.length < 5) {
+    while (picked.length < Selection.MMR_K) {
       val cand = vecs.keys.filterNot(picked.contains).map { id =>
         val maxsim =
           if (picked.isEmpty) 0.0
           else picked.map(p =>
             rnd(dot(vecs(id), vecs(p)) / (nrm(id) * nrm(p)), 6)).max
-        id -> rnd(0.7 * rel(id) - 0.3 * maxsim, 6)
+        id -> rnd(Selection.MMR_LAMBDA * rel(id) - Selection.MMR_MU * maxsim, 6)
       }.toSeq
       picked = picked :+ cand.minBy { case (id, sc) => (-sc, id) }._1
     }
@@ -123,7 +124,7 @@ class SelectionSpec extends AnyFunSuite {
 
   test("q118 top-k ordering is total and counts are consistent") {
     val rows = SparkEntry.queries("q118_merge_pairs")(s, sfDir).collect()
-    assert(rows.length <= 20)
+    assert(rows.length <= Selection.PAIR_K)
     val keys = rows.toSeq.map(r =>
       (-r.getLong(2), r.getString(0), r.getString(1)))
     assert(keys == keys.sorted,
