@@ -6,9 +6,11 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 
 /** Structured Streaming slice (SURVEY §2.10): the batch event analytics
   * re-expressed as unbounded-stream transforms. Each function takes the
-  * (possibly streaming) events frame and returns a streaming-safe plan —
-  * the SAME plan shapes run in batch mode, which is how the batch oracle
-  * queries (graft.queries.EventOps) pin their semantics.
+  * (possibly streaming) events frame and returns a streaming-safe plan.
+  * For the windowed aggregations the batch oracle queries
+  * (graft.queries.EventOps) pin the same plan shapes; dedupe is the
+  * deliberate exception — see its scaladoc for how its semantics differ
+  * from the q55 batch twin and what the twin actually pins.
   *
   * Scale stance: all state is keyed and bounded — watermarks close event-
   * time windows and expire dedup state; mapGroupsWithState holds one small
@@ -35,7 +37,16 @@ object EventStreams {
       .select(col("window.start").as("day"), col("event_type"), col("n"))
 
   /** Exactly-once-style dedup on event_id, with state expired by the
-    * watermark instead of growing forever. */
+    * watermark instead of growing forever.
+    *
+    * Semantics caveat vs the q55 batch twin: this keeps the first
+    * ARRIVING row per event_id and, on an unbounded stream, re-emits an
+    * id whose occurrences are spaced further apart than the watermark
+    * (state for the first was already expired); q55 keeps the min-(ts,
+    * event_type) row exactly once per id over the whole table. The twin
+    * pins the OUTPUT SCHEMA and the dedup-key contract, not row-level
+    * equality — equality holds only when duplicates arrive in ts order
+    * within one watermark span (the replay spec's regime). */
   def dedupe(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "1 hour")
@@ -169,14 +180,18 @@ object EventStreams {
         (bucket, rows, state) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            var kept = state.getOption.map(_.docs).getOrElse(Nil)
-            var maxTs = state.getOption.map(_.maxTs).getOrElse(Long.MinValue)
+            val st = state.getOption
+              .getOrElse(BucketState(Nil, Long.MinValue))
+            var kept = st.docs
+            var maxTs = st.maxTs
             val out = Vector.newBuilder[DupVerdict]
             rows.toSeq.sortBy(_.doc_id).foreach { d =>
               if (d.ts.getTime > maxTs) maxTs = d.ts.getTime
+              // min id among matches — O(m), no sort allocation in the
+              // per-doc hot loop
               kept.filter(k => java.lang.Long.bitCount(k._2 ^ d.fp)
                   <= hammingMax)
-                .sortBy(_._1).headOption match {
+                .minByOption(_._1) match {
                 case Some((kid, kfp)) =>
                   out += DupVerdict(d.doc_id, bucket, kid,
                     java.lang.Long.bitCount(kfp ^ d.fp))

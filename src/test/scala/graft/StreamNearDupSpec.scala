@@ -30,12 +30,17 @@ class StreamNearDupSpec extends AnyFunSuite {
 
     // batch 1: doc 10 retained; doc 11 two bits away → dup of 10;
     // doc 20 same bucket but far (hamming 12) → retained;
-    // doc 30 in another bucket, one bit from A → NOT a dup (isolation)
+    // doc 30 seeds bucket B for the cross-batch exact match;
+    // doc 31 is hamming-1 from A but the flipped bit is INSIDE the
+    // top-12 band (A ^ 1<<40 → bucket 0x133) — without bucket
+    // isolation it WOULD be flagged dup of 10, so its (-1,-1) verdict
+    // is what actually pins the groupByKey(fp >>> 36) bucketing
     in.addData(
       StreamDoc(10L, ts(1), A),
       StreamDoc(11L, ts(1), A ^ 0x3L),
       StreamDoc(20L, ts(1), A ^ 0xFFFL),
-      StreamDoc(30L, ts(1), B ^ 0x1L))
+      StreamDoc(30L, ts(1), B ^ 0x1L),
+      StreamDoc(31L, ts(1), A ^ (1L << 40)))
     q.processAllAvailable()
 
     // batch 2: doc 40 one bit from doc 10's fp → dup via state carried
@@ -52,7 +57,9 @@ class StreamNearDupSpec extends AnyFunSuite {
     assert(rows(10L) === ((-1L, -1)))
     assert(rows(11L) === ((10L, 2)))
     assert(rows(20L) === ((-1L, -1)))
-    assert(rows(30L) === ((-1L, -1))) // different bucket: isolated
+    assert(rows(30L) === ((-1L, -1))) // far from everything: retained
+    assert(rows(31L) === ((-1L, -1))) // hamming-1 from A, other band:
+                                      // ONLY bucket isolation saves it
     assert(rows(40L) === ((10L, 1))) // state survived the batch boundary
     assert(rows(50L) === ((30L, 0))) // exact dup in bucket B
   }

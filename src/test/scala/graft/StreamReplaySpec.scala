@@ -85,11 +85,15 @@ class StreamReplaySpec extends AnyFunSuite {
     q.stop()
 
     // batch expectation of the same closing rule: every (day, event_type)
-    // window whose end <= max(ts) - 1h watermark
+    // window whose end <= the watermark. Spark FLOORS the event-time
+    // watermark to milliseconds (maxEventTime ms − delay ms), so the
+    // expected side must apply the same ms floor — a µs-exact watermark
+    // would close one extra window whenever max(ts) carries sub-ms
+    // digits and a window end lands inside the floored-away band.
     val batch = s.read.parquet(s"$SF_DIR/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val maxTs = batch.agg(max(unix_micros(col("ts")))).head().getLong(0)
-    val watermarkUs = maxTs - 3600L * 1000000L
+    val watermarkUs = (maxTs / 1000L - 3600L * 1000L) * 1000L
     val expected = batch
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
       .agg(count(lit(1)))
@@ -99,11 +103,9 @@ class StreamReplaySpec extends AnyFunSuite {
       .groupBy(window(col("ts"), "1 day"), col("event_type")).agg(count(lit(1)))
       .count()
 
-    assert(closed === expected,
-      s"streaming emitted $closed closed windows, batch rule expects $expected")
-    assert(closed < total, "the final open window(s) must NOT be emitted")
-
-    // committed, driver-diffable artifact (deterministic content)
+    // committed, driver-diffable artifact — written BEFORE the asserts
+    // so a failing run records {"match": false} instead of leaving the
+    // previous run's success artifact in place
     val artifactDir = Paths.get("artifacts")
     Files.createDirectories(artifactDir)
     Files.writeString(artifactDir.resolve("streaming_replay.json"),
@@ -111,5 +113,9 @@ class StreamReplaySpec extends AnyFunSuite {
          | "closed_windows": $closed, "expected_closed": $expected,
          | "total_windows": $total, "match": ${closed == expected}}"""
         .stripMargin.replace("\n", "") + "\n")
+
+    assert(closed === expected,
+      s"streaming emitted $closed closed windows, batch rule expects $expected")
+    assert(closed < total, "the final open window(s) must NOT be emitted")
   }
 }
