@@ -55,6 +55,17 @@ object ScaleOps {
     * 32-bit z value; cells are the top 6 z-bits (3 per dimension). */
   private val Z_BITS = 16
 
+  /** q126 join-size sketch geometry: depth (independent hash rows) ×
+    * width (counters per row). Inner-product error grows as
+    * N_left·N_right / WIDTH, so width is the accuracy dial: 4×32768
+    * (~1 MB of mergeable state, the realistic CBO size point) puts the
+    * overcount at ~45 % on sf0.1's 100 k × 150 k rows and ~5 % at
+    * sf0.01 — collisions visibly present (the estimate provably
+    * OVERcounts), the signal intact. Deterministic md5 hash family ⇒
+    * the estimate itself is oracle hash-checked, not just a bound. */
+  private[graft] val JSZ_DEPTH = 4
+  private[graft] val JSZ_WIDTH = 32768L
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // A8 sketch family, frequency side (next to q40's cardinality side):
@@ -178,6 +189,51 @@ object ScaleOps {
         .agg(sum(col("keep")).as("n_kept"))
         .select(col("source"), col("n_docs"), col("n_kept"), col("rate"))
         .orderBy("source")
+    }),
+
+    // CMS join-size estimation (Cormode & Muthukrishnan's inner-product
+    // estimate) — the CBO primitive: |A ⋈ B| on a key from two
+    // constant-size sketches WITHOUT executing the join. Each side
+    // reduces to per-key counts (one keyed shuffle with map-side
+    // combine), explodes to DEPTH (row, bucket) cells over the md5 hash
+    // family, and aggregates to a DEPTH×WIDTH table; est_r = Σ_b
+    // cA[r][b]·cB[r][b] per row, estimate = min_r. At 100 TB the
+    // sketches are mergeable 4×256 tables built in one pass each and
+    // the estimating join touches ≤ DEPTH·WIDTH rows — the exact side
+    // here exists only to grade the estimate (inner-product CMS can
+    // only OVERcount, pinned in the output). The md5 family makes the
+    // estimate itself deterministic, so the oracle hash-checks the
+    // ESTIMATE, not just a bound — sketch "internals" never cross the
+    // engine boundary, only the final cell table does.
+    "q126_join_size_estimate" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      def keyed(df: DataFrame, key: Column): DataFrame =
+        df.where(key.isNotNull)
+          .select(key.cast("string").as("k"))
+          .groupBy("k").agg(count(lit(1)).as("n"))
+      def sketch(keyCounts: DataFrame, cname: String): DataFrame =
+        keyCounts.select(col("n"), explode(array(
+            (0 until JSZ_DEPTH).map(r => struct(lit(r).as("r"),
+              pmod(h48(s"jsz$r:", col("k")), lit(JSZ_WIDTH)).as("b"))): _*))
+            .as("rb"))
+          .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+          .agg(sum("n").as(cname))
+      val ca = keyed(t.events, col("user_id"))
+      val cb = keyed(t.orders, col("o_custkey"))
+      val est = sketch(ca, "cnt_a").join(sketch(cb, "cnt_b"), Seq("r", "b"))
+        .groupBy("r").agg(sum(col("cnt_a") * col("cnt_b")).as("est_r"))
+        .agg(min("est_r").as("est_size"))
+      val exact = ca.join(cb.select(col("k"), col("n").as("m")), "k")
+        .agg(coalesce(sum(col("n") * col("m")), lit(0L)).as("exact_size"))
+      val tots = ca.agg(sum("n").as("n_left"))
+        .crossJoin(cb.agg(sum("n").as("n_right")))
+      tots.crossJoin(broadcast(exact)).crossJoin(broadcast(est))
+        .select(col("n_left"), col("n_right"), col("exact_size"),
+          col("est_size"),
+          when(col("exact_size") > 0,
+            round(col("est_size").cast("double") / col("exact_size"), 6))
+            .as("inflation"),
+          (col("est_size") >= col("exact_size")).as("never_undercounts"))
     }),
 
     // Z-order (Morton) clustering — the write-layout operator behind
@@ -333,6 +389,42 @@ object ScaleOps {
         | FROM documents d JOIN r ON d.source = r.source)
         |SELECT source, n_docs, CAST(SUM(keep) AS BIGINT) AS n_kept, rate
         |FROM k GROUP BY source, n_docs, rate ORDER BY source""".stripMargin,
+
+    // the same md5 cell hashes ⇒ the ESTIMATE is hash-compared exactly
+    "q126_join_size_estimate" ->
+      s"""WITH ca AS MATERIALIZED (
+        | SELECT CAST(user_id AS VARCHAR) AS k, COUNT(*) AS n
+        | FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |cb AS MATERIALIZED (
+        | SELECT CAST(o_custkey AS VARCHAR) AS k, COUNT(*) AS n
+        | FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),
+        |sa AS (
+        | SELECT r, CAST('0x' || substr(md5('jsz' || CAST(r AS VARCHAR)
+        |     || ':' || k), 1, 12) AS BIGINT) % $JSZ_WIDTH AS b,
+        |  SUM(n) AS cnt_a
+        | FROM ca CROSS JOIN range($JSZ_DEPTH) t(r) GROUP BY 1, 2),
+        |sb AS (
+        | SELECT r, CAST('0x' || substr(md5('jsz' || CAST(r AS VARCHAR)
+        |     || ':' || k), 1, 12) AS BIGINT) % $JSZ_WIDTH AS b,
+        |  SUM(n) AS cnt_b
+        | FROM cb CROSS JOIN range($JSZ_DEPTH) t(r) GROUP BY 1, 2),
+        |est AS (
+        | SELECT CAST(MIN(est_r) AS BIGINT) AS est_size FROM (
+        |  SELECT r, SUM(cnt_a * cnt_b) AS est_r
+        |  FROM sa JOIN sb USING (r, b) GROUP BY r)),
+        |ex AS (
+        | SELECT CAST(COALESCE(SUM(ca.n * cb.n), 0) AS BIGINT)
+        |   AS exact_size
+        | FROM ca JOIN cb USING (k)),
+        |tot AS (
+        | SELECT (SELECT CAST(SUM(n) AS BIGINT) FROM ca) AS n_left,
+        |  (SELECT CAST(SUM(n) AS BIGINT) FROM cb) AS n_right)
+        |SELECT n_left, n_right, exact_size, est_size,
+        | CASE WHEN exact_size > 0
+        |      THEN ROUND(CAST(est_size AS DOUBLE) / exact_size, 6)
+        | END AS inflation,
+        | est_size >= exact_size AS never_undercounts
+        |FROM tot, ex, est""".stripMargin,
 
     // the identical interleave arithmetic, generated from the same Z_BITS
     "q106_zorder_clustering" -> {

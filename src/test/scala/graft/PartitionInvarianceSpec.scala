@@ -52,7 +52,10 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // must all be summation-/layout-order-free
     "q120_bm25_retrieval",
     "q123_containment",
-    "q124_curriculum_bins")
+    "q124_curriculum_bins",
+    // CMS join-size estimate: integer cell sums + min-over-depth must
+    // not see merge order
+    "q126_join_size_estimate")
 
   private def run(name: String): Array[Row] =
     SparkEntry.queries(name)(s, sfDir).collect()

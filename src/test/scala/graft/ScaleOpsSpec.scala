@@ -206,4 +206,34 @@ class ScaleOpsSpec extends AnyFunSuite {
       .collect()
     assert(rows.toSeq == again.toSeq)
   }
+
+  test("q126: exact on a collision-free corpus, overcount-only always") {
+    import s.implicits._
+    // 10 distinct keys in a 32768-wide sketch: a cross-key bucket
+    // collision would need an md5 coincidence the fixed hash family
+    // doesn't contain, so the estimate must EQUAL the exact size —
+    // keys 0..9 with 2 events and 3 orders each ⇒ 10·2·3 = 60; keys
+    // 100.. on the orders side are unmatched and must add nothing to
+    // the exact side while still entering the sketch.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_jsz").toString
+    (0L until 20L).map(i => (i, i * 1000000000L, i % 10, "e", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(2)
+      .write.mode("overwrite").parquet(dir + "/events.parquet")
+    ((0L until 30L).map(i => (i, i % 10)) ++
+      (30L until 35L).map(i => (i, 100L + i)))
+      .toDF("o_orderkey", "o_custkey").coalesce(2)
+      .write.mode("overwrite").parquet(dir + "/orders.parquet")
+    val r = ScaleOps.queries("q126_join_size_estimate")(s, dir).head()
+    assert(r.getLong(0) == 20 && r.getLong(1) == 35)
+    assert(r.getLong(2) == 60, "exact inner product")
+    assert(r.getLong(3) == 60,
+      "10 keys in 32768 buckets must be collision-free ⇒ est = exact")
+    assert(r.getBoolean(5), "CMS inner product can only overcount")
+    // On the real corpus the sketch must also never undercount.
+    val real = ScaleOps.queries("q126_join_size_estimate")(s, sfDir).head()
+    assert(real.getBoolean(5))
+    assert(real.getLong(3) >= real.getLong(2))
+  }
 }
