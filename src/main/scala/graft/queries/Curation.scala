@@ -37,13 +37,14 @@ object Curation {
 
   /** Chunk width for exact-substring dedup (Lee et al., "Deduplicating
     * Training Data Makes Language Models Better" — their unit is a
-    * 50-token span; 3 fits this corpus's 10–100-token docs). Must match
-    * the literal 3s in the q88 oracle. */
+    * 50-token span; 3 fits this corpus's 10–100-token docs).
+    * Interpolated into the q88 oracle, so the two sides can't drift. */
   private val CHUNK = 3
 
-  /** Vocabulary size for the coverage report; must match the oracle's
-    * LIMIT. Small on purpose — the fixture corpus has 31 distinct
-    * tokens, and 8 leaves a non-degenerate OOV tail. */
+  /** Vocabulary size for the coverage report; interpolated into the q90
+    * oracle's LIMIT, so the two sides can't drift. Small on purpose —
+    * the fixture corpus has 31 distinct tokens, and 8 leaves a
+    * non-degenerate OOV tail. */
   private val VOCAB_K = 8
 
   /** The q87 redaction pass as a frame transform: STATELESS, so it
@@ -189,16 +190,20 @@ object Curation {
         |   '\+1-555-[0-9]{4}', '<PHONE>', 'g')) AS red_hash
         |FROM aug ORDER BY doc_id""".stripMargin,
 
+    // t and ch are multi-referenced → AS MATERIALIZED, else DuckDB
+    // re-evaluates the split/unnest chunk build per reference (see the
+    // duckdb-cross-engine-gotchas memory; same fix as the q115 oracle).
+    // CHUNK is interpolated so the chunk arithmetic can't drift.
     "q88_chunk_dedup" ->
-      """WITH t AS (
+      s"""WITH t AS MATERIALIZED (
         | SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
         |u AS (
         | SELECT doc_id, toks,
-        |  unnest(generate_series(0, len(toks) // 3 - 1)) AS i
+        |  unnest(generate_series(0, len(toks) // $CHUNK - 1)) AS i
         | FROM t),
-        |ch AS (
+        |ch AS MATERIALIZED (
         | SELECT doc_id,
-        |  toks[i*3+1] || ' ' || toks[i*3+2] || ' ' || toks[i*3+3] AS chunk
+        |  ${(1 to CHUNK).map(k => s"toks[i*$CHUNK+$k]").mkString(" || ' ' || ")} AS chunk
         | FROM u),
         |df AS (SELECT chunk, COUNT(DISTINCT doc_id) AS nd FROM ch GROUP BY chunk),
         |pd AS (
@@ -228,12 +233,14 @@ object Curation {
         |       / COUNT(*), 6) AS kept_ratio
         |FROM d JOIN cut USING (lang) GROUP BY d.lang ORDER BY d.lang""".stripMargin,
 
+    // tok is multi-referenced → AS MATERIALIZED (see q88 note);
+    // VOCAB_K interpolated into the LIMIT.
     "q90_vocab_coverage" ->
-      """WITH tok AS (
+      s"""WITH tok AS MATERIALIZED (
         | SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
         | FROM documents),
         |vc AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
-        |v AS (SELECT tok FROM vc ORDER BY cnt DESC, tok LIMIT 8)
+        |v AS (SELECT tok FROM vc ORDER BY cnt DESC, tok LIMIT $VOCAB_K)
         |SELECT t.doc_id, t.lang, COUNT(*) AS n_tok,
         | CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
         | ROUND(CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)

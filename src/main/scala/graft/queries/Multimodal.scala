@@ -32,16 +32,30 @@ object Multimodal {
   /** Netpbm P6 header grammar, as parsed back by q43. */
   private val PPM_RE = "^P6\\n(\\d+) (\\d+)\\n(\\d+)\\n"
 
-  /** Ingest: a valid binary PPM stream per document — "P6\n<w> <h>\n255\n"
-    * + payload bytes. Width/height derive from the byte count (the same
-    * %64 geometry q59 plans resizes with). */
-  private def ppmPayload: Column = {
+  /** PPM dimension geometry — the ONE definition of how (width, height)
+    * derive from the payload byte count, shared by the ingest header
+    * construction (ppmPayload, hence q43/q86's decode targets) and the
+    * resize planning (q59). Editing the stride here changes all three
+    * consumers together; before r6 each re-derived it inline and only a
+    * comment kept them in sync. */
+  private def ppmDims: (Column, Column) = {
     val nb = octet_length(col("text").cast("binary"))
+    ((nb % 64 + 1).cast("long"), (floor(nb / lit(64)) + 1).cast("long"))
+  }
+
+  /** Ingest: a valid binary PPM stream per document — "P6\n<w> <h>\n255\n"
+    * + payload bytes. Width/height come from [[ppmDims]]. */
+  private def ppmPayload: Column = {
+    val (w, h) = ppmDims
     concat(
-      lit("P6\n"), (nb % 64 + 1).cast("string"), lit(" "),
-      expr("CAST(octet_length(CAST(text AS BINARY)) div 64 + 1 AS STRING)"),
+      lit("P6\n"), w.cast("string"), lit(" "), h.cast("string"),
       lit("\n255\n"), col("text")).cast("binary")
   }
+
+  /** Per-invocation sequence for q86's export directory: runToken is
+    * per-JVM-stable, so without this two invocations in one JVM (e.g. a
+    * verify and a bench thread) would race a shared directory. */
+  private val invocationSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -87,9 +101,8 @@ object Multimodal {
     // factor, output dims, pixel budget); only the pixel resample itself
     // would sit behind the codec stub. Narrow map, no shuffle.
     "q59_media_resize" -> ((s, dir) => {
-      val nb = octet_length(col("text").cast("binary"))
-      val w = (nb % 64 + 1).cast("double")
-      val h = expr("CAST(octet_length(CAST(text AS BINARY)) div 64 + 1 AS DOUBLE)")
+      val (wl, hl) = ppmDims
+      val (w, h) = (wl.cast("double"), hl.cast("double"))
       val scale = least(lit(32.0) / w, lit(32.0) / h, lit(1.0))
       Tables(s, dir).documents
         .select(col("doc_id"),
@@ -127,22 +140,15 @@ object Multimodal {
       require(s.sparkContext.isLocal,
         "q86_binary_ingest exports to driver-local tmp and requires a " +
           "local master; use a shared filesystem path on a cluster")
+      // Fresh directory per invocation (runToken + sfDir hash + sequence):
+      // a shared dir would let one invocation's cleanup race another's
+      // binaryFile listing in the same JVM. The export is small (one
+      // ~0.5 KB file per doc) and tmpdir-scoped, so leftover dirs are
+      // bounded by invocation count and cleared with the OS tmp.
       val outDir = Sinks.runPath("graft_media") + "_" +
-        java.lang.Integer.toHexString(dir.hashCode)
-      val p = java.nio.file.Paths.get(outDir)
-      if (java.nio.file.Files.exists(p)) {
-        // close the directory stream (Files.list holds an fd) and skip
-        // any stray subdirectory (e.g. a crashed write's _temporary/)
-        val st = java.nio.file.Files.list(p)
-        try {
-          val it = st.iterator()
-          while (it.hasNext) {
-            val f = it.next()
-            if (!java.nio.file.Files.isDirectory(f))
-              java.nio.file.Files.delete(f)
-          }
-        } finally st.close()
-      } else java.nio.file.Files.createDirectories(p)
+        java.lang.Integer.toHexString(dir.hashCode) + "_" +
+        invocationSeq.incrementAndGet()
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
       Tables(s, dir).documents
         .select(col("doc_id"), ppmPayload.as("payload"))
         .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
@@ -170,10 +176,13 @@ object Multimodal {
     // (16 bytes/frame in the stub geometry) and emit every 8th frame's
     // (index, byte offset) — the explode/sequence shape of video frame
     // extraction, one output row per SAMPLED frame (output is O(frames/k),
-    // not O(payload)).
+    // not O(payload)). n_frames = ceil(nb/16), computed as (nb+15) div 16
+    // in exact integer arithmetic — the r6 review caught floor(nb/16)+1
+    // here, which overcounts by one (and emits an out-of-bounds offset)
+    // whenever the payload length is an exact multiple of 16.
     "q60_frame_sample" -> ((s, dir) => {
-      val nf = (octet_length(col("text").cast("binary"))
-        .cast("long").divide(16)).cast("long") + 1
+      val nf = expr(
+        "CAST((octet_length(CAST(text AS BINARY)) + 15) div 16 AS BIGINT)")
       Tables(s, dir).documents
         .select(col("doc_id"), nf.as("n_frames"))
         .select(col("doc_id"), col("n_frames"),
@@ -371,7 +380,7 @@ object Multimodal {
     "q60_frame_sample" ->
       """WITH f AS (
         | SELECT doc_id,
-        |  octet_length(encode(text)) // 16 + 1 AS n_frames
+        |  (octet_length(encode(text)) + 15) // 16 AS n_frames
         | FROM documents)
         |SELECT doc_id, CAST(n_frames AS BIGINT) AS n_frames,
         | CAST(unnest(range(0, n_frames, 8)) AS BIGINT) AS frame_idx,
