@@ -25,6 +25,33 @@ object EventOps {
     * of the session definition (q38 here, q121 in Retrieval). */
   private[queries] val SESSION_GAP_US = 1800L * 1000000L
 
+  /** Per-(user, day) decimal value rollup — the daily-series core shared
+    * by q127 (gap fill) and q128 (EWMA). Single-sourced on both engines:
+    * this helper Spark-side, [[DAILY_SQL]] interpolated into both
+    * oracles DuckDB-side. dsum narrows to DECIMAL(18,2) (ample for any
+    * per-user-day sum here) so the q128 weight products stay inside
+    * both engines' 38-digit decimal width. */
+  private def dailyValue(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).events
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dPrice(col("value"))).cast("decimal(18,2)").as("dsum"))
+
+  private val DAILY_SQL =
+    """daily AS MATERIALIZED (
+      | SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS dsum
+      | FROM events GROUP BY 1, 2)""".stripMargin
+
+  /** EWMA trailing-window depth and exact weights (α = 1/2, so α^k is an
+    * exact binary fraction with a finite decimal form — both engines
+    * parse the identical decimal literal; interpolated into the q128
+    * oracle so the two sides can't drift). */
+  private val EWMA_K = 8
+  private def ewmaW(k: Int): String =
+    java.math.BigDecimal.valueOf(0.5).pow(k).toPlainString
+
   /** Sessionization core shared by q38/q121: lag-gap flag + running sum
     * under the (ts, event_id) total order. Adds `new_sess` and
     * `session_id` to the event rows; callers aggregate as they need. */
@@ -352,6 +379,75 @@ object EventOps {
           round(col("n_outliers").cast("double") / col("n_events"), 6))
         .orderBy("event_type")
     }),
+
+    // Time-series gap fill + forward fill — the regularization step every
+    // downstream model/report needs when the raw stream has silent days:
+    // generate each user's COMPLETE daily grid between first and last
+    // activity (sequence + explode — grid size is users × calendar span,
+    // INDEPENDENT of event count), left-join the observed daily rollup,
+    // then forward-fill the last observed value and the staleness age
+    // with last(_, ignoreNulls) over the (user, day) total order (days
+    // are unique per user, so the frame order is total and the fill
+    // deterministic). Plan shape at scale: the daily rollup is the one
+    // corpus-sized shuffle (map-side partials on (user, day)); span,
+    // grid, join, and both fill windows all ride user-keyed partitions.
+    "q127_gap_fill" -> ((s, dir) => {
+      // the rollup feeds BOTH the span/grid subtree and the join probe —
+      // checkpoint once (the q104/q108 reuse discipline) or the corpus
+      // scan + (user, day) aggregation run twice
+      val daily = dailyValue(s, dir).localCheckpoint(false)
+      val span = daily.groupBy("user_id")
+        .agg(min("day").as("d0"), max("day").as("d1"))
+      val grid = span.select(col("user_id"),
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      val w = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(daily, Seq("user_id", "day"), "left")
+        .withColumn("observed", col("n_events").isNotNull)
+        .withColumn("value_ff",
+          asD(last(col("dsum"), ignoreNulls = true).over(w)))
+        .withColumn("last_obs",
+          last(when(col("observed"), col("day")), ignoreNulls = true).over(w))
+        .select(col("user_id"), col("day"), col("observed"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          col("value_ff"),
+          datediff(col("day"), col("last_obs")).cast("long").as("days_stale"))
+        .orderBy("user_id", "day")
+    }),
+
+    // EWMA smoothing (adjusted form, α = 1/2) over each user's observed
+    // daily values: ewma_t = Σ_k w_k·x_{t−k} / Σ_k w_k over the EWMA_K
+    // most recent observations, w_k = α^k. The recursion is UNROLLED into
+    // EWMA_K lag() calls over one user-keyed window — pure whole-stage-
+    // codegen arithmetic, one shuffle beyond the daily rollup, and
+    // cross-engine exact: α^k are exact binary fractions written as
+    // decimal literals (single-sourced from ewmaW into BOTH engines), so
+    // numerator/denominator are exact decimal sums; only the final
+    // division runs in double, on bit-identical operands. The trailing
+    // window means state is O(K) per key — the form a 100 TB stream
+    // smoother takes (vs an unbounded recursive EWMA, which no engine
+    // can shuffle-parallelize without a sequential scan per key).
+    "q128_ewma" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("day")
+      val lags = (0 until EWMA_K).map(k =>
+        if (k == 0) col("dsum") else lag(col("dsum"), k).over(w))
+      val wts = (0 until EWMA_K).map(k =>
+        expr(s"CAST(${ewmaW(k)} AS DECIMAL(9,7))"))
+      val zero = expr("CAST(0 AS DECIMAL(28,9))")
+      val zeroW = expr("CAST(0 AS DECIMAL(9,7))")
+      val num = lags.zip(wts)
+        .map { case (x, wt) => coalesce(x * wt, zero) }.reduce(_ + _)
+      val den = lags.zip(wts)
+        .map { case (x, wt) => when(x.isNotNull, wt).otherwise(zeroW) }
+        .reduce(_ + _)
+      val nObs = lags.map(x => when(x.isNotNull, 1L).otherwise(0L))
+        .reduce(_ + _)
+      dailyValue(s, dir)
+        .select(col("user_id"), col("day"), asD(col("dsum")).as("day_value"),
+          nObs.as("n_window"),
+          round(num.cast("double") / den.cast("double"), 6).as("ewma"))
+        .orderBy("user_id", "day")
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -555,5 +651,64 @@ object EventOps {
         | ROUND(CAST(SUM(CASE WHEN adev > 4.4478 * mad THEN 1 ELSE 0 END)
         |   AS DOUBLE) / COUNT(*), 6) AS outlier_rate
         |FROM fin GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // grid = generate_series per user (inclusive both ends, same as
+    // Spark's sequence); forward fill via last_value(IGNORE NULLS) over
+    // the identical total order
+    "q127_gap_fill" ->
+      s"""WITH $DAILY_SQL,
+        |span AS (
+        | SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+        | FROM daily GROUP BY user_id),
+        |grid AS (
+        | SELECT user_id,
+        |  unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+        | FROM span),
+        |j AS (
+        | SELECT g.user_id, g.day, d.n_events, d.dsum,
+        |  d.n_events IS NOT NULL AS observed
+        | FROM grid g
+        | LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day)
+        |SELECT user_id, day, observed,
+        | COALESCE(n_events, 0) AS n_events,
+        | CAST(CAST(last_value(dsum IGNORE NULLS) OVER w AS DECIMAL(38,6))
+        |   AS DOUBLE) AS value_ff,
+        | date_diff('day',
+        |   last_value(CASE WHEN observed THEN day END IGNORE NULLS) OVER w,
+        |   day) AS days_stale
+        |FROM j
+        |WINDOW w AS (PARTITION BY user_id ORDER BY day
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, day""".stripMargin,
+
+    // identical unrolled-lag arithmetic; the α^k decimal literals are
+    // interpolated from ewmaW so both engines compute exact decimal
+    // numerator/denominator sums and divide only at the end, in double
+    "q128_ewma" -> {
+      val lagDefs = (1 until EWMA_K)
+        .map(k => s"lag(dsum, $k) OVER w AS x$k").mkString(",\n |  ")
+      def xref(k: Int) = if (k == 0) "dsum" else s"x$k"
+      val numTerms = (0 until EWMA_K)
+        .map(k => s"COALESCE(${xref(k)} * ${ewmaW(k)}, 0)").mkString(" + ")
+      val denTerms = (0 until EWMA_K)
+        .map(k =>
+          s"CASE WHEN ${xref(k)} IS NOT NULL THEN ${ewmaW(k)} ELSE 0 END")
+        .mkString(" + ")
+      val obsTerms = (0 until EWMA_K)
+        .map(k => s"CASE WHEN ${xref(k)} IS NOT NULL THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH $DAILY_SQL,
+        |l AS (
+        | SELECT user_id, day, dsum,
+        |  $lagDefs
+        | FROM daily
+        | WINDOW w AS (PARTITION BY user_id ORDER BY day))
+        |SELECT user_id, day,
+        | CAST(CAST(dsum AS DECIMAL(38,6)) AS DOUBLE) AS day_value,
+        | CAST($obsTerms AS BIGINT) AS n_window,
+        | ROUND(CAST($numTerms AS DOUBLE) / CAST($denTerms AS DOUBLE), 6)
+        |   AS ewma
+        |FROM l ORDER BY user_id, day""".stripMargin
+    },
   )
 }

@@ -55,7 +55,12 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q124_curriculum_bins",
     // CMS join-size estimate: integer cell sums + min-over-depth must
     // not see merge order
-    "q126_join_size_estimate")
+    "q126_join_size_estimate",
+    // time-series tier: the decimal daily sums feeding the forward fill
+    // and the unrolled-lag EWMA must be summation-order-free, and the
+    // fill/lag windows must see only the (user, day) total order
+    "q127_gap_fill",
+    "q128_ewma")
 
   private def run(name: String): Array[Row] =
     SparkEntry.queries(name)(s, sfDir).collect()

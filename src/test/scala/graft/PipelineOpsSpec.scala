@@ -281,4 +281,71 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
     assert(out == want)
   }
+
+  // --- q127 gap fill / q128 EWMA -------------------------------------
+
+  /** Local daily rollup: user -> sorted (dayUs, sumBD scale-2). */
+  private def localDaily: Map[Long, Seq[(Long, BigDecimal)]] = {
+    val dayUs = 86400000000L
+    s.read.parquet(s"$sfDir/events.parquet")
+      .selectExpr("user_id", "ts div 1000 as us", "value").collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Long]("us") / dayUs * dayUs, r.getAs[Double]("value")))
+      .groupBy(r => (r._1, r._2)).toSeq
+      .map { case ((u, d), rows) =>
+        (u, d, rows.map(r => BigDecimal(r._3)
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum)
+      }
+      .groupBy(_._1)
+      .map { case (u, rows) =>
+        u -> rows.sortBy(_._2).map(r => (r._2, r._3))
+      }
+  }
+
+  test("q127: grid is gapless per user and the fill replays locally") {
+    val dayUs = 86400000000L
+    val out = EventOps.queries("q127_gap_fill")(s, sfDir).collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[java.sql.Timestamp]("day").getTime * 1000L,
+        r.getAs[Boolean]("observed"), r.getAs[Long]("n_events"),
+        r.getAs[Double]("value_ff"), r.getAs[Long]("days_stale")))
+    assert(out.nonEmpty)
+    val daily = localDaily
+    out.groupBy(_._1).foreach { case (u, rows) =>
+      val sorted = rows.sortBy(_._2)
+      val obs = daily(u)
+      // complete inclusive daily grid between first and last observed day
+      assert(sorted.head._2 == obs.head._1 && sorted.last._2 == obs.last._1)
+      assert(sorted.map(_._2).toSeq ==
+        (obs.head._1 to obs.last._1 by dayUs).toSeq, s"user $u grid")
+      sorted.foreach { case (_, d, observed, n, ff, stale) =>
+        val prior = obs.filter(_._1 <= d)
+        assert(observed == (prior.nonEmpty && prior.last._1 == d))
+        if (!observed) assert(n == 0L)
+        assert(ff == prior.last._2.toDouble, s"user $u day $d fill")
+        assert(stale == (d - prior.last._1) / dayUs, s"user $u day $d stale")
+      }
+    }
+  }
+
+  test("q128: EWMA matches an exact-BigDecimal local model") {
+    val out = EventOps.queries("q128_ewma")(s, sfDir).collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[java.sql.Timestamp]("day").getTime * 1000L) ->
+        (r.getAs[Long]("n_window"), r.getAs[Double]("ewma"))).toMap
+    assert(out.nonEmpty)
+    val wts = (0 until 8).map(k => BigDecimal(0.5).pow(k))
+    localDaily.foreach { case (u, series) =>
+      series.zipWithIndex.foreach { case ((d, _), t) =>
+        val k = math.min(t + 1, 8)
+        val window = (0 until k).map(j => series(t - j)._2)
+        val num = window.zip(wts).map { case (x, w) => x * w }.sum
+        val den = wts.take(k).sum
+        val want = BigDecimal(num.toDouble / den.toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val (n, e) = out((u, d))
+        assert(n == k && e == want, s"user $u day $d")
+      }
+    }
+  }
 }
