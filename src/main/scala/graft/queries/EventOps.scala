@@ -51,6 +51,14 @@ object EventOps {
   private val EWMA_K = 8
   private def ewmaW(k: Int): String =
     java.math.BigDecimal.valueOf(0.5).pow(k).toPlainString
+  /** 0.5^k has exactly k decimal digits, so the deepest lag (k = K−1)
+    * fixes the weight scale — DERIVED, not hardcoded, so bumping EWMA_K
+    * can never silently round the Spark-side weights while the oracle
+    * interpolates the full literal. */
+  private val EWMA_SCALE = EWMA_K - 1
+  private val EWMA_WT_DEC = s"DECIMAL(${EWMA_SCALE + 2},$EWMA_SCALE)"
+  /** dsum is DECIMAL(18,2); product scale = 2 + EWMA_SCALE. */
+  private val EWMA_SUM_DEC = s"DECIMAL(28,${EWMA_SCALE + 2})"
 
   /** Sessionization core shared by q38/q121: lag-gap flag + running sum
     * under the (ts, event_id) total order. Adds `new_sess` and
@@ -432,9 +440,9 @@ object EventOps {
       val lags = (0 until EWMA_K).map(k =>
         if (k == 0) col("dsum") else lag(col("dsum"), k).over(w))
       val wts = (0 until EWMA_K).map(k =>
-        expr(s"CAST(${ewmaW(k)} AS DECIMAL(9,7))"))
-      val zero = expr("CAST(0 AS DECIMAL(28,9))")
-      val zeroW = expr("CAST(0 AS DECIMAL(9,7))")
+        expr(s"CAST(${ewmaW(k)} AS $EWMA_WT_DEC)"))
+      val zero = expr(s"CAST(0 AS $EWMA_SUM_DEC)")
+      val zeroW = expr(s"CAST(0 AS $EWMA_WT_DEC)")
       val num = lags.zip(wts)
         .map { case (x, wt) => coalesce(x * wt, zero) }.reduce(_ + _)
       val den = lags.zip(wts)

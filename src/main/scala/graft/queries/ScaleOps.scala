@@ -198,13 +198,18 @@ object ScaleOps {
     // combine), explodes to DEPTH (row, bucket) cells over the md5 hash
     // family, and aggregates to a DEPTH×WIDTH table; est_r = Σ_b
     // cA[r][b]·cB[r][b] per row, estimate = min_r. At 100 TB the
-    // sketches are mergeable 4×256 tables built in one pass each and
-    // the estimating join touches ≤ DEPTH·WIDTH rows — the exact side
-    // here exists only to grade the estimate (inner-product CMS can
-    // only OVERcount, pinned in the output). The md5 family makes the
-    // estimate itself deterministic, so the oracle hash-checks the
-    // ESTIMATE, not just a bound — sketch "internals" never cross the
-    // engine boundary, only the final cell table does.
+    // sketches are mergeable DEPTH×WIDTH (4×32768, ~1 MB) tables built
+    // in one pass each and the estimating join touches ≤ DEPTH·WIDTH
+    // rows — the exact side here exists only to grade the estimate
+    // (inner-product CMS can only OVERcount, pinned in the output). The
+    // md5 family makes the estimate itself deterministic, so the oracle
+    // hash-checks the ESTIMATE, not just a bound — sketch "internals"
+    // never cross the engine boundary, only the final cell table does.
+    // Cell products/sums run in DECIMAL(38,0) on BOTH engines (long
+    // sums would wrap in Spark where DuckDB promotes to HUGEINT —
+    // divergent exactly at the huge-side scale this operator targets),
+    // and every DEPTH row is present with est_r = 0 before the min, so
+    // disjoint sketches estimate 0 rather than NULL.
     "q126_join_size_estimate" -> ((s, dir) => {
       val t = Tables(s, dir)
       def keyed(df: DataFrame, key: Column): DataFrame =
@@ -220,11 +225,16 @@ object ScaleOps {
           .agg(sum("n").as(cname))
       val ca = keyed(t.events, col("user_id"))
       val cb = keyed(t.orders, col("o_custkey"))
-      val est = sketch(ca, "cnt_a").join(sketch(cb, "cnt_b"), Seq("r", "b"))
-        .groupBy("r").agg(sum(col("cnt_a") * col("cnt_b")).as("est_r"))
-        .agg(min("est_r").as("est_size"))
+      def d19(c: Column): Column = c.cast("decimal(19,0)")
+      val perRow = sketch(ca, "cnt_a").join(sketch(cb, "cnt_b"), Seq("r", "b"))
+        .groupBy("r").agg(sum(d19(col("cnt_a")) * d19(col("cnt_b"))).as("est_r"))
+      val est = s.range(JSZ_DEPTH).select(col("id").cast("int").as("r"))
+        .join(perRow, Seq("r"), "left")
+        .agg(min(coalesce(col("est_r"), expr("CAST(0 AS DECIMAL(38,0))")))
+          .cast("long").as("est_size"))
       val exact = ca.join(cb.select(col("k"), col("n").as("m")), "k")
-        .agg(coalesce(sum(col("n") * col("m")), lit(0L)).as("exact_size"))
+        .agg(coalesce(sum(d19(col("n")) * d19(col("m"))),
+          expr("CAST(0 AS DECIMAL(38,0))")).cast("long").as("exact_size"))
       val tots = ca.agg(sum("n").as("n_left"))
         .crossJoin(cb.agg(sum("n").as("n_right")))
       tots.crossJoin(broadcast(exact)).crossJoin(broadcast(est))
@@ -409,12 +419,15 @@ object ScaleOps {
         |  SUM(n) AS cnt_b
         | FROM cb CROSS JOIN range($JSZ_DEPTH) t(r) GROUP BY 1, 2),
         |est AS (
-        | SELECT CAST(MIN(est_r) AS BIGINT) AS est_size FROM (
-        |  SELECT r, SUM(cnt_a * cnt_b) AS est_r
-        |  FROM sa JOIN sb USING (r, b) GROUP BY r)),
+        | SELECT CAST(MIN(COALESCE(est_r, 0)) AS BIGINT) AS est_size
+        | FROM range($JSZ_DEPTH) t(r) LEFT JOIN (
+        |  SELECT r, SUM(CAST(cnt_a AS DECIMAL(19,0))
+        |              * CAST(cnt_b AS DECIMAL(19,0))) AS est_r
+        |  FROM sa JOIN sb USING (r, b) GROUP BY r) p USING (r)),
         |ex AS (
-        | SELECT CAST(COALESCE(SUM(ca.n * cb.n), 0) AS BIGINT)
-        |   AS exact_size
+        | SELECT CAST(COALESCE(SUM(CAST(ca.n AS DECIMAL(19,0))
+        |                        * CAST(cb.n AS DECIMAL(19,0))), 0)
+        |   AS BIGINT) AS exact_size
         | FROM ca JOIN cb USING (k)),
         |tot AS (
         | SELECT (SELECT CAST(SUM(n) AS BIGINT) FROM ca) AS n_left,

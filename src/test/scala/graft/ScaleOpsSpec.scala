@@ -236,4 +236,25 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(real.getBoolean(5))
     assert(real.getLong(3) >= real.getLong(2))
   }
+
+  test("q126: disjoint sketches estimate 0/true, never NULL") {
+    import s.implicits._
+    // one key per side, different keys, 32768 buckets: with the fixed
+    // md5 family these land in different cells for every depth row, so
+    // the sketch join is EMPTY — est_size must come back 0 (every depth
+    // row present with est_r = 0 before the min) and never_undercounts
+    // true, not a NULL pair from min-over-nothing (r6 review finding).
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_jsz_disjoint").toString
+    Seq((1L, 1000000000L, 1L, "e", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(dir + "/events.parquet")
+    Seq((1L, 2L)).toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(dir + "/orders.parquet")
+    val r = ScaleOps.queries("q126_join_size_estimate")(s, dir).head()
+    assert(!r.isNullAt(3) && r.getLong(3) == 0L, "est_size must be 0")
+    assert(r.getLong(2) == 0L)
+    assert(!r.isNullAt(5) && r.getBoolean(5))
+    assert(r.isNullAt(4), "inflation undefined at exact = 0")
+  }
 }
