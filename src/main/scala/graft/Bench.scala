@@ -108,7 +108,29 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val totalMin = results.map(_._3).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qmin,"total_min":$totalMin,"load":$loads,"n_samples":$nsamp,"n_failed":${results.count(!_._6)},"failed":$failed,"sf":"$sfDir"}""")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qmin,"total_min":$totalMin,"load":$loads,"n_samples":$nsamp,"n_failed":${results.count(!_._6)},"failed":$failed,"sf":"$sfDir"}"""
+
+    // The driver records only a ~2 KB TAIL of stdout and parses the last
+    // line (VERDICT r6 #2: every BENCH_r*.json so far has parsed:null
+    // because the 128-query dicts pushed the line head past the tail
+    // window). So: full record → committed artifact + printed FIRST for
+    // humans; the FINAL stdout line is a compact summary guaranteed to fit
+    // the tail — headline totals, the failure list, and only the slowest
+    // queries in the contract's "queries" dict (full dict in the artifact).
+    val sfName = sfDir.replaceAll(".*/", "")
+    val artifact = s"artifacts/bench_full_$sfName.json"
+    try {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("artifacts"))
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(artifact), full)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] artifact write failed: ${e.getMessage}")
+    }
+    println(full)
+    val slow = results.sortBy(-_._2).take(8)
+      .map(r => "\"" + r._1 + "\":" +
+        String.format(java.util.Locale.ROOT, "%.2f", Double.box(r._2)))
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$slow,"total_min":$totalMin,"n_queries":${results.size},"n_failed":${results.count(!_._6)},"failed":$failed,"queries_full":"$artifact","sf":"$sfDir"}""")
     spark.stop()
   }
 }

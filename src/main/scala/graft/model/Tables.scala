@@ -34,16 +34,15 @@ final case class Tables(spark: SparkSession, sfDir: String) {
   def orders: DataFrame     = t("orders")
   def lineitem: DataFrame   = t("lineitem")
 
-  /** `events.ts` is parquet timestamp[ns], which Spark 4.x refuses to read
-    * natively ([PARQUET_TYPE_ILLEGAL]). The legacy conf is runtime-settable,
-    * so it is (re)asserted here at use-site — an externally-built session
-    * (the SparkEntry contract) works without any builder cooperation. The
-    * column arrives as a raw nanosecond LONG and is truncated to a
-    * microsecond TIMESTAMP — matching what DuckDB emits for the same
-    * column, so oracle hashes line up. Integer `div` truncates toward zero,
-    * which equals floor truncation for the all-positive (post-1970)
-    * timestamps in this data; pre-epoch values would differ by 1µs. Every
-    * events query inherits this conversion.
+  /** `events.ts` has shipped in two parquet physical types across driver
+    * testdata generations — timestamp[ns] (rounds 1–5) and timestamp[us]
+    * (round 6+) — so the loader dispatches on the type Spark actually
+    * inferred rather than assuming either one (see
+    * [[Tables.normalizeEventTs]]). The nanosAsLong conf is (re)asserted
+    * first because Spark 4.x refuses timestamp[ns] natively
+    * ([PARQUET_TYPE_ILLEGAL]); with it set, ns data arrives as a raw
+    * LongType and is truncated to microseconds. On timestamp[us] data the
+    * conf is a no-op.
     *
     * DELIBERATE SESSION-WIDE EFFECT: the conf stays set after this call.
     * It CANNOT be scoped — parquet schema inference reads it at
@@ -59,7 +58,7 @@ final case class Tables(spark: SparkSession, sfDir: String) {
     */
   def events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t("events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    Tables.normalizeEventTs(t("events"))
   }
 
   def documents: DataFrame  = t("documents")
@@ -67,6 +66,37 @@ final case class Tables(spark: SparkSession, sfDir: String) {
 }
 
 object Tables {
+  import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+
+  /** Normalize an `events`-shaped frame's `ts` column to session-zoned
+    * `TimestampType` at microsecond precision, whatever physical type the
+    * parquet writer used. The ONE place the conversion lives — `events`
+    * above, the streaming specs' file-source replays, and the brute-force
+    * test oracles all route through here, so a future schema change breaks
+    * a single line (round-6 verdict fix #1/#2).
+    *
+    *  - `LongType`: raw nanoseconds (a timestamp[ns] file read under
+    *    `nanosAsLong`). Integer `div 1000` truncates toward zero, which
+    *    equals floor truncation for the all-positive post-1970 data and
+    *    matches DuckDB's own ns→us read of the identical file.
+    *  - `TimestampNTZType`: a timestamp[us] file without a UTC flag
+    *    (pandas/pyarrow default). Cast to `TimestampType`: under the
+    *    graft session contract (session timeZone = UTC, set by
+    *    Verify/Bench/TestSpark) the wall clock re-labels as UTC instants,
+    *    so `unix_micros`/`window()`/`date_trunc` agree exactly with
+    *    DuckDB's `epoch_us` on the same naive column.
+    *  - `TimestampType`: already what every downstream query expects.
+    *
+    * Works on streaming DataFrames too — it inspects only the schema.
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case LongType           => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    case _: TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+    case _: TimestampType   => df
+    case other => throw new IllegalStateException(
+      s"events.ts arrived as unsupported type $other — extend Tables.normalizeEventTs")
+  }
+
   /** Case classes for the typed Dataset core model (SURVEY §1.1). */
   final case class Vertex(blobId: Long, idx: Int, x: Double, y: Double)
   final case class Edge(blobId: Long, x1: Double, y1: Double, x2: Double, y2: Double)

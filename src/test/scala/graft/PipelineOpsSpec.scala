@@ -155,8 +155,9 @@ class PipelineOpsSpec extends AnyFunSuite {
       .map(r => r.getAs[Long]("stage") -> r.getAs[Long]("n_users")).toMap
     assert(out.keySet == Set(1L, 2L, 3L))
     assert(out(1L) >= out(2L) && out(2L) >= out(3L))
-    val ev = s.read.parquet(s"$sfDir/events.parquet")
-      .selectExpr("user_id", "event_type", "ts div 1000 as us").collect()
+    val ev = graft.model.Tables.normalizeEventTs(
+        s.read.parquet(s"$sfDir/events.parquet"))
+      .selectExpr("user_id", "event_type", "unix_micros(ts) as us").collect()
       .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
         r.getAs[Long]("us")))
     val byUser = ev.groupBy(_._1)
@@ -241,8 +242,9 @@ class PipelineOpsSpec extends AnyFunSuite {
     val got = EventOps.queries("q112_trailing_window")(s, sfDir).collect()
       .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id")) ->
         (r.getAs[Long]("n_1h"), r.getAs[Double]("sum_1h"))).toMap
-    val ev = s.read.parquet(s"$sfDir/events.parquet")
-      .selectExpr("user_id", "event_id", "ts div 1000 as us", "value")
+    val ev = graft.model.Tables.normalizeEventTs(
+        s.read.parquet(s"$sfDir/events.parquet"))
+      .selectExpr("user_id", "event_id", "unix_micros(ts) as us", "value")
       .collect()
       .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
         r.getAs[Long]("us"), r.getAs[Double]("value")))
@@ -287,8 +289,9 @@ class PipelineOpsSpec extends AnyFunSuite {
   /** Local daily rollup: user -> sorted (dayUs, sumBD scale-2). */
   private def localDaily: Map[Long, Seq[(Long, BigDecimal)]] = {
     val dayUs = 86400000000L
-    s.read.parquet(s"$sfDir/events.parquet")
-      .selectExpr("user_id", "ts div 1000 as us", "value").collect()
+    graft.model.Tables.normalizeEventTs(
+        s.read.parquet(s"$sfDir/events.parquet"))
+      .selectExpr("user_id", "unix_micros(ts) as us", "value").collect()
       .map(r => (r.getAs[Long]("user_id"),
         r.getAs[Long]("us") / dayUs * dayUs, r.getAs[Double]("value")))
       .groupBy(r => (r._1, r._2)).toSeq

@@ -70,11 +70,11 @@ class StreamReplaySpec extends AnyFunSuite {
     Files.copy(Paths.get(s"$SF_DIR/events.parquet"),
       dir.resolve("part-0.parquet"), StandardCopyOption.REPLACE_EXISTING)
 
-    // nanosAsLong (set by TestSpark): ts arrives as a nanosecond long —
-    // the stream applies the same µs truncation Tables.events applies
+    // ts normalization is shared with Tables.events so the stream sees
+    // exactly the batch column, whatever physical type the file carries
     val fileSchema = s.read.parquet(dir.toString).schema
-    val stream = s.readStream.schema(fileSchema).parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = graft.model.Tables.normalizeEventTs(
+        s.readStream.schema(fileSchema).parquet(dir.toString))
       .select("event_id", "ts", "event_type")
 
     val q = EventStreams.tumblingCounts(stream)
@@ -90,8 +90,8 @@ class StreamReplaySpec extends AnyFunSuite {
     // expected side must apply the same ms floor — a µs-exact watermark
     // would close one extra window whenever max(ts) carries sub-ms
     // digits and a window end lands inside the floored-away band.
-    val batch = s.read.parquet(s"$SF_DIR/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val batch = graft.model.Tables.normalizeEventTs(
+      s.read.parquet(s"$SF_DIR/events.parquet"))
     val maxTs = batch.agg(max(unix_micros(col("ts")))).head().getLong(0)
     val watermarkUs = (maxTs / 1000L - 3600L * 1000L) * 1000L
     val expected = batch
