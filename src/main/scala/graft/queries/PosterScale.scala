@@ -52,9 +52,9 @@ object PosterScale {
         .orderBy("blob_id", "y", "x")),
 
     // The reference's full default poster at 400×400 — per-blob summary.
-    // Rows-only check (a DuckDB oracle would re-run 627 M edge tests in
-    // SQL); correctness is inherited from q45 ≡ q17 ≡ oracle at 64, plus
-    // the golden-fixture test suite.
+    // Oracle-checked (see oracles below: bbox-prefiltered PIP + the
+    // algebraic blur-mass collapse make the 400-grid DuckDB side ~18 s),
+    // on top of q45 ≡ q17 ≡ oracle at 64 and the golden-fixture suite.
     "q46_poster_fullscale" -> ((s, _) => {
       val n = 400
       val R = 18 // σ=6 kernel radius
@@ -242,5 +242,92 @@ object PosterScale {
   def oracles: Map[String, String] = Map(
     // Deliberately the SAME oracle as the relational parity join.
     "q45_pip_expr" -> Poster.oracles("q17_point_in_polygon"),
+
+    // Full 400-grid oracle (closes the catalog's last rows-only entry,
+    // VERDICT r6 #5). Two rewrites make the SQL tractable (~18 s in
+    // DuckDB vs ~52 s naive, measured):
+    //  - PIP candidates prefiltered to the closed vertex bbox — a point
+    //    strictly outside the bbox has even ray-crossing parity, so the
+    //    mask set is provably unchanged;
+    //  - shadow_mass uses the algebraic collapse of the separable blur:
+    //    summing the blurred field over every in-grid output cell equals
+    //    Σ_mask wy(y)·wx(x) with wy/wx the edge-clipped marginal kernel
+    //    mass at each coordinate (in exact arithmetic; the 3-decimal
+    //    round on both engines absorbs summation-order noise). No 2-D
+    //    convolution in SQL, and the oracle independently cross-checks
+    //    the tiled mapGroups blur rather than re-implementing it.
+    // Normalizer stats aggregate the full padded raster — the reference
+    // semantics — independently re-checking the Spark side's 4-corner
+    // algebraic shortcut.
+    "q46_poster_fullscale" -> {
+      val FX = Poster.FX
+      val P = s"read_parquet('$FX/blob_params.parquet')"
+      val V = s"read_parquet('$FX/blob_vertices.parquet')"
+      val K6 = s"read_parquet('$FX/kernel_sigma6.parquet')"
+      s"""WITH vbox AS (
+         | SELECT blob_id, MIN(x) AS vx_min, MAX(x) AS vx_max,
+         |        MIN(y) AS vy_min, MAX(y) AS vy_max
+         | FROM $V GROUP BY blob_id),
+         |grid AS (
+         | SELECT blob_id, ty.y, tx.x,
+         |  xmin + CAST(tx.x AS DOUBLE) * ((xmax - xmin) / 399.0) AS gx,
+         |  ymin + CAST(ty.y AS DOUBLE) * ((ymax - ymin) / 399.0) AS gy
+         | FROM $P, range(400) ty(y), range(400) tx(x)),
+         |cand AS (
+         | SELECT g.* FROM grid g JOIN vbox USING (blob_id)
+         | WHERE g.gx >= vx_min AND g.gx <= vx_max
+         |   AND g.gy >= vy_min AND g.gy <= vy_max),
+         |edges AS (
+         | SELECT blob_id, CAST(idx AS BIGINT) AS idx, x AS x1, y AS y1,
+         |  COALESCE(LEAD(x) OVER w, FIRST_VALUE(x) OVER w2) AS x2,
+         |  COALESCE(LEAD(y) OVER w, FIRST_VALUE(y) OVER w2) AS y2
+         | FROM $V
+         | WINDOW w AS (PARTITION BY blob_id ORDER BY idx),
+         |  w2 AS (PARTITION BY blob_id ORDER BY idx
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+         |inside AS (
+         | SELECT g.blob_id, g.y, g.x,
+         |  SUM(CASE WHEN ((e.y1 > g.gy) != (e.y2 > g.gy))
+         |            AND g.gx < e.x1 + (e.x2 - e.x1) * (g.gy - e.y1) / (e.y2 - e.y1)
+         |       THEN 1 ELSE 0 END) % 2 = 1 AS inside
+         | FROM cand g JOIN edges e USING (blob_id)
+         | GROUP BY g.blob_id, g.y, g.x),
+         |pre AS (
+         | SELECT g.blob_id, g.y, g.x,
+         |  SQRT((g.gx - p.cx_mean)*(g.gx - p.cx_mean)
+         |     + (g.gy - p.cy_mean)*(g.gy - p.cy_mean)) AS dist,
+         |  (g.gx - p.cx_mean)*(-0.6) + (g.gy - p.cy_mean)*0.8 AS light,
+         |  p.depth
+         | FROM grid g JOIN $P p USING (blob_id)),
+         |stats AS (
+         | SELECT blob_id, MAX(dist) AS dist_max, MIN(light) AS light_min,
+         |        MAX(light) AS light_max
+         | FROM pre GROUP BY blob_id),
+         |mask AS (
+         | SELECT pre.blob_id, pre.y, pre.x, pre.depth,
+         |  0.3 + 0.7 * (0.5 * LEAST(1.0, GREATEST(0.0, 1.0 - dist / dist_max))
+         |             + 0.5 * (light - light_min) / (light_max - light_min)) AS shade
+         | FROM pre JOIN stats USING (blob_id)
+         | JOIN inside i ON pre.blob_id = i.blob_id AND pre.y = i.y AND pre.x = i.x
+         | WHERE i.inside),
+         |wy AS (
+         | SELECT t.y, SUM(k.weight) AS w
+         | FROM range(400) t(y) JOIN $K6 k
+         |   ON t.y + k."offset" BETWEEN 0 AND 399
+         | GROUP BY t.y),
+         |wx AS (
+         | SELECT t.x, SUM(k.weight) AS w
+         | FROM range(400) t(x) JOIN $K6 k
+         |   ON t.x + k."offset" BETWEEN 0 AND 399
+         | GROUP BY t.x)
+         |SELECT m.blob_id,
+         | COUNT(*) AS n_mask_cells,
+         | ROUND(SUM(m.shade), 3) AS mask_shade_sum,
+         | ROUND(0.4 * COUNT(*) + 0.6 * MAX(m.depth) * COUNT(*), 3) AS alpha_sum,
+         | ROUND(SUM(wy.w * wx.w), 3) AS shadow_mass
+         |FROM mask m JOIN wy ON m.y = wy.y JOIN wx ON m.x = wx.x
+         |GROUP BY m.blob_id
+         |ORDER BY m.blob_id""".stripMargin
+    },
   )
 }
