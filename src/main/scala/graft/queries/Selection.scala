@@ -225,12 +225,41 @@ object Selection {
             (col("nrm") * col("cn")), 6).as("rel"))
         .localCheckpoint(false)
       val lam = MMR_LAMBDA
+      // BATCHED lazy greedy (VERDICT r6 #7): the sequential form ran one
+      // Spark job per pick — correct, but K jobs of scheduler latency at
+      // scale. Batching is exact because MMR scores are MONOTONE
+      // NON-INCREASING in the selected set (maxsim only grows; round(·,6)
+      // is monotone): fetch the top-(K−|sel|) candidates in ONE job, then
+      // replay the greedy driver-side inside the batch, recomputing each
+      // remaining candidate's score against every new pick with the
+      // query's exact arithmetic (vec_dot's left-to-right accumulation,
+      // per-pair round-6 before max, HALF_UP — the same contract the
+      // SelectionSpec local model pins). A pick is provably the GLOBAL
+      // argmax while its recomputed score stays strictly above the
+      // fetch-time score of the batch's last member: every outsider
+      // scored ≤ that bound when fetched and can only have decayed since.
+      // On == the pick could lose a vec_id tie-break to an unseen
+      // outsider, so the batch is abandoned and refetched. Typical run:
+      // 1 fetch job (diversity rarely promotes an outsider past the
+      // bound); worst case K jobs — the sequential policy, pick for pick.
+      def rnd6(x: Double): Double =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      def ddot(a: Seq[Double], b: Seq[Double]): Double = {
+        val n = math.min(a.length, b.length)
+        var acc = 0.0; var i = 0
+        while (i < n) { acc += a(i) * b(i); i += 1 }
+        acc
+      }
+      final case class Cand(id: Long, e: Seq[Double], nrm: Double,
+                            rel: Double, maxsim: Double, score: Double)
       var sel = Vector.empty[(Long, Seq[Double], Double, Double, Double)]
       var exhausted = false // corpus smaller than K: stop early
       while (!exhausted && sel.length < MMR_K) {
+        val want = MMR_K - sel.length
         val picked =
           if (sel.isEmpty)
             rel.select(col("vec_id"), col("e"), col("nrm"), col("rel"),
+              lit(0.0).as("maxsim"),
               round(lit(lam) * col("rel"), 6).as("score"))
           else {
             import s.implicits._
@@ -245,16 +274,40 @@ object Selection {
               .agg(first("e").as("e"), first("nrm").as("nrm"),
                 first("rel").as("rel"), max("sim").as("maxsim"))
               .select(col("vec_id"), col("e"), col("nrm"), col("rel"),
+                col("maxsim"),
                 round(lit(lam) * col("rel") -
                   lit(MMR_MU) * col("maxsim"), 6).as("score"))
           }
-        val row = picked
-          .orderBy(col("score").desc, col("vec_id")).limit(1).collect()
-        if (row.isEmpty) exhausted = true
+        val batch = picked
+          .orderBy(col("score").desc, col("vec_id")).limit(want).collect()
+        if (batch.isEmpty) exhausted = true
         else {
-          val r = row(0)
-          sel = sel :+ ((r.getLong(0), r.getSeq[Double](1), r.getDouble(2),
-            r.getDouble(3), r.getDouble(4)))
+          // A short batch means NO unfetched candidates remain — no
+          // outsider to guard against, so the bound drops away.
+          val bound =
+            if (batch.length < want) Double.NegativeInfinity
+            else batch.last.getDouble(5)
+          var cand = batch.toVector.map(r => Cand(r.getLong(0),
+            r.getSeq[Double](1), r.getDouble(2), r.getDouble(3),
+            r.getDouble(4), r.getDouble(5)))
+          // The head of a fresh batch IS the sequential argmax (the fetch
+          // ordered by (score desc, vec_id) against the current selected
+          // set), so it is accepted without the bound test — which also
+          // guarantees ≥1 pick per job, i.e. termination in ≤K jobs.
+          var fresh = true
+          var live = true
+          while (live && cand.nonEmpty && sel.length < MMR_K) {
+            val best = cand.minBy(c => (-c.score, c.id))
+            if (fresh || best.score > bound) {
+              fresh = false
+              sel = sel :+ ((best.id, best.e, best.nrm, best.rel, best.score))
+              cand = cand.filterNot(_.id == best.id).map { c =>
+                val sim = rnd6(ddot(c.e, best.e) / (c.nrm * best.nrm))
+                val ms = math.max(c.maxsim, sim)
+                c.copy(maxsim = ms, score = rnd6(lam * c.rel - MMR_MU * ms))
+              }
+            } else live = false // decayed to the bound: refetch globally
+          }
         }
       }
       import s.implicits._
