@@ -88,6 +88,12 @@ object Tables {
     *  - `TimestampType`: already what every downstream query expects.
     *
     * Works on streaming DataFrames too — it inspects only the schema.
+    *
+    * Scale note: the NTZ cast does NOT cost event-time pushdown — probed
+    * on 4.1.2, a `ts >= <literal>` filter above the cast still reaches the
+    * parquet scan (Catalyst rewrites the comparison to an NTZ literal:
+    * `PushedFilters: [GreaterThanOrEqual(ts,2024-01-15T00:00)]`), so
+    * row-group pruning on event time survives at 100 TB.
     */
   def normalizeEventTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
     case LongType           => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
