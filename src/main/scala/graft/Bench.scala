@@ -118,7 +118,11 @@ object Bench {
     // the tail — headline totals, the failure list, and only the slowest
     // queries in the contract's "queries" dict (full dict in the artifact).
     val sfName = sfDir.replaceAll(".*/", "")
-    val artifact = s"artifacts/bench_full_$sfName.json"
+    // Dev-loop BENCH_ONLY runs must not clobber the committed full-sweep
+    // record — they cover a subset, so they land in a sibling file.
+    val artifact =
+      if (only.isDefined) s"artifacts/bench_only_$sfName.json"
+      else s"artifacts/bench_full_$sfName.json"
     try {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get("artifacts"))
       java.nio.file.Files.writeString(java.nio.file.Paths.get(artifact), full)
