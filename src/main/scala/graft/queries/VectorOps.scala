@@ -537,6 +537,58 @@ object VectorOps {
           col("m.cos").as("cos"), col("n_dups"))
         .orderBy("vec_id")),
 
+    // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup
+    // scoped to k-means clusters — the published web-scale recipe (they
+    // prune LAION/C4 with exactly this shape). Reuses the q68 Lloyd
+    // codebook verbatim: every vector is assigned to its home cell, and
+    // WITHIN each cell a vector is dropped when some cell-mate with
+    // strictly better keep-rank is ≥ TAU cosine-similar to it. Keep-rank
+    // follows the paper: LOW centroid-cosine survives (the point furthest
+    // from the cluster center is the most informative representative),
+    // ties on vec_id. The paper's "drop if similar to any EARLIER point
+    // in the ordering, survivor or not" one-pass rule is exactly this
+    // dominance self-join — no iteration, no connected components (q65
+    // covers the transitive-closure flavor; the two differ by design on
+    // chains, like q75 vs q114).
+    //
+    // Scale: the pairwise work is Σ|cell|² — bounded by the CODEBOOK
+    // GEOMETRY, not the corpus: K must grow ∝ n so cells stay O(1)-sized
+    // (the paper runs 50k clusters on LAION-440M; kmGeom's K≤64 cap is a
+    // test-scale artifact of sharing q68's oracle chain). One codebook
+    // broadcast + one cell-keyed shuffle; no driver data-path state.
+    "q129_semdedup" -> ((s, dir) => {
+      val base = emb(s, dir)
+      val (k, _) = kmGeom(s, dir)
+      val cents = kmCentroids(s, dir, k)
+      val home = assignStep(base.select(col("vec_id"), col("e")), cents)
+      // centroid cosine once per vector (round 6 — the cross-engine rank
+      // currency); localCheckpoint: both sides of the dominance join and
+      // the final output reuse it without re-running k-means.
+      val ranked = home.join(base, "vec_id")
+        .join(broadcast(cents
+          .select(col("cid"), col("c"),
+            sqrt(dot(col("c"), col("c"))).as("cn"))), "cid")
+        .select(col("vec_id"), col("cid").as("cell"), col("e"), col("nrm"),
+          round(dot(col("e"), col("c")) / (col("nrm") * col("cn")), 6)
+            .as("cent_cos"))
+        .localCheckpoint(false)
+      val a = ranked.select(col("cell"), col("vec_id").as("aid"),
+        col("e").as("ae"), col("nrm").as("an"), col("cent_cos").as("ac"))
+      val b = ranked.select(col("cell"), col("vec_id").as("bid"),
+        col("e").as("be"), col("nrm").as("bn"), col("cent_cos").as("bc"))
+      val dropped = a.join(b, Seq("cell"))
+        .where(col("ac") < col("bc") ||
+          (col("ac") === col("bc") && col("aid") < col("bid")))
+        .where(round(dot(col("ae"), col("be")) / (col("an") * col("bn")), 6)
+          >= TAU)
+        .select(col("bid").as("vec_id")).distinct()
+        .withColumn("dup", lit(true))
+      ranked.join(dropped, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"), col("cent_cos"),
+          coalesce(col("dup"), lit(false)).as("is_dup"))
+        .orderBy("vec_id")
+    }),
+
     // Recall@1 of both ANN paths against the brute-force answer on a
     // 200-query sample — the offline-eval query a production ANN pipeline
     // ships with. n_answered counts queries where the path produced any
@@ -891,6 +943,42 @@ object VectorOps {
          |FROM ndup d JOIN lscored s
          |  ON s.db = d.vec_id AND s.da = d.dup_of
          |ORDER BY d.vec_id""".stripMargin,
+
+    // Same Lloyd chain as q68's oracle (final codebook c$KM_ITER, final
+    // assignment afin), then the SemDeDup dominance self-join per cell.
+    "q129_semdedup" ->
+      s"""WITH $E_CTE,
+         |$KK_CTE,
+         |$C0_CTE,
+         |${(1 to KM_ITER).map(kmIterSql).mkString(",\n")},
+         |dfin AS (
+         | SELECT v.vec_id, c.cid,
+         |  ROUND(list_dot_product(v.e, v.e)
+         |       - 2.0 * list_dot_product(v.e, c.c)
+         |       + list_dot_product(c.c, c.c), 6) AS d2
+         | FROM e v CROSS JOIN c$KM_ITER c),
+         |afin AS (
+         | SELECT vec_id, cid, d2 FROM (
+         |  SELECT vec_id, cid, d2,
+         |   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+         |  FROM dfin) WHERE rn = 1),
+         |ranked AS MATERIALIZED (
+         | SELECT a.vec_id, a.cid AS cell, v.e, v.nrm,
+         |  ROUND(list_dot_product(v.e, c.c)
+         |      / (v.nrm * SQRT(list_dot_product(c.c, c.c))), 6) AS cent_cos
+         | FROM afin a JOIN e v USING (vec_id)
+         | JOIN c$KM_ITER c ON a.cid = c.cid),
+         |dropped AS (
+         | SELECT DISTINCT b.vec_id
+         | FROM ranked a JOIN ranked b ON a.cell = b.cell
+         |  AND (a.cent_cos < b.cent_cos
+         |    OR (a.cent_cos = b.cent_cos AND a.vec_id < b.vec_id))
+         | WHERE ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6)
+         |   >= $TAU)
+         |SELECT r.vec_id, r.cell, r.cent_cos,
+         | (d.vec_id IS NOT NULL) AS is_dup
+         |FROM ranked r LEFT JOIN dropped d ON r.vec_id = d.vec_id
+         |ORDER BY r.vec_id""".stripMargin,
 
     "q51_ann_recall" ->
       s"""WITH $E_CTE,

@@ -29,6 +29,10 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // layout-free
     "q98_cms_heavy_hitters",
     "q100_bloom_prefilter",
+    // r7 SemDeDup: hash-seeded k-means feeding a per-cell dominance
+    // self-join — centroid rank ties and the distinct() must be
+    // layout-free
+    "q129_semdedup",
     "q101_source_mix_resample",
     "q102_cluster_safe_split",
     // late r6: decimal-pinned PageRank sums and the A-ES weighted ranks
