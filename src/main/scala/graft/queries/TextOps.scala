@@ -154,6 +154,71 @@ object TextOps {
   private def mhBase(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
+  /** q27's candidate stage, shared with q130's eval harness: the
+    * distinct-shingle relation (+ per-doc signature/size aggregate) and
+    * the banded, bucket-capped, per-doc-top-8 candidate pairs. Returned
+    * as a triple so q27's verify stage keeps consuming the SAME
+    * subtrees (ReuseExchange dedupes the distinct exchange). */
+  private def mhStage(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    // The distinct shingle set feeds three consumers (signatures+sizes,
+    // both sides of the verify join). No cache: the three subtrees end
+    // in the IDENTICAL distinct exchange, so ReuseExchange materializes
+    // the shuffle once — same effect as .cache() without pinning
+    // executor storage for the session lifetime (ADVICE r3).
+    val sh = shingles(docs(s, dir))
+      .withColumn("hb", mhBase(col("sh")))
+    val ms = (0 until 16).map(j =>
+      min((lit(mhA(j)) * col("hb") + lit(mhB(j))) % MH_P).as(s"m$j"))
+    // ONE per-doc aggregation carries both the 16-slot signature and the
+    // shingle count the verify stage needs — was two separate shuffles.
+    val sig = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"), ms: _*)
+    val bands = sig.select(col("doc_id"),
+      posexplode(array((0 until 16).map(j => col(s"m$j")): _*))
+        .as(Seq("band", "mh")))
+    // Buckets materialize as capped doc-id lists and expand to candidate
+    // pairs IN PLACE (HOF combinations over a ≤20-element list) — one
+    // groupBy instead of a bucket-count window plus a bucket self-join,
+    // two fewer shuffles for identical pairs.
+    val buckets = bands.groupBy("band", "mh")
+      .agg(collect_list("doc_id").as("ds"))
+      .where(size(col("ds")).between(2, 20))
+    val pairsRaw = buckets.select(explode(expr(
+      "flatten(transform(ds, (a, i) -> " +
+        "transform(slice(ds, i + 2, size(ds)), " +
+        "b -> struct(least(a, b) AS da, greatest(a, b) AS db))))"))
+      .as("pr"))
+      .select(col("pr.da"), col("pr.db"))
+    // Rank candidates by band-collision count and keep the top 8 per
+    // doc BEFORE the expensive exact verification — verification work
+    // is then O(|docs| × 8) regardless of how promiscuous the buckets
+    // are (this tiny-vocabulary corpus collides constantly; a web-scale
+    // corpus has the same problem via boilerplate shingles).
+    // Both orientations are emitted in ONE explode pass and the top-8
+    // is an in-group array sort (group size ≤ 16 bands × 19 bucket
+    // partners = 304) — replaces the r3 union (which duplicated the
+    // whole upstream subtree) + window (an extra sort-heavy shuffle).
+    val collisions = pairsRaw
+      .groupBy("da", "db")
+      .agg(count(lit(1)).as("bo"))
+    val perDoc = collisions.select(explode(array(
+        struct(col("da").as("doc_id"), col("db").as("other"), col("bo")),
+        struct(col("db").as("doc_id"), col("da").as("other"), col("bo"))))
+        .as("e"))
+      .select(col("e.doc_id").as("doc_id"), col("e.other").as("other"),
+        col("e.bo").as("bo"))
+    val pairs = perDoc.groupBy("doc_id")
+      // sort key (-bo, other) ascending == (bo desc, other asc)
+      .agg(slice(array_sort(collect_list(
+        struct((-col("bo")).as("nbo"), col("other")))), 1, 8).as("cand"))
+      .select(col("doc_id"), explode(col("cand")).as("c"))
+      .select(least(col("doc_id"), col("c.other")).as("da"),
+        greatest(col("doc_id"), col("c.other")).as("db"))
+      .distinct()
+    (sh, sig, pairs)
+  }
+
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // String family + token counting: per-(lang, source) corpus statistics.
@@ -203,60 +268,7 @@ object TextOps {
     // skew bomb). Candidates are then verified with exact shingle
     // Jaccard; output is each doc's best verified match.
     "q27_minhash_near_dup" -> ((s, dir) => {
-      // The distinct shingle set feeds three consumers (signatures+sizes,
-      // both sides of the verify join). No cache: the three subtrees end
-      // in the IDENTICAL distinct exchange, so ReuseExchange materializes
-      // the shuffle once — same effect as .cache() without pinning
-      // executor storage for the session lifetime (ADVICE r3).
-      val sh = shingles(docs(s, dir))
-        .withColumn("hb", mhBase(col("sh")))
-      val ms = (0 until 16).map(j =>
-        min((lit(mhA(j)) * col("hb") + lit(mhB(j))) % MH_P).as(s"m$j"))
-      // ONE per-doc aggregation carries both the 16-slot signature and the
-      // shingle count the verify stage needs — was two separate shuffles.
-      val sig = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"), ms: _*)
-      val bands = sig.select(col("doc_id"),
-        posexplode(array((0 until 16).map(j => col(s"m$j")): _*))
-          .as(Seq("band", "mh")))
-      // Buckets materialize as capped doc-id lists and expand to candidate
-      // pairs IN PLACE (HOF combinations over a ≤20-element list) — one
-      // groupBy instead of a bucket-count window plus a bucket self-join,
-      // two fewer shuffles for identical pairs.
-      val buckets = bands.groupBy("band", "mh")
-        .agg(collect_list("doc_id").as("ds"))
-        .where(size(col("ds")).between(2, 20))
-      val pairsRaw = buckets.select(explode(expr(
-        "flatten(transform(ds, (a, i) -> " +
-          "transform(slice(ds, i + 2, size(ds)), " +
-          "b -> struct(least(a, b) AS da, greatest(a, b) AS db))))"))
-        .as("pr"))
-        .select(col("pr.da"), col("pr.db"))
-      // Rank candidates by band-collision count and keep the top 8 per
-      // doc BEFORE the expensive exact verification — verification work
-      // is then O(|docs| × 8) regardless of how promiscuous the buckets
-      // are (this tiny-vocabulary corpus collides constantly; a web-scale
-      // corpus has the same problem via boilerplate shingles).
-      // Both orientations are emitted in ONE explode pass and the top-8
-      // is an in-group array sort (group size ≤ 16 bands × 19 bucket
-      // partners = 304) — replaces the r3 union (which duplicated the
-      // whole upstream subtree) + window (an extra sort-heavy shuffle).
-      val collisions = pairsRaw
-        .groupBy("da", "db")
-        .agg(count(lit(1)).as("bo"))
-      val perDoc = collisions.select(explode(array(
-          struct(col("da").as("doc_id"), col("db").as("other"), col("bo")),
-          struct(col("db").as("doc_id"), col("da").as("other"), col("bo"))))
-          .as("e"))
-        .select(col("e.doc_id").as("doc_id"), col("e.other").as("other"),
-          col("e.bo").as("bo"))
-      val pairs = perDoc.groupBy("doc_id")
-        // sort key (-bo, other) ascending == (bo desc, other asc)
-        .agg(slice(array_sort(collect_list(
-          struct((-col("bo")).as("nbo"), col("other")))), 1, 8).as("cand"))
-        .select(col("doc_id"), explode(col("cand")).as("c"))
-        .select(least(col("doc_id"), col("c.other")).as("da"),
-          greatest(col("doc_id"), col("c.other")).as("db"))
-        .distinct()
+      val (sh, sig, pairs) = mhStage(s, dir)
       // Verify candidates through the inverted index (posting-list joins
       // keyed on the candidate pair) — shares shingle ROWS, never ships
       // collected shingle arrays through the shuffle.
@@ -393,6 +405,40 @@ object TextOps {
     // partitioning; no cache (ReuseExchange dedupes the distinct scan).
     "q29_jaccard_pairs" -> ((s, dir) =>
       jaccardPairs(s, dir).orderBy("da", "db")),
+
+    // Dedup-quality eval harness — the q51/q125 pattern pointed at the
+    // dedup tier: how good is the MinHash CANDIDATE GENERATOR (banding +
+    // bucket cap + per-doc top-8, the part that gates everything q27
+    // verifies) against exact shingle-Jaccard ground truth (the q29
+    // relation), per similarity threshold? recall = truth pairs ≥ t that
+    // survived candidate generation; precision = fraction of ALL
+    // generated candidates that are true ≥ t pairs (one candidate set,
+    // evaluated at each t — the standard sweep an offline dedup pipeline
+    // publishes before trusting its sketch parameters at 100 TB, where
+    // re-verifying everything exactly is not an option).
+    // Both relations are bucketed/capped upstream (no all-pairs anywhere);
+    // the metric join is |truth| × 4 thresholds.
+    "q130_dedup_quality" -> ((s, dir) => {
+      import s.implicits._
+      val (_, _, cand) = mhStage(s, dir)
+      val truth = jaccardPairs(s, dir)
+      val ct = truth.join(cand.withColumn("isc", lit(true)),
+          Seq("da", "db"), "left")
+        .select(col("jaccard"), coalesce(col("isc"), lit(false)).as("isc"))
+      val nCand = cand.agg(count(lit(1)).as("n_cand"))
+      Seq(0.3, 0.5, 0.7, 0.9).toDF("threshold")
+        .crossJoin(ct)
+        .where(col("jaccard") >= col("threshold"))
+        .groupBy("threshold")
+        .agg(count(lit(1)).as("n_truth"),
+          count(when(col("isc"), lit(1))).as("n_hit"))
+        .crossJoin(broadcast(nCand))
+        .select(col("threshold"), col("n_truth"), col("n_cand"),
+          col("n_hit"),
+          round(col("n_hit") / col("n_cand"), 6).as("precision"),
+          round(col("n_hit") / col("n_truth"), 6).as("recall"))
+        .orderBy("threshold")
+    }),
 
     // Near-dup CLUSTER formation — the step AFTER pair detection in a
     // real dedup pipeline: connected components over the q29 similarity
@@ -850,6 +896,44 @@ object TextOps {
 
   /** q29/q65 shared CTE chain: df-capped exact-Jaccard pairs, ending in
     * `jpairs(da, db, jaccard)` — the SQL twin of `jaccardPairs`. */
+  /** The q27 candidate chain (shingles → minhash bands → capped buckets →
+    * per-doc top-8 → `pairs(da, db)`) — shared by q27's oracle and q130's
+    * eval harness. CTE names are disjoint from JPAIRS_CTES so the two
+    * chains compose in one WITH. */
+  private lazy val MH_CAND_CTES =
+    s"""$SH_CTE,
+       |mhc(j, a, b) AS (VALUES
+       | ${(0 until 16).map(j => s"(${j}, ${mhA(j)}, ${mhB(j)})").mkString(",\n ")}),
+       |shb AS (
+       | SELECT doc_id, sh,
+       |  CAST('0x' || substr(md5(sh), 1, 8) AS BIGINT) AS hb
+       | FROM sh),
+       |mh AS (
+       | SELECT doc_id, c.j AS band, MIN((c.a * hb + c.b) % $MH_P) AS mh
+       | FROM shb CROSS JOIN mhc c
+       | GROUP BY doc_id, c.j),
+       |bsz AS (
+       | SELECT band, mh FROM mh GROUP BY band, mh
+       | HAVING COUNT(*) BETWEEN 2 AND 20),
+       |mem AS (SELECT m.* FROM mh m JOIN bsz USING (band, mh)),
+       |coll AS (
+       | SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS bo
+       | FROM mem a JOIN mem b
+       |   ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id
+       | GROUP BY a.doc_id, b.doc_id),
+       |perdoc AS (
+       | SELECT da AS doc_id, db AS other, bo FROM coll
+       | UNION ALL SELECT db, da, bo FROM coll),
+       |top8 AS (
+       | SELECT doc_id, other FROM (
+       |  SELECT doc_id, other,
+       |   ROW_NUMBER() OVER (PARTITION BY doc_id
+       |                      ORDER BY bo DESC, other) AS rc
+       |  FROM perdoc) WHERE rc <= 8),
+       |pairs AS (
+       | SELECT DISTINCT least(doc_id, other) AS da,
+       |  greatest(doc_id, other) AS db FROM top8)""".stripMargin
+
   private val JPAIRS_CTES =
     """raw AS (
       | SELECT DISTINCT doc_id, sh FROM (
@@ -943,38 +1027,7 @@ object TextOps {
          |ORDER BY d.doc_id""".stripMargin,
 
     "q27_minhash_near_dup" ->
-      s"""WITH $SH_CTE,
-         |mhc(j, a, b) AS (VALUES
-         | ${(0 until 16).map(j => s"(${j}, ${mhA(j)}, ${mhB(j)})").mkString(",\n ")}),
-         |shb AS (
-         | SELECT doc_id, sh,
-         |  CAST('0x' || substr(md5(sh), 1, 8) AS BIGINT) AS hb
-         | FROM sh),
-         |mh AS (
-         | SELECT doc_id, c.j AS band, MIN((c.a * hb + c.b) % $MH_P) AS mh
-         | FROM shb CROSS JOIN mhc c
-         | GROUP BY doc_id, c.j),
-         |bsz AS (
-         | SELECT band, mh FROM mh GROUP BY band, mh
-         | HAVING COUNT(*) BETWEEN 2 AND 20),
-         |mem AS (SELECT m.* FROM mh m JOIN bsz USING (band, mh)),
-         |coll AS (
-         | SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS bo
-         | FROM mem a JOIN mem b
-         |   ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id
-         | GROUP BY a.doc_id, b.doc_id),
-         |perdoc AS (
-         | SELECT da AS doc_id, db AS other, bo FROM coll
-         | UNION ALL SELECT db, da, bo FROM coll),
-         |top8 AS (
-         | SELECT doc_id, other FROM (
-         |  SELECT doc_id, other,
-         |   ROW_NUMBER() OVER (PARTITION BY doc_id
-         |                      ORDER BY bo DESC, other) AS rc
-         |  FROM perdoc) WHERE rc <= 8),
-         |pairs AS (
-         | SELECT DISTINCT least(doc_id, other) AS da,
-         |  greatest(doc_id, other) AS db FROM top8),
+      s"""WITH $MH_CAND_CTES,
          |sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id),
          |shared AS (
          | SELECT p.da, p.db, COUNT(*) AS shared
@@ -1039,6 +1092,28 @@ object TextOps {
     "q29_jaccard_pairs" ->
       s"""WITH $JPAIRS_CTES
          |SELECT da, db, jaccard FROM jpairs ORDER BY da, db""".stripMargin,
+
+    // Candidate chain + truth chain composed in one WITH (disjoint CTE
+    // names by construction), then the threshold sweep.
+    "q130_dedup_quality" ->
+      s"""WITH $MH_CAND_CTES,
+         |$JPAIRS_CTES,
+         |thr(threshold) AS (VALUES (CAST(0.3 AS DOUBLE)),
+         | (CAST(0.5 AS DOUBLE)), (CAST(0.7 AS DOUBLE)),
+         | (CAST(0.9 AS DOUBLE))),
+         |ct AS (
+         | SELECT j.jaccard, (p.da IS NOT NULL) AS isc
+         | FROM jpairs j LEFT JOIN pairs p ON j.da = p.da AND j.db = p.db),
+         |nc AS (SELECT COUNT(*) AS n_cand FROM pairs),
+         |m AS (
+         | SELECT t.threshold, COUNT(*) AS n_truth,
+         |  COUNT(*) FILTER (WHERE isc) AS n_hit
+         | FROM thr t JOIN ct ON ct.jaccard >= t.threshold
+         | GROUP BY t.threshold)
+         |SELECT m.threshold, m.n_truth, nc.n_cand, m.n_hit,
+         | ROUND(CAST(m.n_hit AS DOUBLE) / nc.n_cand, 6) AS "precision",
+         | ROUND(CAST(m.n_hit AS DOUBLE) / m.n_truth, 6) AS recall
+         |FROM m, nc ORDER BY m.threshold""".stripMargin,
 
     "q82_unigram_logprob" ->
       """WITH toks AS (
