@@ -61,6 +61,90 @@ object Retrieval {
   private[graft] val BM25_K1P1 = 2.2
   private[graft] val BM25_B = 0.75
   private[graft] val BM25_TOPK = 10
+  /** RRF dampening constant — 60 per Cormack et al. '09 (the value every
+    * production fusion ships with; small ranks dominate, tail flattens). */
+  private[graft] val RRF_K = 60
+
+  /** q120's oracle chain through `ranked` (qid, doc_id, bm25, rnk) —
+    * shared with the q131 fusion oracle, which also reuses `tf`/`qt`. */
+  private lazy val BM25_RANKED_CTES =
+    s"""toks AS MATERIALIZED (
+       | SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       | FROM documents),
+       |tf AS MATERIALIZED (
+       | SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+       |aug AS (
+       | SELECT doc_id, tok, tf,
+       |  SUM(tf) OVER (PARTITION BY doc_id) AS dl,
+       |  COUNT(*) OVER (PARTITION BY tok) AS df
+       | FROM tf),
+       |scal AS (
+       | SELECT COUNT(*) AS n_docs,
+       |  CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+       | FROM (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1)),
+       |qt AS (SELECT DISTINCT doc_id AS qid, tok FROM toks
+       |       WHERE doc_id % $QMOD = 0),
+       |contrib AS (
+       | SELECT q.qid, a.doc_id,
+       |  CAST(ln(CAST(1 AS DOUBLE)
+       |     + (CAST(n_docs - df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+       |       / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+       |   * (CAST(tf AS DOUBLE) * CAST($BM25_K1P1 AS DOUBLE))
+       |     / (CAST(tf AS DOUBLE) + CAST($BM25_K1 AS DOUBLE)
+       |        * (CAST(${1.0 - BM25_B} AS DOUBLE) + CAST($BM25_B AS DOUBLE)
+       |           * CAST(dl AS DOUBLE) / avgdl))
+       |   AS DECIMAL(28,12)) AS c
+       | FROM aug a JOIN qt q USING (tok) CROSS JOIN scal
+       | WHERE a.doc_id != q.qid),
+       |scored AS (
+       | SELECT qid, doc_id, ROUND(CAST(SUM(c) AS DOUBLE), 6) AS bm25
+       | FROM contrib GROUP BY 1, 2),
+       |ranked AS (
+       | SELECT qid, doc_id, bm25,
+       |  ROW_NUMBER() OVER (PARTITION BY qid
+       |    ORDER BY bm25 DESC, doc_id) AS rnk
+       | FROM scored)""".stripMargin
+
+  /** q120 core, shared with the q131 fusion: BM25 top-k per query doc
+    * (qid, doc_id, bm25, rnk), rnk ≤ BM25_TOPK, ranked AFTER the 6-dp
+    * round with a doc_id tiebreak so rank order is cross-engine total. */
+  private def bm25TopK(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(col("doc_id"),
+        explode(split(col("text"), " ")).as("tok"))
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val scal = dl.agg(count(lit(1)).as("n_docs"),
+      (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+    // tf already holds ONE row per (doc, term): the query vocabulary
+    // comes from it directly — no distinct, and no second corpus scan
+    // (2× the IO at 100 TB for an identical result).
+    val qt = tf.where(col("doc_id") % QMOD === 0)
+      .select(col("doc_id").as("qid"), col("tok"))
+    val tfq = tf.join(broadcast(qt.select("tok").distinct()), "tok")
+    val dfq = tfq.groupBy("tok").agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)))
+    val tfn = (col("tf").cast("double") * lit(BM25_K1P1)) /
+      (col("tf").cast("double") + lit(BM25_K1) *
+        (lit(1.0 - BM25_B) +
+          lit(BM25_B) * col("dl").cast("double") / col("avgdl")))
+    val scored = tfq
+      .join(broadcast(dfq), "tok")
+      .join(broadcast(qt), "tok")
+      .where(col("doc_id") =!= col("qid"))
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(scal))
+      .select(col("qid"), col("doc_id"),
+        (idf * tfn).cast("decimal(28,12)").as("c"))
+      .groupBy("qid", "doc_id")
+      .agg(round(sum("c").cast("double"), 6).as("bm25"))
+    scored
+      .withColumn("rnk", row_number().over(Window.partitionBy("qid")
+        .orderBy(col("bm25").desc, col("doc_id"))))
+      .where(col("rnk") <= BM25_TOPK)
+  }
   /** Query-doc selector: doc_id % QMOD == 0 — a bounded, corpus-derived
     * query set (5 queries at sf0.01, 50 at sf0.1). */
   private[graft] val QMOD = 100
@@ -131,44 +215,56 @@ object Retrieval {
     // Per-term contributions are pinned to DECIMAL(28,12) before the
     // per-(query, doc) sum; ranking happens AFTER the 6-dp round with a
     // doc_id tiebreak, so rank order is cross-engine total.
-    "q120_bm25_retrieval" -> ((s, dir) => {
-      val toks = docs(s, dir)
-        .select(col("doc_id"),
-          explode(split(col("text"), " ")).as("tok"))
-      val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-      val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-      val scal = dl.agg(count(lit(1)).as("n_docs"),
-        (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
-      // tf already holds ONE row per (doc, term): the query vocabulary
-      // comes from it directly — no distinct, and no second corpus scan
-      // (2× the IO at 100 TB for an identical result).
-      val qt = tf.where(col("doc_id") % QMOD === 0)
-        .select(col("doc_id").as("qid"), col("tok"))
-      val tfq = tf.join(broadcast(qt.select("tok").distinct()), "tok")
-      val dfq = tfq.groupBy("tok").agg(count(lit(1)).as("df"))
-      val idf = log(lit(1.0) +
-        ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
-          (col("df").cast("double") + lit(0.5)))
-      val tfn = (col("tf").cast("double") * lit(BM25_K1P1)) /
-        (col("tf").cast("double") + lit(BM25_K1) *
-          (lit(1.0 - BM25_B) +
-            lit(BM25_B) * col("dl").cast("double") / col("avgdl")))
-      val scored = tfq
-        .join(broadcast(dfq), "tok")
-        .join(broadcast(qt), "tok")
-        .where(col("doc_id") =!= col("qid"))
-        .join(dl, "doc_id")
-        .crossJoin(broadcast(scal))
-        .select(col("qid"), col("doc_id"),
-          (idf * tfn).cast("decimal(28,12)").as("c"))
-        .groupBy("qid", "doc_id")
-        .agg(round(sum("c").cast("double"), 6).as("bm25"))
-      scored
-        .withColumn("rnk", row_number().over(Window.partitionBy("qid")
-          .orderBy(col("bm25").desc, col("doc_id"))))
-        .where(col("rnk") <= BM25_TOPK)
+    "q120_bm25_retrieval" -> ((s, dir) =>
+      bm25TopK(s, dir)
         .select(col("qid"), col("rnk").cast("long").as("rnk"),
           col("doc_id"), col("bm25"))
+        .orderBy("qid", "rnk")),
+
+    // Hybrid retrieval via RECIPROCAL RANK FUSION (Cormack et al.
+    // SIGIR'09) — the standard way a RAG stack merges rankers whose raw
+    // scores are incommensurable: rrf(q,d) = Σ_lists 1/(60 + rank),
+    // absence contributes nothing. Fused here: the q120 BM25 top-10 and
+    // a distinct-token Jaccard top-10 (a genuinely different lexical
+    // signal: set overlap vs frequency-weighted relevance; both rankers
+    // reuse the ONE (doc, term) frequency table, so fusion costs no new
+    // corpus scan). RRF needs only the RANKS, so the per-list top-k
+    // truncation IS the scale lever: the fusion join touches
+    // O(queries × 2k) rows no matter the corpus size. Rank arithmetic
+    // 1/(60+r) is exact double on both engines; ties break on doc_id.
+    "q131_rrf_fusion" -> ((s, dir) => {
+      val a = bm25TopK(s, dir).select(col("qid"), col("doc_id"),
+        col("rnk").as("ra"))
+      val toks = docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val dt = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val qset = dt.where(col("doc_id") % QMOD === 0)
+        .select(col("doc_id").as("qid"), col("tok"))
+      val nd = dt.groupBy("doc_id").agg(count(lit(1)).as("nd"))
+      val inter = dt.join(broadcast(qset), "tok")
+        .where(col("doc_id") =!= col("qid"))
+        .groupBy("qid", "doc_id").agg(count(lit(1)).as("ni"))
+      val b = inter
+        .join(nd, "doc_id")
+        .join(broadcast(nd.select(col("doc_id").as("qid"),
+          col("nd").as("nq"))), "qid")
+        .select(col("qid"), col("doc_id"),
+          round(col("ni").cast("double") /
+            (col("nq") + col("nd") - col("ni")), 6).as("jacc"))
+        .withColumn("rb", row_number().over(Window.partitionBy("qid")
+          .orderBy(col("jacc").desc, col("doc_id"))))
+        .where(col("rb") <= BM25_TOPK)
+        .select(col("qid"), col("doc_id"), col("rb"))
+      a.join(b, Seq("qid", "doc_id"), "full_outer")
+        .select(col("qid"), col("doc_id"),
+          round(coalesce(lit(1.0) / (lit(RRF_K) + col("ra")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(RRF_K) + col("rb")), lit(0.0)), 6)
+            .as("rrf"))
+        .withColumn("rnk", row_number().over(Window.partitionBy("qid")
+          .orderBy(col("rrf").desc, col("doc_id"))))
+        .where(col("rnk") <= BM25_TOPK)
+        .select(col("qid"), col("rnk").cast("long").as("rnk"),
+          col("doc_id"), col("rrf"))
         .orderBy("qid", "rnk")
     }),
 
@@ -308,44 +404,42 @@ object Retrieval {
   def oracles: Map[String, String] = Map(
 
     "q120_bm25_retrieval" ->
-      s"""WITH toks AS MATERIALIZED (
-        | SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-        | FROM documents),
-        |tf AS MATERIALIZED (
-        | SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
-        |aug AS (
-        | SELECT doc_id, tok, tf,
-        |  SUM(tf) OVER (PARTITION BY doc_id) AS dl,
-        |  COUNT(*) OVER (PARTITION BY tok) AS df
-        | FROM tf),
-        |scal AS (
-        | SELECT COUNT(*) AS n_docs,
-        |  CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
-        | FROM (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1)),
-        |qt AS (SELECT DISTINCT doc_id AS qid, tok FROM toks
-        |       WHERE doc_id % $QMOD = 0),
-        |contrib AS (
-        | SELECT q.qid, a.doc_id,
-        |  CAST(ln(CAST(1 AS DOUBLE)
-        |     + (CAST(n_docs - df AS DOUBLE) + CAST(0.5 AS DOUBLE))
-        |       / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
-        |   * (CAST(tf AS DOUBLE) * CAST($BM25_K1P1 AS DOUBLE))
-        |     / (CAST(tf AS DOUBLE) + CAST($BM25_K1 AS DOUBLE)
-        |        * (CAST(${1.0 - BM25_B} AS DOUBLE) + CAST($BM25_B AS DOUBLE)
-        |           * CAST(dl AS DOUBLE) / avgdl))
-        |   AS DECIMAL(28,12)) AS c
-        | FROM aug a JOIN qt q USING (tok) CROSS JOIN scal
-        | WHERE a.doc_id != q.qid),
-        |scored AS (
-        | SELECT qid, doc_id, ROUND(CAST(SUM(c) AS DOUBLE), 6) AS bm25
-        | FROM contrib GROUP BY 1, 2),
-        |ranked AS (
-        | SELECT qid, doc_id, bm25,
-        |  ROW_NUMBER() OVER (PARTITION BY qid
-        |    ORDER BY bm25 DESC, doc_id) AS rnk
-        | FROM scored)
+      s"""WITH $BM25_RANKED_CTES
         |SELECT qid, rnk, doc_id, bm25 FROM ranked
         |WHERE rnk <= $BM25_TOPK ORDER BY qid, rnk""".stripMargin,
+
+    // BM25 chain + the Jaccard ranker off the same tf relation, fused.
+    "q131_rrf_fusion" ->
+      s"""WITH $BM25_RANKED_CTES,
+        |ab AS (SELECT qid, doc_id, rnk AS ra FROM ranked
+        |       WHERE rnk <= $BM25_TOPK),
+        |nd AS (SELECT doc_id, COUNT(*) AS nd FROM tf GROUP BY doc_id),
+        |inter AS (
+        | SELECT q.qid, t.doc_id, COUNT(*) AS ni
+        | FROM tf t JOIN qt q USING (tok)
+        | WHERE t.doc_id != q.qid GROUP BY 1, 2),
+        |jb AS (
+        | SELECT qid, doc_id, rb FROM (
+        |  SELECT i.qid, i.doc_id,
+        |   ROW_NUMBER() OVER (PARTITION BY i.qid ORDER BY
+        |     ROUND(CAST(ni AS DOUBLE) / (nq.nd + dd.nd - ni), 6) DESC,
+        |     i.doc_id) AS rb
+        |  FROM inter i
+        |  JOIN nd dd ON i.doc_id = dd.doc_id
+        |  JOIN nd nq ON i.qid = nq.doc_id)
+        | WHERE rb <= $BM25_TOPK),
+        |fused AS (
+        | SELECT COALESCE(a.qid, b.qid) AS qid,
+        |  COALESCE(a.doc_id, b.doc_id) AS doc_id,
+        |  ROUND(COALESCE(CAST(1 AS DOUBLE) / ($RRF_K + a.ra), 0)
+        |      + COALESCE(CAST(1 AS DOUBLE) / ($RRF_K + b.rb), 0), 6) AS rrf
+        | FROM ab a FULL OUTER JOIN jb b
+        |   ON a.qid = b.qid AND a.doc_id = b.doc_id)
+        |SELECT qid, rnk, doc_id, rrf FROM (
+        | SELECT qid, doc_id, rrf,
+        |  ROW_NUMBER() OVER (PARTITION BY qid
+        |    ORDER BY rrf DESC, doc_id) AS rnk
+        | FROM fused) WHERE rnk <= $BM25_TOPK ORDER BY qid, rnk""".stripMargin,
 
     // the THETA form of the same join — equal hash proves the bucket
     // equi-join recast changed the plan, not the answer

@@ -271,4 +271,49 @@ class RetrievalSpec extends AnyFunSuite {
         s"stage ${r.getLong(0)} budget ${r.getLong(2)} vs $target")
     }
   }
+
+  // ---------------------------------------------------------------- q131
+  // RRF is pure rank arithmetic over its two source lists — so recompute
+  // it exactly from the catalog's OWN q120 ranking plus an independently
+  // ranked local Jaccard list, and require score-for-score equality.
+  // This pins (a) the 1/(60+r) fusion formula, (b) absence-contributes-
+  // nothing, and (c) the (rrf desc, doc_id) tie order, independently of
+  // the DuckDB oracle (which shares SQL text with the query by design).
+  test("q131 RRF equals a local fusion of q120 ranks and local Jaccard ranks") {
+    val bm = SparkEntry.queries("q120_bm25_retrieval")(s, sfDir).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("doc_id")) ->
+        r.getAs[Long]("rnk")).toMap
+    // local Jaccard ranks over distinct token sets
+    val dt = graft.model.Tables(s, sfDir).documents
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").split(" ").toSet)
+    val toksById = dt.toMap
+    val qids = dt.map(_._1).filter(_ % 100 == 0)
+    def rnd6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val jb = qids.flatMap { q =>
+      val qs = toksById(q)
+      dt.filter(d => d._1 != q && (d._2 & qs).nonEmpty)
+        .map { case (d, ts) =>
+          val ni = (ts & qs).size
+          (d, rnd6(ni.toDouble / (qs.size + ts.size - ni)))
+        }
+        .sortBy { case (d, j) => (-j, d) }.take(10).zipWithIndex
+        .map { case ((d, _), i) => (q, d) -> (i + 1L) }
+    }.toMap
+    val want = (bm.keySet ++ jb.keySet).groupBy(_._1).toSeq.flatMap {
+      case (q, keys) =>
+        keys.toSeq.map { k =>
+          val score = rnd6(bm.get(k).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+            jb.get(k).map(r => 1.0 / (60 + r)).getOrElse(0.0))
+          (k._2, score)
+        }.sortBy { case (d, sc) => (-sc, d) }.take(10).zipWithIndex
+          .map { case ((d, sc), i) => (q, i + 1L, d, sc) }
+    }.sortBy(t => (t._1, t._2))
+    val got = SparkEntry.queries("q131_rrf_fusion")(s, sfDir).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rnk"),
+        r.getAs[Long]("doc_id"), r.getAs[Double]("rrf"))).toSeq
+    assert(got == want)
+  }
 }
