@@ -41,6 +41,11 @@ object Curation {
     * Interpolated into the q88 oracle, so the two sides can't drift. */
   private val CHUNK = 3
 
+  /** q132 RAG chunker geometry: 64-token windows, stride 48 (16-token
+    * overlap) — typical embedding-index granularity. */
+  private val WIN = 64
+  private val STRIDE = 48
+
   /** Vocabulary size for the coverage report; interpolated into the q90
     * oracle's LIMIT, so the two sides can't drift. Small on purpose —
     * the fixture corpus has 31 distinct tokens, and 8 leaves a
@@ -118,6 +123,35 @@ object Curation {
         .orderBy("doc_id")
     }),
 
+    // ---- Overlapping-window RAG chunker --------------------------------
+    // The ingest op between curation and embedding: every doc splits into
+    // 64-token windows at stride 48 (16-token overlap so no boundary
+    // sentence is lost to the retriever), last window ragged, short docs
+    // yield exactly one window. Pure map-side work — the only shuffle is
+    // the presentation ORDER BY; the explosion factor is bounded by
+    // ceil(n_toks/stride), so output volume tracks corpus token count,
+    // not doc count. Emits offsets + md5 (the downstream join currency)
+    // rather than chunk text: at 100 TB the chunk store is written
+    // partitioned-by-source once, not shipped through every plan.
+    // Windows per doc: 1 + max(0, ceil((n − WIN)/STRIDE)) — the unique
+    // count covering every token with the final ragged window.
+    "q132_rag_chunks" -> ((s, dir) => {
+      val base = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .withColumn("n", size(col("toks")))
+      base.select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0), greatest(lit(0),
+            ceil((col("n") - lit(WIN)).cast("double") / lit(STRIDE))
+              .cast("int")))).as("k"))
+        .select(col("doc_id"), col("k").cast("long").as("chunk_id"),
+          (col("k") * STRIDE).cast("long").as("start_tok"),
+          expr(s"slice(toks, k * $STRIDE + 1, $WIN)").as("cts"))
+        .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+          size(col("cts")).cast("long").as("n_toks"),
+          md5(array_join(col("cts"), " ")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_id")
+    }),
+
     // ---- Percentile-gated quality filter -------------------------------
     // Keep docs at or above the per-lang exact p25 of length. The cutoff
     // uses q50's sort-based ranked form (rank ceil(n/4) under a total
@@ -189,6 +223,27 @@ object Curation {
         |   regexp_replace(s, '[a-z0-9]+@[a-z0-9.]+\.[a-z]+', '<EMAIL>', 'g'),
         |   '\+1-555-[0-9]{4}', '<PHONE>', 'g')) AS red_hash
         |FROM aug ORDER BY doc_id""".stripMargin,
+
+    // WIN/STRIDE interpolated so the window arithmetic can't drift;
+    // list_slice's inclusive 1-based end == Spark's slice(start, length).
+    "q132_rag_chunks" ->
+      s"""WITH t AS MATERIALIZED (
+        | SELECT doc_id, string_split(text, ' ') AS toks,
+        |  len(string_split(text, ' ')) AS n FROM documents),
+        |u AS (
+        | SELECT doc_id, toks,
+        |  unnest(generate_series(0, GREATEST(0,
+        |    CAST(ceil((n - $WIN) / ${STRIDE}.0) AS INT)))) AS k
+        | FROM t),
+        |c AS (
+        | SELECT doc_id, k AS chunk_id, k * $STRIDE AS start_tok,
+        |  list_slice(toks, k * $STRIDE + 1, k * $STRIDE + $WIN) AS cts
+        | FROM u)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        | CAST(start_tok AS BIGINT) AS start_tok,
+        | CAST(len(cts) AS BIGINT) AS n_toks,
+        | md5(array_to_string(cts, ' ')) AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
 
     // t and ch are multi-referenced → AS MATERIALIZED, else DuckDB
     // re-evaluates the split/unnest chunk build per reference (see the

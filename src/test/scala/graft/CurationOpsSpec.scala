@@ -135,4 +135,37 @@ class CurationOpsSpec extends AnyFunSuite {
     // contain at least one OOV token
     assert(out.exists(_.getLong(3) > 0), "degenerate: no OOV anywhere")
   }
+
+  // ---------------------------------------------------------------- q132
+  // The chunker's laws, checked against the raw corpus: every doc is
+  // covered (last window ends exactly at the doc's token count), starts
+  // sit on the stride grid, every non-final window is full-width, and
+  // consecutive windows overlap by exactly WIN - STRIDE tokens — the
+  // invariants a retriever depends on (no token unreachable, no gap at
+  // window seams).
+  test("q132 windows cover every doc on the stride grid with exact overlap") {
+    val n = graft.model.Tables(s, sfDir).documents
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.split(
+            org.apache.spark.sql.functions.col("text"), " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val ch = SparkEntry.queries("q132_rag_chunks")(s, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    assert(ch.keySet == n.keySet, "every doc must produce >= 1 window")
+    ch.foreach { case (d, rows) =>
+      val srt = rows.sortBy(_._2)
+      srt.zipWithIndex.foreach { case ((_, cid, start, w), i) =>
+        assert(cid == i && start == i * 48L, s"doc $d window $i off-grid")
+        if (i < srt.length - 1)
+          assert(w == 64L, s"doc $d non-final window $i not full-width")
+      }
+      val (_, _, lastStart, lastW) = srt.last
+      assert(lastStart + lastW == n(d).toLong, s"doc $d tail not covered")
+      // no window fully contained in the previous one (stride > 0 law)
+      assert(srt.length == 1 ||
+        srt.last._3 > srt(srt.length - 2)._3, s"doc $d degenerate tail")
+    }
+  }
 }
