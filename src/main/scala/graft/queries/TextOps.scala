@@ -770,6 +770,42 @@ object TextOps {
         .orderBy("lang", "source")
     }),
 
+    // One round of BPE TRAINING (Sennrich et al. '16) — the counting
+    // inner loop q57's tokenizer-application side presumes: adjacent
+    // symbol pairs weighted by word frequency, top candidates by count.
+    // The scale story is the WORD-FREQUENCY REDUCTION: the corpus is
+    // scanned once into a distinct-word table (one shuffle with map-side
+    // combine), and all pair expansion runs over distinct words weighted
+    // by wf — work proportional to VOCABULARY, not corpus tokens (the
+    // map-reduce BPE everybody trains real tokenizers with; later rounds
+    // iterate the same shape over merged symbol sequences). The ranking
+    // window is global but over the PAIR table — bounded by |charset|²,
+    // a few hundred rows — the q90 bounded-vocabulary exception, not a
+    // corpus-sized single-partition sort. Single-char words contribute
+    // no pairs and are filtered before the reduction; sequence(1, 0)
+    // would DESCEND in Spark (the q88 guard), the length ≥ 2 filter
+    // makes every sequence call ascending by construction.
+    "q133_bpe_merge_round" -> ((s, dir) => {
+      val words = docs(s, dir)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .where(length(col("w")) >= 2)
+        .groupBy("w").agg(count(lit(1)).as("wf"))
+      val pairs = words
+        .select(col("wf"), split(col("w"), "").as("cs"))
+        .select(col("wf"), explode(expr(
+          "transform(sequence(1, size(cs) - 1)," +
+            " i -> struct(cs[i-1] AS a, cs[i] AS b))")).as("p"))
+        .groupBy(col("p.a").as("left_sym"), col("p.b").as("right_sym"))
+        .agg(sum("wf").as("pair_count"))
+      pairs
+        .withColumn("rnk", row_number().over(Window.orderBy(
+          col("pair_count").desc, col("left_sym"), col("right_sym"))))
+        .where(col("rnk") <= 20)
+        .select(col("rnk").cast("long").as("rnk"),
+          col("left_sym"), col("right_sym"), col("pair_count"))
+        .orderBy("rnk")
+    }),
+
     // Rolling-hash document fingerprint (Rabin-Karp polynomial hash over
     // the character stream, mod 1e9+7): order-SENSITIVE dedup complement
     // to q32's order-free token-bag fingerprint. Integer-only arithmetic
@@ -1367,6 +1403,28 @@ object TextOps {
         |   / SUM(len(string_split(text, ' '))), 6) AS inflation
         |FROM documents GROUP BY lang, source ORDER BY lang, source"""
         .stripMargin,
+
+    // substr-pair expansion over the word-frequency table ≡ Spark's
+    // split-chars transform on this single-byte corpus; SUM widened back
+    // to BIGINT (DuckDB SUM(BIGINT) → INT128).
+    "q133_bpe_merge_round" ->
+      """WITH toksw AS (
+        | SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |wfreq AS MATERIALIZED (
+        | SELECT w, COUNT(*) AS wf FROM toksw
+        | WHERE length(w) >= 2 GROUP BY w),
+        |prs AS (
+        | SELECT w, wf,
+        |  unnest(generate_series(1, length(w) - 1)) AS i
+        | FROM wfreq),
+        |pc AS (
+        | SELECT substr(w, i, 1) AS left_sym, substr(w, i + 1, 1) AS right_sym,
+        |  CAST(SUM(wf) AS BIGINT) AS pair_count
+        | FROM prs GROUP BY 1, 2)
+        |SELECT rnk, left_sym, right_sym, pair_count FROM (
+        | SELECT *, ROW_NUMBER() OVER (
+        |   ORDER BY pair_count DESC, left_sym, right_sym) AS rnk
+        | FROM pc) WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
 
     "q58_rolling_hash" ->
       """WITH h AS (
