@@ -497,6 +497,59 @@ object TextOps {
         .orderBy("split")
     }),
 
+    // Population Stability Index between hash splits — the drift gate an
+    // ML pipeline runs before trusting a new training batch: PSI =
+    // Σ_b (p_b − q_b)·ln(p_b/q_b) over 10 fixed-width token-length
+    // buckets, Laplace-smoothed (+1 per bucket) so empty buckets are
+    // well-defined. For the q66 hash splits PSI ≈ 0 by construction
+    // (md5 assignment is length-blind) — the NULL baseline every real
+    // drift alarm is calibrated against. Per-bucket ln-contributions are
+    // pinned to DECIMAL(28,12) (the q82/q120 pattern) so the pair total
+    // is summation-order-free; bucket = floor((n−mn)·10/(mx−mn+1)) in
+    // EXPLICIT floor form (DuckDB's double→INT cast rounds where Spark's
+    // truncates — the q108 lesson). Scale: one corpus scan, a 2-row
+    // min/max broadcast, ≤ |splits|·10-row aggregates.
+    "q134_psi_drift" -> ((s, dir) => {
+      import s.implicits._
+      val base = docs(s, dir)
+        .select(splitOf(col("doc_id"), "split:").as("split"),
+          size(split(col("text"), " ")).as("n"))
+      val mm = base.agg(min("n").as("mn"), max("n").as("mx"))
+      val bk = base.crossJoin(broadcast(mm))
+        .select(col("split"),
+          least(lit(9), floor((col("n") - col("mn")) * lit(10) /
+            (col("mx") - col("mn") + lit(1))).cast("int")).as("bucket"))
+      val cnt = bk.groupBy("split", "bucket").agg(count(lit(1)).as("c"))
+      val tot = bk.groupBy("split").agg(count(lit(1)).as("t"))
+      val frame = Seq(("train", "val"), ("train", "test")).toDF("sa", "sb")
+        .crossJoin(s.range(10).select(col("id").cast("int").as("bucket")))
+      val pa = (col("ca") + lit(1)).cast("double") / (col("ta") + lit(10))
+      val pb = (col("cb") + lit(1)).cast("double") / (col("tb") + lit(10))
+      val w = Window.partitionBy("pair")
+      frame
+        .join(broadcast(cnt.select(col("split").as("sa"), col("bucket"),
+          col("c").as("ca"))), Seq("sa", "bucket"), "left")
+        .join(broadcast(cnt.select(col("split").as("sb"), col("bucket"),
+          col("c").as("cb"))), Seq("sb", "bucket"), "left")
+        .join(broadcast(tot.select(col("split").as("sa"),
+          col("t").as("ta"))), "sa")
+        .join(broadcast(tot.select(col("split").as("sb"),
+          col("t").as("tb"))), "sb")
+        .select(concat(col("sa"), lit("->"), col("sb")).as("pair"),
+          col("bucket"),
+          coalesce(col("ca"), lit(0L)).as("ca"),
+          coalesce(col("cb"), lit(0L)).as("cb"),
+          col("ta"), col("tb"))
+        .select(col("pair"), col("bucket"),
+          col("ca").as("n_a"), col("cb").as("n_b"),
+          ((pa - pb) * log(pa / pb)).cast("decimal(28,12)").as("cd"))
+        .select(col("pair"), col("bucket").cast("long").as("bucket"),
+          col("n_a"), col("n_b"),
+          round(col("cd").cast("double"), 9).as("contrib"),
+          round(sum("cd").over(w).cast("double"), 6).as("psi"))
+        .orderBy("pair", "bucket")
+    }),
+
     // Deterministic train/val/test split — hash-bucket assignment
     // (md5-derived, NOT rand(): reproducible across runs, engines, and
     // cluster sizes, which is how real pipelines split): bucket =
@@ -1328,6 +1381,51 @@ object TextOps {
         |SELECT lang, split, COUNT(*) AS n_docs,
         | CAST(SUM(n_chars) AS BIGINT) AS total_chars
         |FROM sp GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+
+    // floor() EXPLICIT in the bucket arithmetic (DuckDB CAST rounds);
+    // contributions decimal-pinned before the window sum.
+    "q134_psi_drift" ->
+      """WITH d AS MATERIALIZED (
+        | SELECT CASE WHEN b < 80 THEN 'train'
+        |             WHEN b < 90 THEN 'val' ELSE 'test' END AS split, n
+        | FROM (
+        |  SELECT CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+        |                             1, 12) AS BIGINT) % 100 AS b,
+        |   len(string_split(text, ' ')) AS n
+        |  FROM documents)),
+        |mm AS (SELECT MIN(n) AS mn, MAX(n) AS mx FROM d),
+        |bk AS (
+        | SELECT split, LEAST(9,
+        |   CAST(FLOOR((n - mn) * 10 / (mx - mn + 1)) AS INT)) AS bucket
+        | FROM d, mm),
+        |cnt AS (SELECT split, bucket, COUNT(*) AS c FROM bk GROUP BY 1, 2),
+        |tot AS (SELECT split, COUNT(*) AS t FROM bk GROUP BY 1),
+        |pairs(sa, sb) AS (VALUES ('train', 'val'), ('train', 'test')),
+        |frame AS (
+        | SELECT sa, sb, bb.bucket FROM pairs,
+        |  (SELECT unnest(generate_series(0, 9)) AS bucket) bb),
+        |j AS (
+        | SELECT f.sa || '->' || f.sb AS pair, f.bucket,
+        |  COALESCE(ca.c, 0) AS n_a, COALESCE(cb.c, 0) AS n_b,
+        |  ta.t AS ta, tb.t AS tb
+        | FROM frame f
+        | LEFT JOIN cnt ca ON ca.split = f.sa AND ca.bucket = f.bucket
+        | LEFT JOIN cnt cb ON cb.split = f.sb AND cb.bucket = f.bucket
+        | JOIN tot ta ON ta.split = f.sa
+        | JOIN tot tb ON tb.split = f.sb),
+        |sc AS (
+        | SELECT pair, bucket, n_a, n_b,
+        |  CAST(((CAST(n_a + 1 AS DOUBLE) / (ta + 10))
+        |      - (CAST(n_b + 1 AS DOUBLE) / (tb + 10)))
+        |    * ln((CAST(n_a + 1 AS DOUBLE) / (ta + 10))
+        |        / (CAST(n_b + 1 AS DOUBLE) / (tb + 10)))
+        |   AS DECIMAL(28,12)) AS cd
+        | FROM j)
+        |SELECT pair, bucket, CAST(n_a AS BIGINT) AS n_a,
+        | CAST(n_b AS BIGINT) AS n_b,
+        | ROUND(CAST(cd AS DOUBLE), 9) AS contrib,
+        | ROUND(CAST(SUM(cd) OVER (PARTITION BY pair) AS DOUBLE), 6) AS psi
+        |FROM sc ORDER BY pair, bucket""".stripMargin,
 
     "q66_hash_split" ->
       """WITH b AS (
