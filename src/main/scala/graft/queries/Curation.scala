@@ -123,6 +123,40 @@ object Curation {
         .orderBy("doc_id")
     }),
 
+    // ---- k-anonymity audit ---------------------------------------------
+    // The aggregate privacy gate beside q87's span-level redaction: under
+    // quasi-identifiers (lang, source, token-length decile), how many
+    // docs sit in equivalence classes smaller than k=5 — i.e., are
+    // re-identifiable by attribute combination even after PII removal?
+    // Sweeney's k-anonymity as one grouped aggregate: class sizes in one
+    // corpus shuffle, the risky flag derived per class, and a per-(lang,
+    // source) rollup of exposure. The length decile uses q134's explicit
+    // floor-bucket arithmetic over a broadcast min/max — deterministic
+    // and engine-identical, unlike quantile-based binning.
+    "q135_k_anonymity" -> ((s, dir) => {
+      val K = 5
+      val base = docs(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"),
+          size(split(col("text"), " ")).as("n"))
+      val mm = base.agg(min("n").as("mn"), max("n").as("mx"))
+      val classes = base.crossJoin(broadcast(mm))
+        .select(col("lang"), col("source"),
+          least(lit(9), floor((col("n") - col("mn")) * lit(10) /
+            (col("mx") - col("mn") + lit(1))).cast("int"))
+            .cast("long").as("lbucket"))
+        .groupBy("lang", "source", "lbucket")
+        .agg(count(lit(1)).as("class_size"))
+      classes
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_classes"),
+          sum(when(col("class_size") < K, 1L).otherwise(0L))
+            .as("n_risky_classes"),
+          sum(when(col("class_size") < K, col("class_size"))
+            .otherwise(0L)).as("n_risky_docs"),
+          min("class_size").as("min_class_size"))
+        .orderBy("lang", "source")
+    }),
+
     // ---- Overlapping-window RAG chunker --------------------------------
     // The ingest op between curation and embedding: every doc splits into
     // 64-token windows at stride 48 (16-token overlap so no boundary
@@ -223,6 +257,27 @@ object Curation {
         |   regexp_replace(s, '[a-z0-9]+@[a-z0-9.]+\.[a-z]+', '<EMAIL>', 'g'),
         |   '\+1-555-[0-9]{4}', '<PHONE>', 'g')) AS red_hash
         |FROM aug ORDER BY doc_id""".stripMargin,
+
+    "q135_k_anonymity" ->
+      """WITH d AS MATERIALIZED (
+        | SELECT lang, source, len(string_split(text, ' ')) AS n
+        | FROM documents),
+        |mm AS (SELECT MIN(n) AS mn, MAX(n) AS mx FROM d),
+        |cls AS (
+        | SELECT lang, source,
+        |  CAST(LEAST(9,
+        |    CAST(FLOOR((n - mn) * 10 / (mx - mn + 1)) AS INT)) AS BIGINT)
+        |    AS lbucket,
+        |  COUNT(*) AS class_size
+        | FROM d, mm GROUP BY 1, 2, 3)
+        |SELECT lang, source,
+        | COUNT(*) AS n_classes,
+        | CAST(SUM(CASE WHEN class_size < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_risky_classes,
+        | CAST(SUM(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)
+        |   AS BIGINT) AS n_risky_docs,
+        | MIN(class_size) AS min_class_size
+        |FROM cls GROUP BY lang, source ORDER BY lang, source""".stripMargin,
 
     // WIN/STRIDE interpolated so the window arithmetic can't drift;
     // list_slice's inclusive 1-based end == Spark's slice(start, length).
