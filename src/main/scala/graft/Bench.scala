@@ -117,7 +117,12 @@ object Bench {
     // humans; the FINAL stdout line is a compact summary guaranteed to fit
     // the tail — headline totals, the failure list, and only the slowest
     // queries in the contract's "queries" dict (full dict in the artifact).
-    val sfName = sfDir.replaceAll(".*/", "")
+    // Trailing slashes would yield an empty name and cross-SF clobbering
+    // (review r7 #4); fall back to a literal tag rather than "".
+    val sfName = {
+      val n = sfDir.replaceAll("/+$", "").replaceAll(".*/", "")
+      if (n.isEmpty) "unknown_sf" else n
+    }
     // Dev-loop BENCH_ONLY runs must not clobber the committed full-sweep
     // record — they cover a subset, so they land in a sibling file.
     val artifact =
@@ -130,11 +135,14 @@ object Bench {
       System.err.println(s"[bench] artifact write failed: ${e.getMessage}")
     }
     println(full)
-    val slow = results.sortBy(-_._2).take(8)
+    // Slowest-8 selected and reported on the MIN statistic — the bench
+    // protocol's judge currency (review r7 #5: medians both select and
+    // report contention-inflated numbers under sustained load).
+    val slow = results.sortBy(-_._3).take(8)
       .map(r => "\"" + r._1 + "\":" +
-        String.format(java.util.Locale.ROOT, "%.2f", Double.box(r._2)))
+        String.format(java.util.Locale.ROOT, "%.2f", Double.box(r._3)))
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$slow,"total_min":$totalMin,"n_queries":${results.size},"n_failed":${results.count(!_._6)},"failed":$failed,"queries_full":"$artifact","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$slow,"stat":"min","total_min":$totalMin,"n_queries":${results.size},"n_failed":${results.count(!_._6)},"failed":$failed,"queries_full":"$artifact","sf":"$sfDir"}""")
     spark.stop()
   }
 }

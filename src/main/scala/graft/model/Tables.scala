@@ -58,6 +58,13 @@ final case class Tables(spark: SparkSession, sfDir: String) {
     */
   def events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The NTZ→timestamp cast in normalizeEventTs re-labels the naive wall
+    // clock in the SESSION zone — the old ns path (timestamp_micros of a
+    // raw long) was timezone-immune, so the externally-built-session
+    // contract ("works without builder cooperation") now requires this
+    // use-site assert too (review r7 #1). Runtime-settable, same
+    // session-wide-effect caveat as nanosAsLong above.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     Tables.normalizeEventTs(t("events"))
   }
 

@@ -141,9 +141,7 @@ object Curation {
       val mm = base.agg(min("n").as("mn"), max("n").as("mx"))
       val classes = base.crossJoin(broadcast(mm))
         .select(col("lang"), col("source"),
-          least(lit(9), floor((col("n") - col("mn")) * lit(10) /
-            (col("mx") - col("mn") + lit(1))).cast("int"))
-            .cast("long").as("lbucket"))
+          TextOps.decileBucket.cast("long").as("lbucket"))
         .groupBy("lang", "source", "lbucket")
         .agg(count(lit(1)).as("class_size"))
       classes
@@ -259,14 +257,13 @@ object Curation {
         |FROM aug ORDER BY doc_id""".stripMargin,
 
     "q135_k_anonymity" ->
-      """WITH d AS MATERIALIZED (
+      s"""WITH d AS MATERIALIZED (
         | SELECT lang, source, len(string_split(text, ' ')) AS n
         | FROM documents),
         |mm AS (SELECT MIN(n) AS mn, MAX(n) AS mx FROM d),
         |cls AS (
         | SELECT lang, source,
-        |  CAST(LEAST(9,
-        |    CAST(FLOOR((n - mn) * 10 / (mx - mn + 1)) AS INT)) AS BIGINT)
+        |  CAST(${TextOps.DECILE_BUCKET_SQL} AS BIGINT)
         |    AS lbucket,
         |  COUNT(*) AS class_size
         | FROM d, mm GROUP BY 1, 2, 3)

@@ -229,7 +229,12 @@ object PosterScale {
           lit(0.0), (acc, x) => acc + x).as("raw_mass"))
       val perBlobAgg = maskCells.groupBy("blob_id").agg(
         count(lit(1)).as("n_mask_cells"),
-        round(sum("shade"), 3).as("mask_shade_sum"),
+        // decimal-pinned (review r7 #2): per-cell shade doubles are
+        // engine-identical, so a DECIMAL(28,12) cast before the sum makes
+        // the aggregate summation-order-free and hash-exact vs the oracle
+        // regardless of either engine's partition/thread order.
+        round(sum(col("shade").cast("decimal(28,12)")).cast("double"), 3)
+          .as("mask_shade_sum"),
         round(lit(0.4) * count(lit(1))
           + lit(0.6) * max("depth") * count(lit(1)), 3).as("alpha_sum"))
       perBlobAgg.join(mass, "blob_id")
@@ -311,20 +316,22 @@ object PosterScale {
          | JOIN inside i ON pre.blob_id = i.blob_id AND pre.y = i.y AND pre.x = i.x
          | WHERE i.inside),
          |wy AS (
-         | SELECT t.y, SUM(k.weight) AS w
+         | SELECT t.y, SUM(CAST(k.weight AS DECIMAL(28,12))) AS w
          | FROM range(400) t(y) JOIN $K6 k
          |   ON t.y + k."offset" BETWEEN 0 AND 399
          | GROUP BY t.y),
          |wx AS (
-         | SELECT t.x, SUM(k.weight) AS w
+         | SELECT t.x, SUM(CAST(k.weight AS DECIMAL(28,12))) AS w
          | FROM range(400) t(x) JOIN $K6 k
          |   ON t.x + k."offset" BETWEEN 0 AND 399
          | GROUP BY t.x)
          |SELECT m.blob_id,
          | COUNT(*) AS n_mask_cells,
-         | ROUND(SUM(m.shade), 3) AS mask_shade_sum,
+         | ROUND(CAST(SUM(CAST(m.shade AS DECIMAL(28,12))) AS DOUBLE), 3)
+         |   AS mask_shade_sum,
          | ROUND(0.4 * COUNT(*) + 0.6 * MAX(m.depth) * COUNT(*), 3) AS alpha_sum,
-         | ROUND(SUM(wy.w * wx.w), 3) AS shadow_mass
+         | ROUND(CAST(SUM(CAST(wy.w * wx.w AS DECIMAL(28,12))) AS DOUBLE), 3)
+         |   AS shadow_mass
          |FROM mask m JOIN wy ON m.y = wy.y JOIN wx ON m.x = wx.x
          |GROUP BY m.blob_id
          |ORDER BY m.blob_id""".stripMargin

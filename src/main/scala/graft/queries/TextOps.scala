@@ -112,6 +112,17 @@ object TextOps {
     when(b < 80, "train").when(b < 90, "val").otherwise("test")
   }
 
+  /** Fixed-width decile bucket of column `n` over broadcast min/max
+    * columns `mn`/`mx` — ONE definition (Spark + interpolated SQL) shared
+    * by q134's PSI and q135's k-anonymity so the engine-sensitive
+    * arithmetic (explicit floor: DuckDB's double→INT cast rounds where
+    * Spark's truncates) cannot drift between them (review r7 #6). */
+  private[queries] def decileBucket: Column =
+    least(lit(9), floor((col("n") - col("mn")) * lit(10) /
+      (col("mx") - col("mn") + lit(1))).cast("int"))
+  private[queries] val DECILE_BUCKET_SQL =
+    "LEAST(9, CAST(FLOOR((n - mn) * 10 / (mx - mn + 1)) AS INT))"
+
   /** q29 core (shared with q65): exact shingle-Jaccard pairs over the
     * df-capped posting lists — pairs sharing ≥2 shingles, similarity
     * ≥ 0.05, columns (da, db, jaccard). The df cap rides the same sh-hash
@@ -516,9 +527,7 @@ object TextOps {
           size(split(col("text"), " ")).as("n"))
       val mm = base.agg(min("n").as("mn"), max("n").as("mx"))
       val bk = base.crossJoin(broadcast(mm))
-        .select(col("split"),
-          least(lit(9), floor((col("n") - col("mn")) * lit(10) /
-            (col("mx") - col("mn") + lit(1))).cast("int")).as("bucket"))
+        .select(col("split"), decileBucket.as("bucket"))
       val cnt = bk.groupBy("split", "bucket").agg(count(lit(1)).as("c"))
       val tot = bk.groupBy("split").agg(count(lit(1)).as("t"))
       val frame = Seq(("train", "val"), ("train", "test")).toDF("sa", "sb")
@@ -1385,7 +1394,7 @@ object TextOps {
     // floor() EXPLICIT in the bucket arithmetic (DuckDB CAST rounds);
     // contributions decimal-pinned before the window sum.
     "q134_psi_drift" ->
-      """WITH d AS MATERIALIZED (
+      s"""WITH d AS MATERIALIZED (
         | SELECT CASE WHEN b < 80 THEN 'train'
         |             WHEN b < 90 THEN 'val' ELSE 'test' END AS split, n
         | FROM (
@@ -1395,8 +1404,7 @@ object TextOps {
         |  FROM documents)),
         |mm AS (SELECT MIN(n) AS mn, MAX(n) AS mx FROM d),
         |bk AS (
-        | SELECT split, LEAST(9,
-        |   CAST(FLOOR((n - mn) * 10 / (mx - mn + 1)) AS INT)) AS bucket
+        | SELECT split, $DECILE_BUCKET_SQL AS bucket
         | FROM d, mm),
         |cnt AS (SELECT split, bucket, COUNT(*) AS c FROM bk GROUP BY 1, 2),
         |tot AS (SELECT split, COUNT(*) AS t FROM bk GROUP BY 1),

@@ -163,9 +163,13 @@ class CurationOpsSpec extends AnyFunSuite {
       }
       val (_, _, lastStart, lastW) = srt.last
       assert(lastStart + lastW == n(d).toLong, s"doc $d tail not covered")
-      // no window fully contained in the previous one (stride > 0 law)
-      assert(srt.length == 1 ||
-        srt.last._3 > srt(srt.length - 2)._3, s"doc $d degenerate tail")
+      // no window fully contained in its predecessor: the tail's END must
+      // advance past the previous window's end (starts alone can't catch
+      // an overcounted ragged tail — review r7 #3)
+      if (srt.length > 1) {
+        val (_, _, ps, pw) = srt(srt.length - 2)
+        assert(lastStart + lastW > ps + pw, s"doc $d degenerate tail")
+      }
     }
   }
 }
