@@ -33,6 +33,10 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // self-join — centroid rank ties and the distinct() must be
     // layout-free
     "q129_semdedup",
+    // r7 HLL rollup: sketch build + union partials merge in whatever
+    // order the layout dictates — the within_bound verdict (and the
+    // exact columns) must not see it
+    "q136_hll_rollup",
     "q101_source_mix_resample",
     "q102_cluster_safe_split",
     // late r6: decimal-pinned PageRank sums and the A-ES weighted ranks
