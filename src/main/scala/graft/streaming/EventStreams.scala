@@ -36,6 +36,21 @@ object EventStreams {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("day"), col("event_type"), col("n"))
 
+  /** Daily distinct-user HLL over the stream — the ingest half of the
+    * q136 sketch-once/merge-many rollup as a watermarked streaming
+    * aggregate: per closed day, the Datasketches estimate (the mergeable
+    * binary lives in the state store between micro-batches). State is
+    * O(2^lgK) per open window and expires with the watermark — the
+    * streaming form a 100 TB pipeline runs so the batch rollup only ever
+    * unions small per-day sketches, never rescans the firehose. */
+  def dailyDistinctSketch(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(hll_sketch_estimate(
+        hll_sketch_agg(col("user_id"), lit(14))).as("n_est"))
+      .select(col("window.start").as("day"), col("n_est"))
+
   /** Exactly-once-style dedup on event_id, with state expired by the
     * watermark instead of growing forever.
     *

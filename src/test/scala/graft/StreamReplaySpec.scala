@@ -118,4 +118,41 @@ class StreamReplaySpec extends AnyFunSuite {
       s"streaming emitted $closed closed windows, batch rule expects $expected")
     assert(closed < total, "the final open window(s) must NOT be emitted")
   }
+
+  test("file-source replay: daily HLL sketch estimates equal the batch build") {
+    val dir = Files.createTempDirectory("graft_stream_hll")
+    Files.copy(Paths.get(s"$SF_DIR/events.parquet"),
+      dir.resolve("part-0.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val fileSchema = s.read.parquet(dir.toString).schema
+    val stream = graft.model.Tables.normalizeEventTs(
+        s.readStream.schema(fileSchema).parquet(dir.toString))
+      .select("user_id", "ts")
+
+    val q = graft.streaming.EventStreams.dailyDistinctSketch(stream)
+      .writeStream.format("memory").queryName("hll_replay")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    val got = s.table("hll_replay").collect()
+      .map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    q.stop()
+
+    // batch build of the SAME sketch per day — estimates must agree
+    // exactly (identical update/union machinery on the identical
+    // multiset; micro-batch partials merge through the same hll_union
+    // the batch partial aggregation uses)
+    val batch = graft.model.Tables.normalizeEventTs(
+        s.read.parquet(s"$SF_DIR/events.parquet"))
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(hll_sketch_estimate(
+        hll_sketch_agg(col("user_id"), lit(14))).as("n_est"))
+      .select(col("window.start").as("day"), col("n_est"))
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+
+    assert(got.nonEmpty, "no closed windows emitted")
+    got.foreach { case (day, est) =>
+      assert(batch(day) == est, s"day $day: stream $est vs batch ${batch(day)}")
+    }
+    // append mode must hold back the watermark-open tail
+    assert(got.size < batch.size, "final open window(s) must NOT be emitted")
+  }
 }
