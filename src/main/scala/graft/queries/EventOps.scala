@@ -172,6 +172,40 @@ object EventOps {
         .orderBy("day")
     }),
 
+    // The SLIDING window over the same sketch algebra: trailing-7-day
+    // distinct users per day from the q136 daily sketch frame — window
+    // re-aggregation is a ≤7-row sketch union per output day, so ANY
+    // window geometry (trailing week, month, calendar quarter) derives
+    // from the one daily build without touching raw events again. The
+    // exact side re-joins the day×day frame (days² rows, broadcast-sized
+    // forever) — affordable ONLY because it is the verification; the
+    // sketch path is the production one.
+    "q137_hll_sliding" -> ((s, dir) => {
+      val ev = Tables(s, dir).events
+        .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      val daily = ev.groupBy("day")
+        .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"))
+      val est = daily.select(col("day"))
+        .join(daily.select(col("day").as("d2"), col("sk")),
+          col("d2") <= col("day") &&
+            col("d2") >= col("day") - expr("INTERVAL 6 DAYS"))
+        .groupBy("day")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+          .as("n_est"))
+      val exact = ev.select(col("day").as("d2"), col("user_id")).distinct()
+        .join(daily.select(col("day")),
+          col("d2") <= col("day") &&
+            col("d2") >= col("day") - expr("INTERVAL 6 DAYS"))
+        .groupBy("day")
+        .agg(countDistinct(col("user_id")).as("n_exact_7d"))
+      exact.join(est, "day")
+        .select(col("day"), col("n_exact_7d"),
+          (abs(col("n_est") - col("n_exact_7d")) <=
+            ceil(lit(0.05) * col("n_exact_7d"))).cast("long")
+            .as("within_bound"))
+        .orderBy("day")
+    }),
+
     // Skew remedy IN the catalog (VERDICT r5 #5): the same per-type
     // aggregate a plain groupBy("event_type") would compute, executed as
     // a SALTED two-phase plan — event_type has ~5 values, so at 100 TB a
@@ -538,6 +572,17 @@ object EventOps {
         | CAST(1 AS BIGINT) AS within_bound
         |FROM daily d LEFT JOIN nn ON d.day = nn.day
         |ORDER BY d.day""".stripMargin,
+
+    "q137_hll_sliding" ->
+      """WITH ev AS (
+        | SELECT DISTINCT date_trunc('day', ts) AS d2, user_id FROM events),
+        |days AS (SELECT DISTINCT d2 AS day FROM ev)
+        |SELECT d.day,
+        | COUNT(DISTINCT e.user_id) AS n_exact_7d,
+        | CAST(1 AS BIGINT) AS within_bound
+        |FROM days d JOIN ev e
+        |  ON e.d2 <= d.day AND e.d2 >= d.day - INTERVAL 6 DAY
+        |GROUP BY d.day ORDER BY d.day""".stripMargin,
 
     // the UNSALTED aggregate — equal hash proves the salted two-phase
     // plan changed the execution, not the answer

@@ -37,6 +37,7 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // order the layout dictates — the within_bound verdict (and the
     // exact columns) must not see it
     "q136_hll_rollup",
+    "q137_hll_sliding",
     "q101_source_mix_resample",
     "q102_cluster_safe_split",
     // late r6: decimal-pinned PageRank sums and the A-ES weighted ranks
