@@ -31,6 +31,16 @@ object EventOps {
     * oracles DuckDB-side. dsum narrows to DECIMAL(18,2) (ample for any
     * per-user-day sum here) so the q128 weight products stay inside
     * both engines' 38-digit decimal width. */
+  /** The ONE per-day HLL frame shared by q136 (cumulative) and q137
+    * (sliding) — lgK and the day boundary live here only, so the two
+    * rollups can never desync (review r7b #3). `sk` is the mergeable
+    * Datasketches binary; any window geometry is a union over this frame. */
+  private def dailySketch(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).events
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .groupBy("day")
+      .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"))
+
   private def dailyValue(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir).events
       .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
@@ -146,20 +156,19 @@ object EventOps {
     // a per-window rescan either), and within_bound pins |est − exact| ≤
     // ⌈5%·exact⌉ cross-engine (lgK=14 ⇒ ~0.8 % typical error).
     "q136_hll_rollup" -> ((s, dir) => {
-      val ev = Tables(s, dir).events
-        .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
-      val daily = ev.groupBy("day")
-        .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"),
-          countDistinct(col("user_id")).as("n_day_exact"))
-      val merged = daily.select(col("day"))
-        .join(daily.select(col("day").as("d2"), col("sk")),
+      val sk = dailySketch(s, dir)
+      val merged = sk.select(col("day"))
+        .join(sk.select(col("day").as("d2"), col("sk")),
           col("d2") <= col("day"))
         .groupBy("day")
         .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
           .as("n_cum_est"))
+      val ev = Tables(s, dir).events
+        .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
       val firsts = ev.groupBy("user_id").agg(min("day").as("day"))
         .groupBy("day").agg(count(lit(1)).as("n_new"))
-      val exact = daily.select(col("day"), col("n_day_exact"))
+      val exact = ev.groupBy("day")
+        .agg(countDistinct(col("user_id")).as("n_day_exact"))
         .join(firsts, Seq("day"), "left")
         .withColumn("n_cum_exact",
           sum(coalesce(col("n_new"), lit(0L)))
@@ -181,10 +190,9 @@ object EventOps {
     // forever) — affordable ONLY because it is the verification; the
     // sketch path is the production one.
     "q137_hll_sliding" -> ((s, dir) => {
+      val daily = dailySketch(s, dir)
       val ev = Tables(s, dir).events
         .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
-      val daily = ev.groupBy("day")
-        .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"))
       val est = daily.select(col("day"))
         .join(daily.select(col("day").as("d2"), col("sk")),
           col("d2") <= col("day") &&

@@ -82,7 +82,7 @@ object Retrieval {
        | SELECT COUNT(*) AS n_docs,
        |  CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
        | FROM (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1)),
-       |qt AS (SELECT DISTINCT doc_id AS qid, tok FROM toks
+       |qt AS MATERIALIZED (SELECT DISTINCT doc_id AS qid, tok FROM toks
        |       WHERE doc_id % $QMOD = 0),
        |contrib AS (
        | SELECT q.qid, a.doc_id,
@@ -105,22 +105,32 @@ object Retrieval {
        |    ORDER BY bm25 DESC, doc_id) AS rnk
        | FROM scored)""".stripMargin
 
-  /** q120 core, shared with the q131 fusion: BM25 top-k per query doc
-    * (qid, doc_id, bm25, rnk), rnk ≤ BM25_TOPK, ranked AFTER the 6-dp
-    * round with a doc_id tiebreak so rank order is cross-engine total. */
-  private def bm25TopK(s: SparkSession, dir: String): DataFrame = {
+  /** The ONE (doc, term) frequency table + query vocab, shared by both
+    * q131 rankers and bm25TopK — factored (review r7b #1) so ranker
+    * cost-sharing is by CONSTRUCTION (one lineage → one exchange), not by
+    * ReuseExchange happening to canonicalize two hand-built copies, and
+    * so the two rankers can never drift in tokenization. */
+  private def tfAndQt(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val toks = docs(s, dir)
       .select(col("doc_id"),
         explode(split(col("text"), " ")).as("tok"))
     val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-    val scal = dl.agg(count(lit(1)).as("n_docs"),
-      (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
     // tf already holds ONE row per (doc, term): the query vocabulary
     // comes from it directly — no distinct, and no second corpus scan
     // (2× the IO at 100 TB for an identical result).
     val qt = tf.where(col("doc_id") % QMOD === 0)
       .select(col("doc_id").as("qid"), col("tok"))
+    (tf, qt)
+  }
+
+  /** q120 core, shared with the q131 fusion: BM25 top-k per query doc
+    * (qid, doc_id, bm25, rnk), rnk ≤ BM25_TOPK, ranked AFTER the 6-dp
+    * round with a doc_id tiebreak so rank order is cross-engine total. */
+  private def bm25TopK(s: SparkSession, dir: String): DataFrame = {
+    val (tf, qt) = tfAndQt(s, dir)
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val scal = dl.agg(count(lit(1)).as("n_docs"),
+      (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
     val tfq = tf.join(broadcast(qt.select("tok").distinct()), "tok")
     val dfq = tfq.groupBy("tok").agg(count(lit(1)).as("df"))
     val idf = log(lit(1.0) +
@@ -235,11 +245,7 @@ object Retrieval {
     "q131_rrf_fusion" -> ((s, dir) => {
       val a = bm25TopK(s, dir).select(col("qid"), col("doc_id"),
         col("rnk").as("ra"))
-      val toks = docs(s, dir)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      val dt = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-      val qset = dt.where(col("doc_id") % QMOD === 0)
-        .select(col("doc_id").as("qid"), col("tok"))
+      val (dt, qset) = tfAndQt(s, dir)
       val nd = dt.groupBy("doc_id").agg(count(lit(1)).as("nd"))
       val inter = dt.join(broadcast(qset), "tok")
         .where(col("doc_id") =!= col("qid"))
