@@ -110,6 +110,42 @@ object EventStreams {
     graft.plans.AsOf.join(events, broadcast(dimHistory),
       Seq(eventKey), Seq(dimKey), eventTs, dimTs, dimTie)
 
+  final case class TypeEvent(event_type: String, event_id: Long, user_id: Long)
+
+  /** Streaming heavy hitters per event_type with BOUNDED state: a
+    * Misra–Gries (space-saving) summary of at most `k` counters per key —
+    * the streaming complement of the batch Count-Min query (q98). The MG
+    * invariant holds for ANY arrival order: after N items, every value
+    * with true frequency > N/k is present in the summary, and each
+    * retained counter undercounts by at most N/k. State is O(k) per
+    * event_type forever — the property that lets a 100 TB/day firehose
+    * keep per-key top talkers without a per-value keyed state explosion.
+    * Within a micro-batch the fold runs in event_id order so replayed
+    * results are deterministic (the group iterator's own order is not).
+    * Emits the current summary each batch (Update mode). */
+  def heavyHitters(events: Dataset[TypeEvent], k: Int = 8)
+      : Dataset[(String, Map[Long, Long], Long)] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .mapGroupsWithState[(Map[Long, Long], Long), (String, Map[Long, Long], Long)](
+        GroupStateTimeout.NoTimeout) { (tpe, rows, state) =>
+        var (counters, n) = state.getOption.getOrElse((Map.empty[Long, Long], 0L))
+        rows.toSeq.sortBy(_.event_id).foreach { e =>
+          n += 1
+          counters.get(e.user_id) match {
+            case Some(c) => counters = counters.updated(e.user_id, c + 1)
+            case None if counters.size < k =>
+              counters = counters.updated(e.user_id, 1L)
+            case None =>
+              counters = counters.view.mapValues(_ - 1).toMap.filter(_._2 > 0)
+          }
+        }
+        state.update((counters, n))
+        (tpe, counters, n)
+      }
+  }
+
   final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   /** maxTs = latest event time EVER seen for the key, carried so the
     * event-time timeout is monotone across out-of-order micro-batches. */

@@ -155,4 +155,44 @@ class StreamReplaySpec extends AnyFunSuite {
     // append mode must hold back the watermark-open tail
     assert(got.size < batch.size, "final open window(s) must NOT be emitted")
   }
+
+  test("file-source replay: Misra-Gries heavy hitters honor the N/k guarantee in O(k) state") {
+    import s.implicits._
+    val K = 8
+    val dir = Files.createTempDirectory("graft_stream_mg")
+    Files.copy(Paths.get(s"$SF_DIR/events.parquet"),
+      dir.resolve("part-0.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val fileSchema = s.read.parquet(dir.toString).schema
+    val stream = s.readStream.schema(fileSchema).parquet(dir.toString)
+      .select(col("event_type"), col("event_id"), col("user_id"))
+      .as[graft.streaming.EventStreams.TypeEvent]
+
+    val q = graft.streaming.EventStreams.heavyHitters(stream, K)
+      .writeStream.format("memory").queryName("mg_replay")
+      .outputMode("update").start()
+    q.processAllAvailable()
+    // last update per type = the row with the largest processed-count n
+    val fin = s.table("mg_replay").collect()
+      .map(r => (r.getString(0), r.getMap[Long, Long](1), r.getLong(2)))
+      .groupBy(_._1).map { case (t, rows) => t -> rows.maxBy(_._3) }
+    q.stop()
+
+    val exact = s.read.parquet(s"$SF_DIR/events.parquet")
+      .groupBy("event_type", "user_id").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val totals = exact.groupBy(_._1._1).map { case (t, m) => t -> m.values.sum }
+
+    assert(fin.keySet == totals.keySet, "every event_type must carry state")
+    fin.foreach { case (t, (_, counters, n)) =>
+      assert(n == totals(t), s"$t: processed $n of ${totals(t)} events")
+      assert(counters.size <= K, s"$t: state exceeded the k-counter bound")
+      // THE MG guarantee: any user with true frequency > N/k survives —
+      // for any arrival order, so it must hold on the replayed fold too
+      val floor = totals(t) / K
+      exact.collect { case ((`t`, u), c) if c > floor => u }.foreach { u =>
+        assert(counters.contains(u),
+          s"$t: user $u with count > N/k=$floor missing from the summary")
+      }
+    }
+  }
 }
