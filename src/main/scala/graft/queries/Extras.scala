@@ -45,7 +45,54 @@ object Extras {
         qs.zipWithIndex.map { case (q, i) => q.raw.as(s"q_$i") }: _*)
   }
 
+  /** The one-pass sketch-NDV profile over `cols` — q140's scale path,
+    * factored out so PlanAuditSpec can assert its plan stands WITHOUT an
+    * Expand: `approx_count_distinct` is an ordinary partial-aggregable
+    * expression (one HLL±± buffer per column), so all four NDVs plus
+    * count/min/max/mean ride ONE scan → partial agg → 1-row final agg.
+    * q110's exact `countDistinct` form plans an Expand (≈4× row
+    * multiplication of the full scan) because each DISTINCT needs its own
+    * de-dup grouping — that is the cost this twin removes at 100 TB. */
+  private[graft] def approxStats(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"n_$c"),
+        approx_count_distinct(col(c), 0.02).as(s"ad_$c"),
+        min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c"),
+        round(sum(col(c).cast("decimal(18,4)")).cast("decimal(38,6)")
+          .cast("double") / count(col(c)).cast("double"), 6)
+          .as(s"av_$c"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // q110's DECLARED 100 TB swap, promoted from prose to a checked query
+    // (VERDICT r7 next #4): the column-statistics profile with NDV from
+    // HLL sketches instead of exact countDistinct. The approx side
+    // (`approxStats` above) is the plan you would ship on an ultra-wide
+    // petabyte table — no Expand, one scan. The exact side below is the
+    // verification scaffold ONLY (it still plans q110's Expand; at real
+    // scale it is dropped, or replaced by sampled spot-checks): following
+    // the q40/q70/q136 sketch contract, the output carries within_bound =
+    // |sketch − exact| ≤ ⌈5 %·exact⌉ (rsd 0.02 ⇒ 2.5σ) per column, and the
+    // DuckDB oracle asserts it — the hash check pins the sketch's error
+    // bound cross-engine rather than trusting it.
+    "q140_table_stats_hll" -> ((s, dir) => {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val approx = approxStats(Tables(s, dir).lineitem, cols)
+      val exactAggs = cols.map(c => countDistinct(col(c)).as(s"nd_$c"))
+      val exact = Tables(s, dir).lineitem.agg(exactAggs.head, exactAggs.tail: _*)
+      val stackExpr = cols.map(c =>
+        s"'$c', n_$c, nd_$c, mn_$c, mx_$c, av_$c, " +
+          s"cast(abs(ad_$c - nd_$c) <= ceil(cast(0.05 as double) * nd_$c) " +
+          "as long)").mkString(", ")
+      approx.crossJoin(exact) // two 1-row frames — a broadcast pairing
+        .selectExpr(
+          s"stack(${cols.size}, $stackExpr) as " +
+            "(col_name, n, n_distinct, min_v, max_v, mean_v, within_bound)")
+        .orderBy("col_name")
+    }),
 
     // As-of join, scale-safe window form: for every purchase, the most
     // recent STRICTLY PRIOR click of the same user. No range join and no
@@ -369,6 +416,20 @@ object Extras {
          | ROUND(CAST(CAST(SUM(CAST($c AS DECIMAL(18,4)))
          |     AS DECIMAL(38,6)) AS DOUBLE)
          |   / CAST(COUNT($c) AS DOUBLE), 6) AS mean_v
+         |FROM lineitem""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
+
+    // exact NDV side + the asserted sketch bound (the q40 contract:
+    // any out-of-bound column flips within_bound to 0 and the hash)
+    "q140_table_stats_hll" -> Seq(
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax").map { c =>
+      s"""SELECT '$c' AS col_name, COUNT($c) AS n,
+         | COUNT(DISTINCT $c) AS n_distinct,
+         | MIN($c) AS min_v, MAX($c) AS max_v,
+         | ROUND(CAST(CAST(SUM(CAST($c AS DECIMAL(18,4)))
+         |     AS DECIMAL(38,6)) AS DOUBLE)
+         |   / CAST(COUNT($c) AS DOUBLE), 6) AS mean_v,
+         | CAST(1 AS BIGINT) AS within_bound
          |FROM lineitem""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
 

@@ -72,6 +72,28 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q56 events scans must not read props: $q56")
   }
 
+  test("q140's sketch-NDV aggregate plans without an Expand") {
+    // The point of the q110→q140 swap: four approx_count_distinct NDVs in
+    // one aggregate must NOT multiply the scan through an Expand the way
+    // four exact countDistincts do. Audited on the approx helper alone —
+    // the full q140 keeps the exact side as its bound-check scaffold,
+    // which legitimately plans q110's Expand at test scale.
+    val t = graft.model.Tables(s, sfDir)
+    val approx = graft.queries.Extras.approxStats(t.lineitem,
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+    val plan = approx.queryExecution.sparkPlan.toString
+    assert(!plan.contains("Expand"),
+      s"approx NDV profile must be a single no-Expand pass:\n$plan")
+    // and the exact form DOES Expand — pinning that the contrast is real
+    val exact = t.lineitem.agg(
+      org.apache.spark.sql.functions.countDistinct("l_quantity"),
+      org.apache.spark.sql.functions.countDistinct("l_extendedprice"),
+      org.apache.spark.sql.functions.countDistinct("l_discount"),
+      org.apache.spark.sql.functions.countDistinct("l_tax"))
+    assert(exact.queryExecution.sparkPlan.toString.contains("Expand"),
+      "expected the 4-way exact countDistinct to plan an Expand")
+  }
+
   test("star-schema dimension joins broadcast") {
     val q02 = fmt("q02_star_revenue")
     val n = "BroadcastHashJoin".r.findAllIn(q02).size
