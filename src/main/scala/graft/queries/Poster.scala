@@ -32,20 +32,47 @@ import org.apache.spark.sql.expressions.Window
   */
 object Poster {
 
-  /** Fixture location — absolute so both the Spark side and the DuckDB
-    * oracle (via read_parquet) resolve the identical files. */
-  val FX = "/root/repo/fixtures"
+  /** One point of the reference's sidebar parameter space (app.py:107-113).
+    *
+    * The pipeline below is a FUNCTION of this record — every helper takes a
+    * cfg (defaulting to [[Default]]) so the same code runs any frozen
+    * parameter point. [[Alt]] is a second sampled point; q138/q141 run the
+    * identical pipeline over it, proving the engine implements the
+    * reference's function rather than its default constants (VERDICT r7 #2).
+    *
+    * @param fx     fixture dir frozen at (seed, n_blobs, light) by
+    *               tools/gen_fixtures.py — absolute so Spark and the DuckDB
+    *               oracle resolve identical files
+    * @param lx,ly  light direction (app.py:109-110)
+    * @param nBlobs blob count (app.py:108) = palette size (round-robin mod)
+    * @param kernel frozen shadow-blur kernel fixture at
+    *               sigma = max(2, 64·blur_strength) — app.py:88's
+    *               `max(2, max(W,H)*blur)` at the 64-cell oracle domain
+    * @param sigma  that sigma, for the from-scratch kernel queries
+    */
+  final case class PosterCfg(fx: String, lx: Double, ly: Double,
+      nBlobs: Int, kernel: String, sigma: Double)
 
-  private def fx(s: SparkSession, name: String): DataFrame = {
+  /** Reference defaults: seed=42, n_blobs=14, light=(-0.6,0.8), blur=0.015. */
+  val Default: PosterCfg =
+    PosterCfg("/root/repo/fixtures", -0.6, 0.8, 14, "kernel_sigma2", 2.0)
+
+  /** Second sampled point: seed=7, n_blobs=9, light=(0.4,-0.7), blur=0.05
+    * ⇒ sigma = max(2, 64·0.05) = 3.2 (21-tap kernel vs the default's 13). */
+  val Alt: PosterCfg =
+    PosterCfg("/root/repo/fixtures/alt", 0.4, -0.7, 9, "kernel_sigma3p2", 3.2)
+
+  /** Default fixture location (external consumers: PosterScale, specs). */
+  val FX: String = Default.fx
+
+  private def fx(s: SparkSession, name: String,
+      cfg: PosterCfg = Default): DataFrame = {
     // Defensive native-function registration — the session may not have
     // been built with the graft extensions conf (see GraftExtensions).
     graft.functions.GraftExtensions.ensureRegistered(s)
-    s.read.parquet(s"$FX/$name.parquet")
+    s.read.parquet(s"${cfg.fx}/$name.parquet")
   }
 
-  // Reference defaults baked into the fixtures (app.py:107-113).
-  private val LX = -0.6
-  private val LY = 0.8
   private val N = 64 // oracle-gate grid (same function as 400, smaller domain)
 
   // ---------------------------------------------------------------- helpers
@@ -57,10 +84,11 @@ object Poster {
     * it across all cores) and the 14-row params table is broadcast — the
     * other way round would funnel every downstream cell computation
     * through the params file's single input partition. */
-  private def grid(s: SparkSession, n: Int): DataFrame =
+  private def grid(s: SparkSession, n: Int,
+      cfg: PosterCfg = Default): DataFrame =
     s.range(n.toLong * n)
       .select((col("id") % n).as("x"), (col("id") / n).cast("long").as("y"))
-      .join(broadcast(fx(s, "blob_params")
+      .join(broadcast(fx(s, "blob_params", cfg)
         .select("blob_id", "xmin", "xmax", "ymin", "ymax")))
       .select(col("blob_id"), col("y"), col("x"),
         (col("xmin") + col("x").cast("double") *
@@ -70,11 +98,11 @@ object Poster {
 
   /** W3: vertex list → closed edge list via lead() with wraparound
     * (app.py:62-64; the MOVETO/LINETO chain closes implicitly). */
-  private def edges(s: SparkSession): DataFrame = {
+  private def edges(s: SparkSession, cfg: PosterCfg = Default): DataFrame = {
     val w = Window.partitionBy("blob_id").orderBy("idx")
     val wAll = Window.partitionBy("blob_id").orderBy("idx")
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    fx(s, "blob_vertices")
+    fx(s, "blob_vertices", cfg)
       .select(col("blob_id"), col("idx").cast("long").as("idx"),
         col("x").as("x1"), col("y").as("y1"),
         coalesce(lead(col("x"), 1).over(w), first(col("x")).over(wAll)).as("x2"),
@@ -86,8 +114,9 @@ object Poster {
     * expression rejects nullable elements (a null would silently read as
     * 0.0 inside the codegen loop); fixture vertices are never null, so
     * the NaN arm is unreachable and exists only to carry nullability. */
-  private[queries] def vertArrays(s: SparkSession): DataFrame =
-    fx(s, "blob_vertices")
+  private[queries] def vertArrays(s: SparkSession,
+      cfg: PosterCfg = Default): DataFrame =
+    fx(s, "blob_vertices", cfg)
       .groupBy("blob_id")
       .agg(
         transform(array_sort(collect_list(struct(col("idx"), col("x")))),
@@ -100,8 +129,9 @@ object Poster {
     * cell-local loop replaces the 280× parity-join fan-out, so those
     * pipelines carry no 16 M-row intermediates. Bit-identical to
     * `inside()` (proven by q45 passing q17's oracle). */
-  private def insideExpr(s: SparkSession, cells: DataFrame): DataFrame =
-    cells.join(broadcast(vertArrays(s)), "blob_id")
+  private def insideExpr(s: SparkSession, cells: DataFrame,
+      cfg: PosterCfg = Default): DataFrame =
+    cells.join(broadcast(vertArrays(s, cfg)), "blob_id")
       .withColumn("inside", expr("point_in_polygon(gx, gy, xs, ys)"))
       .drop("xs", "ys")
 
@@ -127,15 +157,17 @@ object Poster {
     * shared by shaded() and q18 so the extrema are aggregated from ONE
     * definition (and, in q18, aggregated only once, not rebuilt through
     * the rejoin). */
-  private def shadeField(s: SparkSession, n: Int): DataFrame =
-    grid(s, n)
-      .join(broadcast(fx(s, "blob_params")
+  private def shadeField(s: SparkSession, n: Int,
+      cfg: PosterCfg = Default): DataFrame =
+    grid(s, n, cfg)
+      .join(broadcast(fx(s, "blob_params", cfg)
         .select("blob_id", "cx_mean", "cy_mean")), "blob_id")
       .select(col("blob_id"), col("y"), col("x"), col("gx"), col("gy"),
         (col("gx") - col("cx_mean")).as("nx"),
         (col("gy") - col("cy_mean")).as("ny"))
       .withColumn("dist", sqrt(col("nx") * col("nx") + col("ny") * col("ny")))
-      .withColumn("light", col("nx") * lit(LX) + col("ny") * lit(LY))
+      .withColumn("light",
+        col("nx") * lit(cfg.lx) + col("ny") * lit(cfg.ly))
 
   /** A1/A3/A4: per-blob normalizer bounds over the shade field. */
   private def shadeStats(g: DataFrame): DataFrame =
@@ -143,8 +175,9 @@ object Poster {
       max("dist").as("dist_max"), min("light").as("light_min"),
       max("light").as("light_max"))
 
-  private def shaded(s: SparkSession, n: Int): DataFrame = {
-    val g = shadeField(s, n)
+  private def shaded(s: SparkSession, n: Int,
+      cfg: PosterCfg = Default): DataFrame = {
+    val g = shadeField(s, n, cfg)
     val stats = shadeStats(g)
     g.join(broadcast(stats), "blob_id")
       .withColumn("radial", least(lit(1.0),
@@ -177,8 +210,9 @@ object Poster {
 
   /** Full separable 2-D blur of a (blob_id, y, x) mask: horizontal then
     * vertical 1-D pass (app.py:31-37). */
-  private def blur2d(s: SparkSession, mask: DataFrame): DataFrame = {
-    val k = fx(s, "kernel_sigma2")
+  private def blur2d(s: SparkSession, mask: DataFrame,
+      cfg: PosterCfg = Default): DataFrame = {
+    val k = fx(s, cfg.kernel, cfg)
     val p1 = blurPass(mask, k, "x", col("weight"), "v1")
     blurPass(p1, k, "y", col("weight") * col("v1"), "v2")
   }
@@ -193,22 +227,25 @@ object Poster {
 
   /** Every (blob, canvas cell) with its inside-mask bit — the shared
     * front half of the compositing queries. */
-  private def canvasInside(s: SparkSession): DataFrame =
+  private def canvasInside(s: SparkSession,
+      cfg: PosterCfg = Default): DataFrame =
     insideExpr(s, canvas(s)
-      .crossJoin(broadcast(fx(s, "blob_params").select("blob_id"))))
+      .crossJoin(broadcast(fx(s, "blob_params", cfg).select("blob_id"))), cfg)
 
   /** W2: the blob layer of the composite — per canvas cell, the visible
     * (painter's-order max_by) blob and its shaded rgba (app.py:93,137).
     * Shade normalizers are each blob's frozen bbox-grid bounds (the
     * reference shades in blob-local raster space). */
-  private def blobLayer(s: SparkSession): DataFrame = {
-    val p = fx(s, "blob_params")
-    val in = canvasInside(s).where(col("inside"))
+  private def blobLayer(s: SparkSession,
+      cfg: PosterCfg = Default): DataFrame = {
+    val p = fx(s, "blob_params", cfg)
+    val in = canvasInside(s, cfg).where(col("inside"))
     val lit01 = in.join(broadcast(p), "blob_id")
       .withColumn("nx", col("gx") - col("cx_mean"))
       .withColumn("ny", col("gy") - col("cy_mean"))
       .withColumn("dist", sqrt(col("nx") * col("nx") + col("ny") * col("ny")))
-      .withColumn("light", col("nx") * lit(LX) + col("ny") * lit(LY))
+      .withColumn("light",
+        col("nx") * lit(cfg.lx) + col("ny") * lit(cfg.ly))
       .withColumn("radial", least(lit(1.0),
         greatest(lit(0.0), lit(1.0) - col("dist") / col("dist_max64"))))
       .withColumn("lightn", (col("light") - col("light_min64")) /
@@ -231,23 +268,83 @@ object Poster {
     ("warm", 255.0, 223.0, 186.0, 255.0, 250.0, 240.0),
     ("neutral", 232.0, 232.0, 232.0, 255.0, 255.0, 255.0))
 
+  /** S3+P1+A5: gaussian kernel from scratch as a function of sigma
+    * (app.py:22-29): radius = int(3σ+0.5), taps = 2·radius+1, sequence
+    * source, elementwise gaussian, sum-normalize via 1-row-agg rejoin.
+    * exp() differs by ≤1 ulp between JVM and DuckDB libm → round(…,12). */
+  private[graft] def kernel(s: SparkSession, sigma: Double): DataFrame = {
+    val radius = (3.0 * sigma + 0.5).toInt
+    val raw = s.range(2L * radius + 1)
+      .select((col("id") - radius).as("offset"))
+      .withColumn("w", exp(-(col("offset") * col("offset")).cast("double")
+        / lit(2.0 * sigma * sigma)))
+    val total = raw.agg(sum("w").as("total"))
+    raw.crossJoin(broadcast(total))
+      .select(col("offset"), round(col("w") / col("total"), 12).as("weight"))
+      .orderBy("offset")
+  }
+
+  /** P14: the full two-layer composite (q53/q138 body) — each blob's
+    * blurred mask drawn as a shadow at the (+0.02, −0.02) offset UNDER the
+    * blob layer (app.py:87-91, zorder 0 vs 1), alpha 0.25·(1−depth). The
+    * continuous 0.02 offset is discretized to one canvas cell
+    * (round(0.02·63) = 1) — the raster-aligned recast of the reference's
+    * continuous `extent` shift; per-layer visibility is painter's-order
+    * max_by, consistent with q23. Cells may carry a shadow, a blob, or
+    * both (full outer join of the two layers). */
+  private def shadowComposite(s: SparkSession, cfg: PosterCfg): DataFrame = {
+    val p2 = blur2d(s, canvasInside(s, cfg).where(col("inside"))
+      .select("blob_id", "y", "x"), cfg)
+    // +0.02 right, −0.02 down (origin lower): content at blur cell
+    // (y, x) lands on canvas cell (y − 1, x + 1).
+    val shifted = p2.select(col("blob_id"), (col("y") - 1).as("y"),
+        (col("x") + 1).as("x"), col("v2"))
+      .where(col("y").between(0, N - 1) && col("x").between(0, N - 1))
+    val shadow = shifted
+      .join(broadcast(fx(s, "blob_params", cfg).select("blob_id", "depth")),
+        "blob_id")
+      .groupBy("y", "x").agg(
+        max("blob_id").as("sh_blob"),
+        max_by(col("v2"), col("blob_id")).as("sh_v"),
+        max_by(lit(0.25) * (lit(1.0) - col("depth")), col("blob_id"))
+          .as("sh_a"))
+    blobLayer(s, cfg).join(shadow, Seq("y", "x"), "full_outer")
+      .select(col("y"), col("x"), col("top_blob"), col("r"), col("g"),
+        col("b"), col("a"), col("sh_blob"), col("sh_v"), col("sh_a"))
+      .orderBy("y", "x")
+  }
+
+  /** The full per-cell pipeline (q22 body): mask ⨝ shade → rgba, as a
+    * function of the parameter point — golden-checked at BOTH points
+    * (GoldenPosterSpec / PosterAltSpec) against their numpy-frozen cell
+    * tables. */
+  private[graft] def posterCells(s: SparkSession, cfg: PosterCfg): DataFrame = {
+    val sh = shaded(s, N, cfg)
+      .join(broadcast(fx(s, "blob_params", cfg)
+        .select("blob_id", "base_r", "base_g", "base_b", "depth")), "blob_id")
+    val cells = insideExpr(s, grid(s, N, cfg), cfg)
+      .select("blob_id", "y", "x", "inside")
+    sh.join(cells, Seq("blob_id", "y", "x"))
+      .select(col("blob_id"), col("y"), col("x"), col("inside").as("mask"),
+        col("shade"),
+        clip01(col("base_r") * col("shade")).as("r"),
+        clip01(col("base_g") * col("shade")).as("g"),
+        clip01(col("base_b") * col("shade")).as("b"),
+        when(col("inside"), lit(0.4) + lit(0.6) * col("depth"))
+          .otherwise(0.0).as("a"))
+      .orderBy("blob_id", "y", "x")
+  }
+
   // ---------------------------------------------------------------- queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // S3+P1+A5: gaussian kernel from scratch (app.py:22-29) — sequence
-    // source, elementwise gaussian, sum-normalize via 1-row-agg rejoin.
-    // exp() differs by ≤1 ulp between JVM and DuckDB libm → round(…,12).
-    "q13_kernel" -> ((s, _) => {
-      val raw = s.range(37)
-        .select((col("id") - 18).as("offset"))
-        .withColumn("w", exp(-(col("offset") * col("offset")).cast("double")
-          / lit(2.0 * 6.0 * 6.0)))
-      val total = raw.agg(sum("w").as("total"))
-      raw.crossJoin(broadcast(total))
-        .select(col("offset"), round(col("w") / col("total"), 12).as("weight"))
-        .orderBy("offset")
-    }),
+    // S3+P1+A5: gaussian kernel from scratch at the default shadow sigma.
+    "q13_kernel" -> ((s, _) => kernel(s, 6.0)),
+
+    // The same kernel pipeline at Alt's sigma (21 taps, not 37): the
+    // radius/tap count is COMPUTED from sigma, not baked in.
+    "q141_kernel_alt" -> ((s, _) => kernel(s, Alt.sigma)),
 
     // P9+P15+J3: hsv→rgb as pure arithmetic+CASE (colorsys recast), palette
     // looked up through the round-robin modulo equi-join (app.py:19,146).
@@ -335,22 +432,7 @@ object Poster {
     // The full per-cell pipeline (app.py:51-93): mask ⨝ shade → rgba.
     // Golden-checked against fixtures/golden_cells_64.parquet in the test
     // suite AND oracle-checked against DuckDB — all elementwise, exact.
-    "q22_poster_cells" -> ((s, _) => {
-      val sh = shaded(s, N)
-        .join(broadcast(fx(s, "blob_params")
-          .select("blob_id", "base_r", "base_g", "base_b", "depth")), "blob_id")
-      val cells = insideExpr(s, grid(s, N))
-        .select("blob_id", "y", "x", "inside")
-      sh.join(cells, Seq("blob_id", "y", "x"))
-        .select(col("blob_id"), col("y"), col("x"), col("inside").as("mask"),
-          col("shade"),
-          clip01(col("base_r") * col("shade")).as("r"),
-          clip01(col("base_g") * col("shade")).as("g"),
-          clip01(col("base_b") * col("shade")).as("b"),
-          when(col("inside"), lit(0.4) + lit(0.6) * col("depth"))
-            .otherwise(0.0).as("a"))
-        .orderBy("blob_id", "y", "x")
-    }),
+    "q22_poster_cells" -> ((s, _) => posterCells(s, Default)),
 
     // W2: painter's-order compositing on the common [0,1]² canvas — blobs
     // are drawn in index order (app.py:137,93), so the visible layer per
@@ -376,35 +458,16 @@ object Poster {
         .orderBy("theme", "i")
     }),
 
-    // P14 (completed): the full two-layer composite — each blob's blurred
-    // mask drawn as a shadow at the (+0.02, −0.02) offset UNDER the blob
-    // layer (app.py:87-91, zorder 0 vs 1), alpha 0.25·(1−depth). The
-    // continuous 0.02 offset is discretized to one canvas cell
-    // (round(0.02·63) = 1) — the raster-aligned recast of the reference's
-    // continuous `extent` shift; per-layer visibility is painter's-order
-    // max_by, consistent with q23. Cells may carry a shadow, a blob, or
-    // both (full outer join of the two layers).
-    "q53_shadow_composite" -> ((s, _) => {
-      val p2 = blur2d(s, canvasInside(s).where(col("inside"))
-        .select("blob_id", "y", "x"))
-      // +0.02 right, −0.02 down (origin lower): content at blur cell
-      // (y, x) lands on canvas cell (y − 1, x + 1).
-      val shifted = p2.select(col("blob_id"), (col("y") - 1).as("y"),
-          (col("x") + 1).as("x"), col("v2"))
-        .where(col("y").between(0, N - 1) && col("x").between(0, N - 1))
-      val shadow = shifted
-        .join(broadcast(fx(s, "blob_params").select("blob_id", "depth")),
-          "blob_id")
-        .groupBy("y", "x").agg(
-          max("blob_id").as("sh_blob"),
-          max_by(col("v2"), col("blob_id")).as("sh_v"),
-          max_by(lit(0.25) * (lit(1.0) - col("depth")), col("blob_id"))
-            .as("sh_a"))
-      blobLayer(s).join(shadow, Seq("y", "x"), "full_outer")
-        .select(col("y"), col("x"), col("top_blob"), col("r"), col("g"),
-          col("b"), col("a"), col("sh_blob"), col("sh_v"), col("sh_a"))
-        .orderBy("y", "x")
-    }),
+    // P14 (completed): the full two-layer composite — see shadowComposite.
+    "q53_shadow_composite" -> ((s, _) => shadowComposite(s, Default)),
+
+    // S1 closed (VERDICT r7 #2): the ENTIRE two-layer composite pipeline —
+    // grid, edges, point-in-polygon, two-pass shading, separable blur with
+    // a 21-tap σ=3.2 kernel, shadow shift, painter's-order compositing —
+    // re-run at a second point of the reference's sidebar space
+    // (seed=7, n_blobs=9, light=(0.4,−0.7), blur=0.05). Identical code
+    // path as q53; only the PosterCfg differs.
+    "q138_poster_alt" -> ((s, _) => shadowComposite(s, Alt)),
 
     // P8 polar→Cartesian EXECUTED (VERDICT r5 #4): recompute every vertex
     // px = cx + rr·cos(θ), py = cy + rr·sin(θ) (app.py:143-144) from the
@@ -433,24 +496,27 @@ object Poster {
   // DuckDB dialect, value-identical by construction. Shared CTE fragments
   // keep the two sides from drifting.
 
-  private val P = s"read_parquet('$FX/blob_params.parquet')"
-  private val V = s"read_parquet('$FX/blob_vertices.parquet')"
-  private val K2 = s"read_parquet('$FX/kernel_sigma2.parquet')"
+  private def P(cfg: PosterCfg = Default) =
+    s"read_parquet('${cfg.fx}/blob_params.parquet')"
+  private def V(cfg: PosterCfg = Default) =
+    s"read_parquet('${cfg.fx}/blob_vertices.parquet')"
+  private def K(cfg: PosterCfg = Default) =
+    s"read_parquet('${cfg.fx}/${cfg.kernel}.parquet')"
   private val PAL = s"read_parquet('$FX/palette.parquet')"
 
-  private val GRID_CTE =
+  private def GRID_CTE(cfg: PosterCfg = Default) =
     s"""grid AS (
        | SELECT blob_id, ty.y, tx.x,
        |  xmin + CAST(tx.x AS DOUBLE) * ((xmax - xmin) / 63.0) AS gx,
        |  ymin + CAST(ty.y AS DOUBLE) * ((ymax - ymin) / 63.0) AS gy
-       | FROM $P, range(64) ty(y), range(64) tx(x))""".stripMargin
+       | FROM ${P(cfg)}, range(64) ty(y), range(64) tx(x))""".stripMargin
 
-  private val EDGES_CTE =
+  private def EDGES_CTE(cfg: PosterCfg = Default) =
     s"""edges AS (
        | SELECT blob_id, CAST(idx AS BIGINT) AS idx, x AS x1, y AS y1,
        |  COALESCE(LEAD(x) OVER w, FIRST_VALUE(x) OVER w2) AS x2,
        |  COALESCE(LEAD(y) OVER w, FIRST_VALUE(y) OVER w2) AS y2
-       | FROM $V
+       | FROM ${V(cfg)}
        | WINDOW w AS (PARTITION BY blob_id ORDER BY idx),
        |  w2 AS (PARTITION BY blob_id ORDER BY idx
        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))"""
@@ -465,14 +531,14 @@ object Poster {
       | FROM grid g JOIN edges e USING (blob_id)
       | GROUP BY g.blob_id, g.y, g.x, g.gx, g.gy)""".stripMargin
 
-  private val SHADED_CTE =
+  private def SHADED_CTE(cfg: PosterCfg = Default) =
     s"""pre AS (
        | SELECT g.blob_id, g.y, g.x, g.gx, g.gy,
        |  g.gx - p.cx_mean AS nx, g.gy - p.cy_mean AS ny,
        |  SQRT((g.gx - p.cx_mean)*(g.gx - p.cx_mean)
        |     + (g.gy - p.cy_mean)*(g.gy - p.cy_mean)) AS dist,
-       |  (g.gx - p.cx_mean)*(-0.6) + (g.gy - p.cy_mean)*0.8 AS light
-       | FROM grid g JOIN $P p USING (blob_id)),
+       |  (g.gx - p.cx_mean)*(${cfg.lx}) + (g.gy - p.cy_mean)*(${cfg.ly}) AS light
+       | FROM grid g JOIN ${P(cfg)} p USING (blob_id)),
        |stats AS (
        | SELECT blob_id, MAX(dist) AS dist_max, MIN(light) AS light_min,
        |        MAX(light) AS light_max
@@ -486,28 +552,29 @@ object Poster {
        | FROM pre JOIN stats USING (blob_id))""".stripMargin
 
   /** Canvas-space CTE chain shared by the compositing oracles. */
-  private val CANVAS_CTES =
+  private def CANVAS_CTES(cfg: PosterCfg = Default) =
     s"""canvas AS (
        | SELECT ty.y, tx.x,
        |  CAST(tx.x AS DOUBLE) / 63.0 AS gx,
        |  CAST(ty.y AS DOUBLE) / 63.0 AS gy
        | FROM range(64) ty(y), range(64) tx(x)),
        |grid AS (
-       | SELECT p.blob_id, c.y, c.x, c.gx, c.gy FROM $P p, canvas c),
-       |$EDGES_CTE, $INSIDE_CTE""".stripMargin
+       | SELECT p.blob_id, c.y, c.x, c.gx, c.gy FROM ${P(cfg)} p, canvas c),
+       |${EDGES_CTE(cfg)}, $INSIDE_CTE""".stripMargin
 
   /** The blob (zorder-1) layer of the composite, ending in CTE `bl`. */
-  private val BLOBLAYER_CTES =
+  private def BLOBLAYER_CTES(cfg: PosterCfg = Default) =
     s"""lit01 AS (
        | SELECT i.y, i.x, i.blob_id,
        |  LEAST(1.0, GREATEST(0.0,
        |    1.0 - SQRT((i.gx - p.cx_mean)*(i.gx - p.cx_mean)
        |             + (i.gy - p.cy_mean)*(i.gy - p.cy_mean)) / p.dist_max64))
        |    AS radial,
-       |  ((i.gx - p.cx_mean)*(-0.6) + (i.gy - p.cy_mean)*0.8 - p.light_min64)
+       |  ((i.gx - p.cx_mean)*(${cfg.lx}) + (i.gy - p.cy_mean)*(${cfg.ly})
+       |    - p.light_min64)
        |    / (p.light_max64 - p.light_min64) AS lightn,
        |  p.base_r, p.base_g, p.base_b, p.depth
-       | FROM inside i JOIN $P p USING (blob_id) WHERE i.inside),
+       | FROM inside i JOIN ${P(cfg)} p USING (blob_id) WHERE i.inside),
        |shl AS (
        | SELECT y, x, blob_id,
        |  0.3 + 0.7 * (0.5 * radial + 0.5 * lightn) AS shade,
@@ -526,14 +593,53 @@ object Poster {
     s"('$t', $r1, $g1, $b1, $r2, $g2, $b2)"
   }.mkString(",\n ")
 
+  /** q13/q141's SQL twin, the same function of sigma as kernel(). */
+  private def kernelSql(sigma: Double): String = {
+    val r = (3.0 * sigma + 0.5).toInt
+    s"""WITH raw AS (
+       | SELECT CAST(x - $r AS BIGINT) AS "offset",
+       |  EXP(-(CAST((x-$r)*(x-$r) AS DOUBLE)) / (2.0*$sigma*$sigma)) AS w
+       | FROM range(${2 * r + 1}) t(x))
+       |SELECT "offset", ROUND(w / SUM(w) OVER (), 12) AS weight
+       |FROM raw ORDER BY "offset"""".stripMargin
+  }
+
+  /** q53/q138's SQL twin as a function of the parameter point. */
+  private def shadowCompositeSql(cfg: PosterCfg): String =
+    s"""WITH ${CANVAS_CTES(cfg)},
+       |${BLOBLAYER_CTES(cfg)},
+       |m AS (SELECT blob_id, y, x FROM inside WHERE inside),
+       |p1 AS (
+       | SELECT m.blob_id, m.y, m.x - k."offset" AS x,
+       |        ROUND(SUM(k.weight), 9) AS v1
+       | FROM m, ${K(cfg)} k
+       | WHERE m.x - k."offset" BETWEEN 0 AND 63
+       | GROUP BY m.blob_id, m.y, m.x - k."offset"),
+       |p2 AS (
+       | SELECT p1.blob_id, p1.y - k."offset" AS y, p1.x,
+       |        ROUND(SUM(k.weight * p1.v1), 9) AS v2
+       | FROM p1, ${K(cfg)} k
+       | WHERE p1.y - k."offset" BETWEEN 0 AND 63
+       | GROUP BY p1.blob_id, p1.y - k."offset", p1.x),
+       |shifted AS (
+       | SELECT blob_id, y - 1 AS y, x + 1 AS x, v2 FROM p2
+       | WHERE y - 1 BETWEEN 0 AND 63 AND x + 1 BETWEEN 0 AND 63),
+       |shadow AS (
+       | SELECT s.y, s.x, MAX(s.blob_id) AS sh_blob,
+       |  MAX_BY(s.v2, s.blob_id) AS sh_v,
+       |  MAX_BY(0.25 * (1.0 - p.depth), s.blob_id) AS sh_a
+       | FROM shifted s JOIN ${P(cfg)} p USING (blob_id)
+       | GROUP BY s.y, s.x)
+       |SELECT COALESCE(bl.y, shadow.y) AS y, COALESCE(bl.x, shadow.x) AS x,
+       | top_blob, r, g, b, a, sh_blob, sh_v, sh_a
+       |FROM bl FULL OUTER JOIN shadow
+       |  ON bl.y = shadow.y AND bl.x = shadow.x
+       |ORDER BY y, x""".stripMargin
+
   def oracles: Map[String, String] = Map(
-    "q13_kernel" ->
-      """WITH raw AS (
-        | SELECT CAST(x - 18 AS BIGINT) AS "offset",
-        |  EXP(-(CAST((x-18)*(x-18) AS DOUBLE)) / (2.0*6.0*6.0)) AS w
-        | FROM range(37) t(x))
-        |SELECT "offset", ROUND(w / SUM(w) OVER (), 12) AS weight
-        |FROM raw ORDER BY "offset"""".stripMargin,
+    "q13_kernel" -> kernelSql(6.0),
+    "q141_kernel_alt" -> kernelSql(Alt.sigma),
+    "q138_poster_alt" -> shadowCompositeSql(Alt),
 
     "q14_palette" ->
       s"""WITH pal AS (
@@ -553,34 +659,34 @@ object Poster {
          |            WHEN 3 THEN qq WHEN 4 THEN pp ELSE pp END AS g,
          | CASE c.sec WHEN 0 THEN pp WHEN 1 THEN pp WHEN 2 THEN tt
          |            WHEN 3 THEN v WHEN 4 THEN v ELSE qq END AS b
-         |FROM (SELECT blob_id FROM $P) b
+         |FROM (SELECT blob_id FROM ${P()}) b
          |JOIN conv c ON b.blob_id % 14 = c.i
          |ORDER BY b.blob_id""".stripMargin,
 
     "q15_grid" ->
-      s"""WITH $GRID_CTE
+      s"""WITH ${GRID_CTE()}
          |SELECT blob_id, y, x, gx, gy FROM grid
          |ORDER BY blob_id, y, x""".stripMargin,
 
     "q16_blob_edges" ->
-      s"""WITH $EDGES_CTE
+      s"""WITH ${EDGES_CTE()}
          |SELECT blob_id, idx, x1, y1, x2, y2 FROM edges
          |ORDER BY blob_id, idx""".stripMargin,
 
     "q17_point_in_polygon" ->
-      s"""WITH $GRID_CTE, $EDGES_CTE, $INSIDE_CTE
+      s"""WITH ${GRID_CTE()}, ${EDGES_CTE()}, $INSIDE_CTE
          |SELECT blob_id, y, x, inside FROM inside
          |ORDER BY blob_id, y, x""".stripMargin,
 
     "q18_mask_stats" ->
-      s"""WITH $GRID_CTE, $EDGES_CTE, $INSIDE_CTE, $SHADED_CTE,
+      s"""WITH ${GRID_CTE()}, ${EDGES_CTE()}, $INSIDE_CTE, ${SHADED_CTE()},
          |vstats AS (
          | SELECT blob_id,
          |  MIN(x) AS px_min, MAX(x) AS px_max,
          |  MIN(y) AS py_min, MAX(y) AS py_max,
          |  ROUND(SUM(x) / COUNT(*), 9) AS cx_mean,
          |  ROUND(SUM(y) / COUNT(*), 9) AS cy_mean
-         | FROM $V GROUP BY blob_id),
+         | FROM ${V()} GROUP BY blob_id),
          |gstats AS (
          | SELECT blob_id, MAX(dist) AS dist_max, MIN(light) AS light_min,
          |        MAX(light) AS light_max
@@ -594,38 +700,38 @@ object Poster {
          |ORDER BY blob_id""".stripMargin,
 
     "q19_shading" ->
-      s"""WITH $GRID_CTE, $SHADED_CTE
+      s"""WITH ${GRID_CTE()}, ${SHADED_CTE()}
          |SELECT blob_id, y, x, radial, lightn, shade FROM shadedc
          |ORDER BY blob_id, y, x""".stripMargin,
 
     "q20_blur_pass1" ->
-      s"""WITH $GRID_CTE, $EDGES_CTE, $INSIDE_CTE,
+      s"""WITH ${GRID_CTE()}, ${EDGES_CTE()}, $INSIDE_CTE,
          |m AS (SELECT blob_id, y, x FROM inside WHERE inside)
          |SELECT m.blob_id, m.y, m.x - k."offset" AS x,
          |       ROUND(SUM(k.weight), 9) AS v1
-         |FROM m, $K2 k
+         |FROM m, ${K()} k
          |WHERE m.x - k."offset" BETWEEN 0 AND 63
          |GROUP BY m.blob_id, m.y, m.x - k."offset"
          |ORDER BY blob_id, y, x""".stripMargin,
 
     "q21_blur_sep2d" ->
-      s"""WITH $GRID_CTE, $EDGES_CTE, $INSIDE_CTE,
+      s"""WITH ${GRID_CTE()}, ${EDGES_CTE()}, $INSIDE_CTE,
          |m AS (SELECT blob_id, y, x FROM inside WHERE inside),
          |p1 AS (
          | SELECT m.blob_id, m.y, m.x - k."offset" AS x,
          |        ROUND(SUM(k.weight), 9) AS v1
-         | FROM m, $K2 k
+         | FROM m, ${K()} k
          | WHERE m.x - k."offset" BETWEEN 0 AND 63
          | GROUP BY m.blob_id, m.y, m.x - k."offset")
          |SELECT p1.blob_id, p1.y - k."offset" AS y, p1.x,
          |       ROUND(SUM(k.weight * p1.v1), 9) AS v2
-         |FROM p1, $K2 k
+         |FROM p1, ${K()} k
          |WHERE p1.y - k."offset" BETWEEN 0 AND 63
          |GROUP BY p1.blob_id, p1.y - k."offset", p1.x
          |ORDER BY blob_id, y, x""".stripMargin,
 
     "q22_poster_cells" ->
-      s"""WITH $GRID_CTE, $EDGES_CTE, $INSIDE_CTE, $SHADED_CTE
+      s"""WITH ${GRID_CTE()}, ${EDGES_CTE()}, $INSIDE_CTE, ${SHADED_CTE()}
          |SELECT s.blob_id, s.y, s.x, i.inside AS mask, s.shade,
          | LEAST(1.0, GREATEST(0.0, p.base_r * s.shade)) AS r,
          | LEAST(1.0, GREATEST(0.0, p.base_g * s.shade)) AS g,
@@ -633,12 +739,12 @@ object Poster {
          | CASE WHEN i.inside THEN 0.4 + 0.6 * p.depth ELSE 0.0 END AS a
          |FROM shadedc s
          |JOIN inside i ON s.blob_id = i.blob_id AND s.y = i.y AND s.x = i.x
-         |JOIN $P p ON s.blob_id = p.blob_id
+         |JOIN ${P()} p ON s.blob_id = p.blob_id
          |ORDER BY s.blob_id, s.y, s.x""".stripMargin,
 
     "q23_poster_composite" ->
-      s"""WITH $CANVAS_CTES,
-         |$BLOBLAYER_CTES
+      s"""WITH ${CANVAS_CTES()},
+         |${BLOBLAYER_CTES()}
          |SELECT y, x, top_blob, r, g, b, a FROM bl
          |ORDER BY y, x""".stripMargin,
 
@@ -654,36 +760,7 @@ object Poster {
          | 0.2 AS a
          |FROM ramp, themes ORDER BY theme, i""".stripMargin,
 
-    "q53_shadow_composite" ->
-      s"""WITH $CANVAS_CTES,
-         |$BLOBLAYER_CTES,
-         |m AS (SELECT blob_id, y, x FROM inside WHERE inside),
-         |p1 AS (
-         | SELECT m.blob_id, m.y, m.x - k."offset" AS x,
-         |        ROUND(SUM(k.weight), 9) AS v1
-         | FROM m, $K2 k
-         | WHERE m.x - k."offset" BETWEEN 0 AND 63
-         | GROUP BY m.blob_id, m.y, m.x - k."offset"),
-         |p2 AS (
-         | SELECT p1.blob_id, p1.y - k."offset" AS y, p1.x,
-         |        ROUND(SUM(k.weight * p1.v1), 9) AS v2
-         | FROM p1, $K2 k
-         | WHERE p1.y - k."offset" BETWEEN 0 AND 63
-         | GROUP BY p1.blob_id, p1.y - k."offset", p1.x),
-         |shifted AS (
-         | SELECT blob_id, y - 1 AS y, x + 1 AS x, v2 FROM p2
-         | WHERE y - 1 BETWEEN 0 AND 63 AND x + 1 BETWEEN 0 AND 63),
-         |shadow AS (
-         | SELECT s.y, s.x, MAX(s.blob_id) AS sh_blob,
-         |  MAX_BY(s.v2, s.blob_id) AS sh_v,
-         |  MAX_BY(0.25 * (1.0 - p.depth), s.blob_id) AS sh_a
-         | FROM shifted s JOIN $P p USING (blob_id)
-         | GROUP BY s.y, s.x)
-         |SELECT COALESCE(bl.y, shadow.y) AS y, COALESCE(bl.x, shadow.x) AS x,
-         | top_blob, r, g, b, a, sh_blob, sh_v, sh_a
-         |FROM bl FULL OUTER JOIN shadow
-         |  ON bl.y = shadow.y AND bl.x = shadow.x
-         |ORDER BY y, x""".stripMargin,
+    "q53_shadow_composite" -> shadowCompositeSql(Default),
 
     // the same trig + frozen-value pin, in DuckDB's libm
     "q79_polar_vertices" ->
@@ -693,7 +770,7 @@ object Poster {
          | CAST(ROUND(p.cx + v.rr * cos(v.angle), 6) = ROUND(v.x, 6)
          |  AND ROUND(p.cy + v.rr * sin(v.angle), 6) = ROUND(v.y, 6)
          |  AS BIGINT) AS matches_frozen
-         |FROM $V v JOIN $P p USING (blob_id)
+         |FROM ${V()} v JOIN ${P()} p USING (blob_id)
          |ORDER BY v.blob_id, v.idx""".stripMargin,
   )
 }

@@ -2,8 +2,7 @@
 """Generate the reference-derived fixtures (FIXTURES.md §3, SURVEY §7.4).
 
 Mirrors the PRNG-dependent part of the reference bit-exactly
-(/root/reference/app.py:11-20,117-146) at the default parameters
-(seed=42, n_blobs=14, light_dir=(-0.6, 0.8)), freezing every random draw
+(/root/reference/app.py:11-20,117-146), freezing every random draw
 into parquet so the Scala engine never needs Python's Mersenne-Twister
 streams.  Also emits a 64x64-grid golden cell table computed with the SAME
 arithmetic formulas (even-odd ray cast, explicit-step linspace) that the
@@ -11,11 +10,18 @@ Spark queries and DuckDB oracles use, so all three agree bit-for-bit on
 doubles (every op is an IEEE-754 correctly-rounded primitive: + - * /
 sqrt compare).
 
-Run once: python3 tools/gen_fixtures.py   (writes fixtures/*.parquet)
+The generator is a FUNCTION of the reference's sidebar parameters
+(app.py:107-113) so the engine can be exercised at more than one point of
+that space (VERDICT r7 "Next round #2"):
+
+  python3 tools/gen_fixtures.py                       # defaults -> fixtures/
+  python3 tools/gen_fixtures.py --seed 7 --n-blobs 9 \
+      --light-x 0.4 --light-y -0.7 --sigmas 3.2 --out fixtures/alt
 
 Dev-only tool (like tools/check_oracle.py); the engine itself is pure
 Scala/Spark and only ever READS these parquet files.
 """
+import argparse
 import math
 import os
 import random
@@ -32,6 +38,12 @@ NV = 280             # vertices per blob, app.py:141
 GOLD_W = GOLD_H = 64  # reduced oracle grid (same function, smaller domain)
 
 OUT = os.path.join(os.path.dirname(__file__), "..", "fixtures")
+
+
+def sigma_name(sigma):
+    """6.0 -> kernel_sigma6, 2.0 -> kernel_sigma2, 3.2 -> kernel_sigma3p2."""
+    s = ("%g" % sigma).replace(".", "p")
+    return f"kernel_sigma{s}"
 
 
 def diverse_palette(n_colors, seed):
@@ -91,10 +103,26 @@ def gaussian_kernel(sigma):
 def write(name, table):
     os.makedirs(OUT, exist_ok=True)
     pq.write_table(table, os.path.join(OUT, f"{name}.parquet"))
-    print(f"wrote fixtures/{name}.parquet rows={table.num_rows}")
+    print(f"wrote {os.path.join(OUT, name)}.parquet rows={table.num_rows}")
 
 
 def main():
+    global SEED, N_BLOBS, LIGHT, OUT
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seed", type=int, default=SEED)
+    ap.add_argument("--n-blobs", type=int, default=N_BLOBS)
+    ap.add_argument("--light-x", type=float, default=LIGHT[0])
+    ap.add_argument("--light-y", type=float, default=LIGHT[1])
+    # default kernels: sigma=6 (the 400-grid shadow sigma at blur=0.015)
+    # and sigma=2 (its 64-grid analog, max(2, 64*0.015), app.py:88)
+    ap.add_argument("--sigmas", default="6.0,2.0",
+                    help="comma-separated kernel sigmas to freeze")
+    ap.add_argument("--out", default=OUT)
+    a = ap.parse_args()
+    SEED, N_BLOBS, LIGHT = a.seed, a.n_blobs, (a.light_x, a.light_y)
+    OUT = a.out
+    sigmas = [float(x) for x in a.sigmas.split(",")]
+
     # --- reproduce the reference main script's RNG sequence exactly ------
     random.seed(SEED)          # app.py:117
     np.random.seed(SEED)       # app.py:118
@@ -195,7 +223,8 @@ def main():
         "y": pa.array(verts_cols["y"], pa.float64()),
     }))
 
-    for sigma, name in ((6.0, "kernel_sigma6"), (2.0, "kernel_sigma2")):
+    for sigma in sigmas:
+        name = sigma_name(sigma)
         off, k = gaussian_kernel(sigma)
         write(name, pa.table({
             "offset": pa.array(off.tolist(), pa.int32()),
