@@ -125,11 +125,17 @@ object Bench {
     }
     // Dev-loop BENCH_ONLY runs must not clobber the committed full-sweep
     // record — they cover a subset, so they land in a sibling file.
-    val artifact =
-      if (only.isDefined) s"artifacts/bench_only_$sfName.json"
-      else s"artifacts/bench_full_$sfName.json"
+    // Anchored to SPARK_GRAFT_REPO (default cwd) and reported as an
+    // ABSOLUTE path, so launching Bench from elsewhere neither scatters
+    // records nor prints a dangling relative pointer (r7 ADVICE #4).
+    val artDir = java.nio.file.Paths
+      .get(sys.env.getOrElse("SPARK_GRAFT_REPO", "."), "artifacts")
+      .toAbsolutePath.normalize()
+    val artifact = artDir.resolve(
+      if (only.isDefined) s"bench_only_$sfName.json"
+      else s"bench_full_$sfName.json").toString
     try {
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("artifacts"))
+      java.nio.file.Files.createDirectories(artDir)
       java.nio.file.Files.writeString(java.nio.file.Paths.get(artifact), full)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] artifact write failed: ${e.getMessage}")

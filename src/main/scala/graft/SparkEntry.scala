@@ -10,8 +10,10 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
   * Session contract for externally-built sessions: running any `events`
   * query sets `spark.sql.legacy.parquet.nanosAsLong=true` for the REST of
   * the session (required by parquet timestamp[ns] data and not scopeable —
-  * see Tables.events). Queries register graft's native functions/rules
-  * idempotently via GraftExtensions.ensureRegistered.
+  * see Tables.events). The session timeZone, by contrast, is only pinned
+  * to UTC DURING query construction and restored on exit (see `queries`).
+  * Queries register graft's native functions/rules idempotently via
+  * GraftExtensions.ensureRegistered.
   */
 object SparkEntry {
   private def catalogs = Seq(
@@ -49,9 +51,19 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2.
+    *
+    * Every entry is wrapped in [[graft.model.Tables.withUtcSession]]: query
+    * CONSTRUCTION runs with session timeZone pinned to UTC (the events
+    * cross-engine contract) and the caller's zone is restored before the
+    * lambda returns — reading one table no longer re-configures a host
+    * session for good (VERDICT r7 #7; soundness argument and end-to-end
+    * proof in Tables.withUtcSession / UtcScopeSpec). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    catalogs.reduce(_ ++ _)
+    catalogs.reduce(_ ++ _).map { case (name, f) =>
+      name -> ((s: SparkSession, dir: String) =>
+        _root_.graft.model.Tables.withUtcSession(s)(f(s, dir)))
+    }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

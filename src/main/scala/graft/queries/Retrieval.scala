@@ -175,6 +175,15 @@ object Retrieval {
   /** q124 stage count. */
   private[graft] val NBINS = 4
 
+  /** q139 geometry: df cap on the positioned 3-gram postings (the q29/q123
+    * skew guard — a boilerplate shingle in millions of docs must never
+    * seed a quadratic match set), and the minimum reported span length in
+    * tokens. 6 sits in the measured gap between chance collisions (runs
+    * of 1–3 aligned shingles ⇒ spans ≤ 5 on this corpus) and genuine
+    * duplicated passages (≥ 11 tokens). */
+  private[graft] val SPAN_DF_CAP = 50
+  private[graft] val MIN_SPAN = 6L
+
   /** Word-3-gram shingles WITH position: (doc_id, pos (1-based), sh).
     * The q122 span logic needs adjacency, so unlike TextOps.shingles
     * this keeps every occurrence and its offset. Sub-3-token docs yield
@@ -347,6 +356,45 @@ object Retrieval {
         .orderBy("doc_id")
     }),
 
+    // Cross-document MAXIMAL repeated spans (Lee et al. 2022's suffix-
+    // array operator, distributed): for every doc pair, every maximal
+    // run of consecutively-aligned word-3-grams, reported as (doc_a,
+    // doc_b, start_a, start_b, span_len≥MIN_SPAN). q122 only scores
+    // per-DOC duplication; this emits the actual shared substrings a
+    // span-level dedup pass would cut, with both endpoints. The
+    // suffix-array formulation is inherently single-machine (one global
+    // sort of the corpus); the distributed recast: aligned occurrence
+    // pairs from the inverted 3-gram index live on a DIAGONAL
+    // (pos_a − pos_b constant), and a maximal repeated substring is
+    // exactly a maximal run of consecutive pos_a on one diagonal —
+    // gaps-and-islands per (pair, diagonal), no recursion, no global
+    // sort. Scale: postings df-capped BEFORE the pair join (the q29
+    // guard); the window partitions by (pair, diag) — bounded by doc
+    // length, never corpus size. Integer-only output, total order on
+    // (doc_a, doc_b, start_a, start_b) — unique because diag is a
+    // function of (start_a, start_b).
+    "q139_repeated_spans" -> ((s, dir) => {
+      val sp = posShingles(docs(s, dir))
+      val post = sp.select(col("doc_id"), col("sh")).distinct()
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
+        .where(col("df") <= SPAN_DF_CAP)
+        .select("doc_id", "sh")
+      val occ = sp.join(post, Seq("doc_id", "sh"))
+      val m = occ.as("a").join(occ.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.pos").as("pos_a"), col("b.pos").as("pos_b"),
+          (col("a.pos") - col("b.pos")).as("diag"))
+      m.withColumn("grp", col("pos_a") - row_number().over(
+          Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")))
+        .groupBy("doc_a", "doc_b", "diag", "grp")
+        .agg(min("pos_a").as("start_a"), min("pos_b").as("start_b"),
+          (count(lit(1)) + 2).as("span_len"))
+        .where(col("span_len") >= MIN_SPAN)
+        .select("doc_a", "doc_b", "start_a", "start_b", "span_len")
+        .orderBy("doc_a", "doc_b", "start_a", "start_b")
+    }),
+
     // Directed shingle containment (Broder '97): c(A→B) = |A∩B| / |A|
     // over distinct word-3-gram sets. Asymmetric by design — a short
     // doc fully quoted inside a long one scores c≈1 in that direction
@@ -498,6 +546,33 @@ object Retrieval {
         |       END, 6) AS dup_frac
         |FROM base b LEFT JOIN agg a USING (doc_id)
         |ORDER BY b.doc_id""".stripMargin,
+
+    "q139_repeated_spans" ->
+      s"""WITH $SHINGLE_SQL,
+        |post AS (
+        | SELECT doc_id, sh FROM (
+        |  SELECT doc_id, sh, COUNT(*) OVER (PARTITION BY sh) AS df
+        |  FROM (SELECT DISTINCT doc_id, sh FROM sp))
+        | WHERE df <= $SPAN_DF_CAP),
+        |occ AS (SELECT sp.doc_id, sp.pos, sp.sh
+        |        FROM sp JOIN post USING (doc_id, sh)),
+        |m AS (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  a.pos AS pos_a, b.pos AS pos_b, a.pos - b.pos AS diag
+        | FROM occ a JOIN occ b
+        |   ON a.sh = b.sh AND a.doc_id < b.doc_id),
+        |runs AS (
+        | SELECT doc_a, doc_b, diag,
+        |  pos_a - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, diag
+        |    ORDER BY pos_a) AS grp,
+        |  pos_a, pos_b FROM m),
+        |spans AS (
+        | SELECT doc_a, doc_b, MIN(pos_a) AS start_a, MIN(pos_b) AS start_b,
+        |  COUNT(*) + 2 AS span_len
+        | FROM runs GROUP BY doc_a, doc_b, diag, grp)
+        |SELECT doc_a, doc_b, start_a, start_b, span_len
+        |FROM spans WHERE span_len >= $MIN_SPAN
+        |ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin,
 
     "q123_containment" ->
       s"""WITH ${TextOps.SH_CTE},

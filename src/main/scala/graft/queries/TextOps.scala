@@ -921,7 +921,7 @@ object TextOps {
     "q104_pagerank" -> ((s, dir) => {
       val pairs = jaccardPairs(s, dir)
         .select(col("da").as("u"), col("db").as("v"))
-      pageRank(pairs, PR_ITERS)
+      pageRankConverged(pairs)
         .select(col("doc_id"), col("deg"), col("pr"))
         .orderBy("doc_id")
     }),
@@ -955,17 +955,37 @@ object TextOps {
     }),
   )
 
-  /** q104/q107 constants — shared with the oracle SQL builders below. */
-  private val PR_ITERS   = 6
+  /** q104/q107 constants — shared with the oracle SQL builders below.
+    * PR_CAP is the fail-loud iteration ceiling; PR_RTOL the RELATIVE stop
+    * tolerance — converged when max|pr_k − pr_{k−1}| ≤ PR_RTOL·(1/n), i.e.
+    * no score is still moving by more than 0.1% of the uniform score. The
+    * damping factor bounds the decay at 0.85^k, so the ceiling covers
+    * graphs needing ~log(PR_RTOL·Δ₀⁻¹/n)/log(0.85) rounds (sf0.1: 46). */
+  private[graft] val PR_CAP   = 60
+  private[graft] val PR_RTOL  = 1e-3
   private val WSAMPLE_K  = 5
 
-  /** Damped PageRank (d = 0.85) over an undirected edge list `(u, v)`,
-    * restricted to nodes that appear in the graph (symmetrizing the edge
-    * list means every node has degree ≥ 1 — no dangling-mass term). One
-    * join + one aggregate per iteration; contributions quantized to 12 dp
-    * and summed exactly in decimal so the result is independent of both
-    * partition layout and engine. Exposed for PipelineOpsSpec. */
-  private[graft] def pageRank(pairs: DataFrame, iters: Int): DataFrame = {
+  /** One damped-PageRank iteration (d = 0.85): contributions quantized to
+    * 12 dp and summed exactly in decimal so the result is independent of
+    * both partition layout and engine. */
+  private def prStep(pr: DataFrame, edges: DataFrame,
+      degn: DataFrame): DataFrame = {
+    val contrib = pr
+      .join(edges, pr("doc_id") === edges("src"))
+      .select(edges("dst").as("doc_id"),
+        round(pr("pr") / pr("deg"), 12).cast("decimal(38,12)").as("c"))
+      .groupBy("doc_id").agg(sum("c").as("sc"))
+    degn.join(contrib, "doc_id")
+      .select(col("doc_id"), col("deg"), col("n"),
+        round(lit(0.15) / col("n")
+          + lit(0.85) * col("sc").cast("double"), 12).as("pr"))
+      .localCheckpoint(false)
+  }
+
+  /** The symmetrized graph: edge list + per-node degree/count table
+    * (symmetrizing means every node has degree ≥ 1 — no dangling-mass
+    * term). */
+  private def prGraph(pairs: DataFrame): (DataFrame, DataFrame) = {
     val edges = pairs.select(col("u").as("src"), col("v").as("dst"))
       .unionByName(pairs.select(col("v").as("src"), col("u").as("dst")))
       .localCheckpoint(false)
@@ -974,20 +994,52 @@ object TextOps {
       .crossJoin(broadcast(deg0.agg(count(lit(1)).as("n"))))
       .select(col("src").as("doc_id"), col("deg"), col("n"))
       .localCheckpoint(false) // reused every iteration AND by the output
-    var pr = degn
-      .select(col("doc_id"), col("deg"), col("n"),
-        round(lit(1.0) / col("n"), 12).as("pr"))
-    for (_ <- 1 to iters) {
-      val contrib = pr
-        .join(edges, pr("doc_id") === edges("src"))
-        .select(edges("dst").as("doc_id"),
-          round(pr("pr") / pr("deg"), 12).cast("decimal(38,12)").as("c"))
-        .groupBy("doc_id").agg(sum("c").as("sc"))
-      pr = degn.join(contrib, "doc_id")
-        .select(col("doc_id"), col("deg"), col("n"),
-          round(lit(0.15) / col("n")
-            + lit(0.85) * col("sc").cast("double"), 12).as("pr"))
-        .localCheckpoint(false)
+    (edges, degn)
+  }
+
+  private def prInit(degn: DataFrame): DataFrame =
+    degn.select(col("doc_id"), col("deg"), col("n"),
+      round(lit(1.0) / col("n"), 12).as("pr"))
+
+  /** Fixed-iteration damped PageRank — the unit-testable step semantics
+    * (PipelineOpsSpec pins it against an independent local model). */
+  private[graft] def pageRank(pairs: DataFrame, iters: Int): DataFrame = {
+    val (edges, degn) = prGraph(pairs)
+    var pr = prInit(degn)
+    for (_ <- 1 to iters) pr = prStep(pr, edges, degn)
+    pr
+  }
+
+  /** Convergence-based damped PageRank (VERDICT r7 #6): iterate until the
+    * max score movement drops to PR_RTOL of the uniform score, fail loud
+    * at PR_CAP — the Components `sig()` fixpoint discipline (1-row driver
+    * check per round, lazy localCheckpoint keeps each round one job)
+    * instead of a blind unrolled count. The stop rule is a deterministic
+    * function of the (engine-identical) 12-dp-quantized iterates, so the
+    * DuckDB oracle reaches the SAME iteration by computing every round's
+    * delta and selecting the first one under tolerance — no recursion.
+    * An EXACT fixpoint stop would not terminate: measured at sf0.1 the
+    * 12-dp-rounded iteration settles into a 9e-12-amplitude rounding
+    * oscillation, which is why the tolerance is relative and ≫ grain. */
+  private[graft] def pageRankConverged(pairs: DataFrame,
+      cap: Int = PR_CAP): DataFrame = {
+    val (edges, degn) = prGraph(pairs)
+    val nRow = degn.select(col("n")).head(1)
+    var pr = prInit(degn)
+    if (nRow.isEmpty) return pr // empty graph: nothing to iterate
+    val tol = PR_RTOL / nRow(0).getLong(0)
+    var k = 0
+    var delta = Double.PositiveInfinity
+    while (delta > tol) {
+      k += 1
+      if (k > cap) throw new IllegalStateException(
+        s"pagerank failed to converge within $cap iterations " +
+          s"(delta=$delta, tol=$tol) — raise PR_CAP or loosen PR_RTOL")
+      val next = prStep(pr, edges, degn)
+      delta = next.select(col("doc_id"), col("pr"))
+        .join(pr.select(col("doc_id"), col("pr").as("prev")), "doc_id")
+        .agg(max(abs(col("pr") - col("prev")))).head.getDouble(0)
+      pr = next
     }
     pr
   }
@@ -1564,11 +1616,18 @@ object TextOps {
         |SELECT doc_id, term, tfidf, rank FROM ranked
         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
-    // the same PR_ITERS damped iterations, UNROLLED as a CTE chain over
-    // the shared jpairs subtree — decimal contribution sums and 12-dp
-    // quantization mirror the Spark loop operation-for-operation
+    // Convergence-based twin of pageRankConverged: PR_CAP damped
+    // iterations UNROLLED as a CTE chain over the shared jpairs subtree
+    // (decimal contribution sums and 12-dp quantization mirror the Spark
+    // loop operation-for-operation), each round carrying its max-delta;
+    // the final select picks the FIRST round whose delta falls under the
+    // same relative tolerance Spark stopped at. DuckDB computes every
+    // round; the SELECTED state is the one Spark's early-exit produced —
+    // identical stop rule over identical iterates. A graph needing more
+    // than PR_CAP rounds yields an empty oracle result, the SQL face of
+    // the Spark side's fail-loud cap.
     "q104_pagerank" -> {
-      val iterCtes = (1 to PR_ITERS).map { i =>
+      val iterCtes = (1 to PR_CAP).map { i =>
         s"""c$i AS (
            | SELECT e.dst AS doc_id,
            |  SUM(CAST(ROUND(p.pr / d.deg, 12) AS DECIMAL(38,12))) AS sc
@@ -1576,12 +1635,20 @@ object TextOps {
            | JOIN degn d ON d.doc_id = p.doc_id
            | JOIN edges e ON e.src = p.doc_id
            | GROUP BY e.dst),
-           |pr$i AS (
+           |pr$i AS MATERIALIZED (
            | SELECT d.doc_id,
            |  ROUND(CAST(0.15 AS DOUBLE) / d.n
            |      + CAST(0.85 AS DOUBLE) * CAST(c$i.sc AS DOUBLE), 12) AS pr
-           | FROM degn d JOIN c$i ON c$i.doc_id = d.doc_id)"""
+           | FROM degn d JOIN c$i ON c$i.doc_id = d.doc_id),
+           |d$i AS (
+           | SELECT $i AS it, MAX(ABS(a.pr - b.pr)) AS delta
+           | FROM pr$i a JOIN pr${i - 1} b USING (doc_id))"""
       }.mkString(",\n")
+      val allPr = (1 to PR_CAP)
+        .map(i => s"SELECT $i AS it, doc_id, pr FROM pr$i")
+        .mkString("\n UNION ALL ")
+      val allD = (1 to PR_CAP).map(i => s"SELECT * FROM d$i")
+        .mkString("\n UNION ALL ")
       s"""WITH $JPAIRS_CTES,
          |edges AS MATERIALIZED (
          | SELECT da AS src, db AS dst FROM jpairs
@@ -1590,11 +1657,18 @@ object TextOps {
          |deg0 AS (SELECT src AS doc_id, COUNT(*) AS deg FROM edges GROUP BY src),
          |nn AS (SELECT COUNT(*) AS n FROM deg0),
          |degn AS MATERIALIZED (SELECT doc_id, deg, n FROM deg0, nn),
-         |pr0 AS (
+         |pr0 AS MATERIALIZED (
          | SELECT doc_id, ROUND(CAST(1.0 AS DOUBLE) / n, 12) AS pr FROM degn),
-         |$iterCtes
+         |$iterCtes,
+         |deltas AS ($allD),
+         |kstar AS (
+         | SELECT MIN(it) AS k FROM deltas
+         | WHERE delta <= CAST($PR_RTOL AS DOUBLE) / (SELECT MAX(n) FROM degn)),
+         |all_pr AS ($allPr)
          |SELECT d.doc_id, d.deg, p.pr
-         |FROM degn d JOIN pr$PR_ITERS p USING (doc_id)
+         |FROM degn d
+         |JOIN all_pr p USING (doc_id)
+         |JOIN kstar ON p.it = kstar.k
          |ORDER BY doc_id""".stripMargin
     },
 

@@ -121,7 +121,14 @@ object EventStreams {
     * event_type forever — the property that lets a 100 TB/day firehose
     * keep per-key top talkers without a per-value keyed state explosion.
     * Within a micro-batch the fold runs in event_id order so replayed
-    * results are deterministic (the group iterator's own order is not).
+    * results are deterministic (the group iterator's own order is not) —
+    * which costs O(micro-batch group) PROCESSING memory for the sort
+    * materialization; only the retained STATE is O(k). An order-free
+    * iterator fold would be O(1) processing memory but replay-dependent.
+    * Determinism caveat either way: an MG summary is a function of the
+    * full arrival-order partition, so it is deterministic only for a
+    * fixed micro-batch BOUNDARY layout — re-chunking the same rows into
+    * different batches may retain different (equally MG-valid) counters.
     * Emits the current summary each batch (Update mode). */
   def heavyHitters(events: Dataset[TypeEvent], k: Int = 8)
       : Dataset[(String, Map[Long, Long], Long)] = {
@@ -256,5 +263,40 @@ object EventStreams {
             out.result().iterator
           }
       }
+  }
+
+  /** The exactly-once parquet sink pattern (VERDICT r7 #5): a foreachBatch
+    * writer that lands each micro-batch in its own `batch_id=<id>`
+    * partition with DYNAMIC partition overwrite.
+    *
+    * Why this is exactly-once end-to-end: Structured Streaming's
+    * checkpoint WAL commits a batch only AFTER the sink call returns, so
+    * a crash between sink write and commit makes the engine RE-RUN that
+    * batchId on restart (at-least-once delivery to the sink). A plain
+    * append sink duplicates those rows; this sink is IDEMPOTENT in
+    * batchId — the replay overwrites exactly its own partition and
+    * nothing else, so any number of replays of any prefix of batches
+    * leaves the directory equal to the once-each outcome. This is the
+    * standard deterministic-batch + idempotent-write contract; it needs
+    * the batch CONTENT to be a deterministic function of (offsets,
+    * recovered state), which holds for the watermark/event-time plans in
+    * this file. Readers see batch_id as a partition column; downstream
+    * consumers that don't want it should `.drop("batch_id")`.
+    *
+    * Scale: one dynamic-overwrite parquet job per micro-batch, writing
+    * only that batch's rows; no global rewrite, no sink-side dedup scan.
+    * Proven by StreamReplaySpec: a deleted commit marker (the crash
+    * window) forces a real replay and the sink contents stay exact. */
+  def idempotentParquetSink(outDir: String)
+      : (DataFrame, Long) => Unit = { (batch, batchId) =>
+    batch
+      .withColumn("batch_id", lit(batchId))
+      .write
+      .mode("overwrite")
+      // per-write option, NOT the session conf — scoped like everything
+      // else in the session contract (see Tables.withUtcSession)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(outDir)
   }
 }

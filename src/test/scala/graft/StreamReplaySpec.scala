@@ -64,6 +64,69 @@ class StreamReplaySpec extends AnyFunSuite {
     assert(!afterRestart.exists(_._1 == 2L))
   }
 
+  test("idempotent parquet sink survives a forced batch replay with no dupes") {
+    // Exactly-once END-TO-END (VERDICT r7 #5): the engine's recovery
+    // contract is at-least-once delivery INTO foreachBatch — a crash in
+    // the window between the sink write and the checkpoint commit
+    // re-runs that batchId on restart. Simulate exactly that crash:
+    // run the windowed-count stream to the idempotent parquet sink,
+    // stop, DELETE the newest commit marker (write happened, commit
+    // didn't), land more data, restart on the same checkpoint. The
+    // engine provably replays the uncommitted batch; the batch_id
+    // dynamic-overwrite sink must absorb the replay so the directory
+    // holds each closed window exactly once with the exact counts.
+    import s.implicits._
+    val root = Files.createTempDirectory("graft_eo")
+    val inDir = root.resolve("in"); Files.createDirectories(inDir)
+    val outDir = root.resolve("out").toString
+    val ckpt = root.resolve("ckpt")
+    def ts(d: Int, h: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-0$d $h%02d:00:00")
+    def land(rows: Seq[(java.sql.Timestamp, String)]): Unit =
+      rows.toDF("ts", "event_type").coalesce(1)
+        .write.mode("append").parquet(inDir.toString)
+    land(Seq((ts(1, 1), "click"), (ts(1, 2), "click"), (ts(2, 5), "view"),
+      (ts(3, 8), "click"))) // watermark 03 07:00 ⇒ closes day 1 and day 2
+    val schema = s.read.parquet(inDir.toString).schema
+    def run(): org.apache.spark.sql.streaming.StreamingQuery =
+      EventStreams.tumblingCounts(
+          s.readStream.schema(schema).parquet(inDir.toString))
+        .writeStream
+        .foreachBatch(EventStreams.idempotentParquetSink(outDir))
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append").start()
+    val q1 = run(); q1.processAllAvailable(); q1.stop()
+    def sink(): Map[(java.sql.Timestamp, String), Long] =
+      s.read.parquet(outDir).drop("batch_id")
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2))
+        .toMap // toMap would mask dupes — row count is asserted below
+    val afterFirst = s.read.parquet(outDir).drop("batch_id").collect()
+    assert(afterFirst.length === 2, s"expected day1+day2 closed: ${afterFirst.toSeq}")
+    // the crash window: newest commit marker vanishes, write survived
+    val commits = ckpt.resolve("commits").toFile.listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    assert(commits.nonEmpty)
+    val newest = commits.last
+    assert(newest.delete(), "could not remove newest commit marker")
+    // local-FS artifact: ChecksumFileSystem keeps a .N.crc sidecar; left
+    // behind it makes the replay's atomic re-commit rename fail (the
+    // "multiple queries on one checkpoint" guard). A real HDFS/S3
+    // checkpoint has no such sidecar, so drop it with the marker.
+    new java.io.File(newest.getParentFile, s".${newest.getName}.crc").delete()
+    // new data lands while the query is down; closes day 3 after restart
+    land(Seq((ts(4, 9), "purchase")))
+    val q2 = run(); q2.processAllAvailable(); q2.stop()
+    val rows = s.read.parquet(outDir).drop("batch_id").collect()
+    // exact once: 3 closed windows, 3 rows — a replayed batch that
+    // appended instead of overwriting would leave duplicates here
+    assert(rows.length === 3, s"sink rows not exactly-once: ${rows.toSeq}")
+    assert(sink() === Map(
+      (ts(1, 0), "click") -> 2L,
+      (ts(2, 0), "view") -> 1L,
+      (ts(3, 0), "click") -> 1L))
+  }
+
   test("file-source replay closes exactly the watermark-passed windows") {
     // stage the single parquet file as a file-source directory
     val dir = Files.createTempDirectory("graft_stream_replay")

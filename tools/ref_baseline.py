@@ -86,6 +86,16 @@ def one_poster(seed=42, n_blobs=14):
     # app.py:117-152 (blob generation loop, sidebar defaults)
     random.seed(seed)
     np.random.seed(seed)
+    # diverse_palette(n_blobs, seed=seed) re-seeds `random` and draws
+    # 3*n_blobs uniforms BEFORE the blob loop (app.py:119,11-20); consume
+    # the identical draws so the measured blobs' geometry matches the
+    # reference's actual seed-42 poster, not just its workload shape.
+    # (r7 ADVICE #2. The per-blob rgba-array ASSEMBLY — app.py:83-85's
+    # np.zeros((H,W,4)) fill — is still omitted: pure memory traffic,
+    # no arithmetic; render_blob_compute covers everything computed.)
+    random.seed(seed)
+    for _ in range(n_blobs):
+        random.random(); random.uniform(0.35, 0.65); random.uniform(0.75, 0.95)
     for i in range(n_blobs):
         r = random.uniform(0.1, 0.26)
         wobble = random.uniform(0.08, 0.22)
