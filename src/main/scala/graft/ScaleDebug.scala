@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev-only scratch main for the r8 scale sweep investigation (deleted or
+  * kept as a profiling harness; not part of the driver contract). Times
+  * the q102 subtree phase by phase at an arbitrary SF dir. */
+object ScaleDebug {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/repo/scaledata/sf1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime; val r = f
+      println(f"[t] $label: ${(System.nanoTime - t0) / 1e9}%.1f s"); r
+    }
+    val pairs = graft.queries.TextOps.jaccardPairs(spark, dir)
+      .select(col("da").as("u"), col("db").as("v"))
+    time("pairs count")(println("  pairs=" + pairs.count()))
+    val (labels, rounds) = time("starContractionWithRounds (construction)")(
+      graft.queries.Components.starContractionWithRounds(pairs))
+    println("  rounds=" + rounds)
+    time("labels count")(println("  labels=" + labels.count()))
+    time("labels count AGAIN")(println("  labels=" + labels.count()))
+    time("q65 full")(graft.queries.TextOps.queries("q65_dedup_clusters")(spark, dir)
+      .write.format("noop").mode("overwrite").save())
+    time("q102 full")(graft.queries.TextOps.queries("q102_cluster_safe_split")(spark, dir)
+      .write.format("noop").mode("overwrite").save())
+    spark.stop()
+  }
+}

@@ -84,22 +84,33 @@ object Components {
     * partial labels. */
   private[graft] def starContractionWithRounds(edges: DataFrame,
       maxIter: Int = 30): (DataFrame, Int) = {
-    val nodes = undirected(edges).select(col("u").as("doc_id")).distinct()
     // lazy checkpoints: the sig() aggregate is the action that
     // materializes each round's edge set, so every round costs ONE job
     // (an eager checkpoint + separate sig would cost two)
-    var e = edges
+    val e0 = edges
       .select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
       .where(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint(false)
+    // Node set from the CHECKPOINTED normalized edges, not the raw
+    // `edges` arg: the caller's edge subtree (q65/q102: the whole q29
+    // pairs build, ~40% of those queries' runtime at 10x scale) would
+    // otherwise be re-evaluated once per consumer of the returned
+    // labels — measured in the r8 scale sweep (SCALE.md).
+    val nodes = undirected(e0).select(col("u").as("doc_id")).distinct()
+    var e = e0
+    val dbg = sys.env.contains("GRAFT_CC_DEBUG")
+    var t0 = System.nanoTime
     var prevSig = sig(e)
+    if (dbg) println(f"[cc] init(edges+ckpt): ${(System.nanoTime - t0) / 1e9}%.1f s, sig=$prevSig")
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
+      t0 = System.nanoTime
       val next = smallStar(largeStar(e)).localCheckpoint(false)
       val nextSig = sig(next)
+      if (dbg) println(f"[cc] round ${iter + 1}: ${(System.nanoTime - t0) / 1e9}%.1f s, sig=$nextSig")
       converged = nextSig == prevSig
       prevSig = nextSig
       e = next

@@ -128,7 +128,7 @@ object TextOps {
     * ≥ 0.05, columns (da, db, jaccard). The df cap rides the same sh-hash
     * partitioning the self-join consumes (count-over-window, no rejoin);
     * no cache — ReuseExchange dedupes the distinct scan. */
-  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
     val raw = shingles(docs(s, dir))
     val sh = raw
       .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
