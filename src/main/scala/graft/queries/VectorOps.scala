@@ -48,6 +48,10 @@ object VectorOps {
   /** Candidate buckets larger than this identify nothing (the skew cap —
     * same rationale as q27's 20-doc band-bucket cap). */
   private val BUCKET_CAP = 50
+  /** q142: representatives kept per quantizer cell — bounds the blocked
+    * self-join at |cell|·BLOCK_CAP (vs q35's |cell|², measured 49× at
+    * 10× data on the dense-cluster cell, SCALE.md #3). */
+  private val BLOCK_CAP = 64
   /** Recall eval query-set bound: first RECALL_Q vec_ids. */
   private val RECALL_Q = 200
 
@@ -493,6 +497,41 @@ object VectorOps {
     "q35_ann_blocked" -> ((s, dir) =>
       blockedBest(s, dir).orderBy("vec_id")),
 
+    // The CAPPED block policy the r8 scale sweep showed q35 needs
+    // (SCALE.md finding #3): q35's per-cell self-join is quadratic in
+    // the hottest cell — a 3,000-vector dense cluster cost it 49×
+    // growth on 10× data while the capped q37/q69 stayed single-digit.
+    // Here each cell keeps only its BLOCK_CAP smallest-id vectors as
+    // CANDIDATE representatives; queries score against representatives
+    // only, so the hot cell costs |cell|·BLOCK_CAP, never |cell|².
+    // Recall trade is explicit and measurable (q51/q125 pattern): a
+    // best neighbor outside the representative set is missed — the
+    // same deal q37's BUCKET_CAP and q69's nprobe make. Every vector
+    // sharing a cell with ≥1 representative other than itself gets a
+    // row (vectors alone in their cell have no candidates, as in q35).
+    "q142_ann_blocked_capped" -> ((s, dir) => {
+      val a = emb(s, dir).withColumn("cell", quantCell)
+      val reps = a
+        .select(col("vec_id").as("bid"), col("cell"),
+          col("e").as("be"), col("nrm").as("bn"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("cell").orderBy("bid")))
+        .where(col("rk") <= BLOCK_CAP)
+        .drop("rk")
+      a.select(col("vec_id"), col("cell"), col("e"), col("nrm"))
+        .join(reps, Seq("cell"))
+        .where(col("vec_id") =!= col("bid"))
+        .select(col("vec_id"), col("cell"), col("bid"),
+          round(dot(col("e"), col("be")) / (col("nrm") * col("bn")), 6)
+            .as("cos"))
+        .groupBy("vec_id", "cell")
+        .agg(max(struct(col("cos"), (-col("bid")).as("nb"),
+          col("bid").as("bid"))).as("b"))
+        .select(col("vec_id"), col("cell"), col("b.bid").as("best"),
+          col("b.cos").as("cos"))
+        .orderBy("vec_id")
+    }),
+
     // Array/HOF family over embeddings: per-label count, mean norm, and
     // centroid norm (positional explode → per-dimension mean → L2).
     "q36_embedding_stats" -> ((s, dir) => {
@@ -908,6 +947,29 @@ object VectorOps {
          |$BLOCKED_CTES
          |SELECT vec_id, cell, best, cos FROM blocked ORDER BY vec_id"""
         .stripMargin,
+
+    "q142_ann_blocked_capped" ->
+      s"""WITH $E_CTE,
+         |cells AS MATERIALIZED (
+         | SELECT vec_id, e, nrm, $CELL_SQL AS cell FROM e),
+         |reps AS (
+         | SELECT bid, cell, be, bn FROM (
+         |  SELECT vec_id AS bid, cell, e AS be, nrm AS bn,
+         |   ROW_NUMBER() OVER (PARTITION BY cell ORDER BY vec_id) AS rk
+         |  FROM cells)
+         | WHERE rk <= $BLOCK_CAP),
+         |scored AS (
+         | SELECT a.vec_id, a.cell, r.bid,
+         |  ROUND(list_dot_product(a.e, r.be) / (a.nrm * r.bn), 6) AS cos
+         | FROM cells a JOIN reps r
+         |   ON a.cell = r.cell AND a.vec_id != r.bid),
+         |ranked AS (
+         | SELECT vec_id, cell, bid, cos,
+         |  ROW_NUMBER() OVER (PARTITION BY vec_id
+         |                     ORDER BY cos DESC, bid) AS rn
+         | FROM scored)
+         |SELECT vec_id, cell, bid AS best, cos FROM ranked WHERE rn = 1
+         |ORDER BY vec_id""".stripMargin,
 
     "q36_embedding_stats" ->
       """WITH e AS (
