@@ -22,6 +22,28 @@ object ScaleDebug {
       val t0 = System.nanoTime; val r = f
       println(f"[t] $label: ${(System.nanoTime - t0) / 1e9}%.1f s"); r
     }
+    if (args.lift(1).contains("annrecall")) {
+      // Recall of the capped vs uncapped blocked ANN where the cap BINDS
+      // (the sf1 dense cluster): brute truth over the dense-cluster ids
+      // (90M+) and the first 200 corpus ids, joined against both methods.
+      import graft.queries.VectorOps._
+      val truth = time("brute truth")(
+        bruteBest(spark, dir, 200).localCheckpoint())
+      def recall(name: String, m: org.apache.spark.sql.DataFrame): Unit = {
+        val j = truth.join(
+          m.select(col("vec_id").as("qid"), col("best").as("mbest")),
+          Seq("qid"), "left")
+        val r = j.agg(
+          count(lit(1)).as("n"),
+          count(when(col("mbest") === col("tbest"), lit(1))).as("hit"))
+          .head()
+        println(s"  $name: recall@1 = ${r.getLong(1)}/${r.getLong(0)}")
+      }
+      time("uncapped blocked")(recall("blocked", blockedBest(spark, dir)))
+      time("capped blocked")(recall("blocked_capped",
+        cappedBlockedBest(spark, dir)))
+      spark.stop(); return
+    }
     val pairs = graft.queries.TextOps.jaccardPairs(spark, dir)
       .select(col("da").as("u"), col("db").as("v"))
     time("pairs count")(println("  pairs=" + pairs.count()))

@@ -153,10 +153,36 @@ object VectorOps {
     pairs.withColumn("rn", row_number().over(w))
   }
 
-  private def blockedBest(s: SparkSession, dir: String): DataFrame =
+  private[graft] def blockedBest(s: SparkSession, dir: String): DataFrame =
     blockedRanked(s, dir)
       .where(col("rn") === 1)
       .select(col("vec_id"), col("cell"), col("bid").as("best"), col("cos"))
+
+  /** q142 core: blocked best neighbor with the BLOCK_CAP representative
+    * policy — each cell's candidates are its BLOCK_CAP smallest-id
+    * vectors, bounding the hot-cell join at |cell|·BLOCK_CAP (SCALE.md
+    * finding #3). Shares q51's recall eval as method 'blocked_capped'. */
+  private[graft] def cappedBlockedBest(s: SparkSession, dir: String): DataFrame = {
+    val a = emb(s, dir).withColumn("cell", quantCell)
+    val reps = a
+      .select(col("vec_id").as("bid"), col("cell"),
+        col("e").as("be"), col("nrm").as("bn"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("cell").orderBy("bid")))
+      .where(col("rk") <= BLOCK_CAP)
+      .drop("rk")
+    a.select(col("vec_id"), col("cell"), col("e"), col("nrm"))
+      .join(reps, Seq("cell"))
+      .where(col("vec_id") =!= col("bid"))
+      .select(col("vec_id"), col("cell"), col("bid"),
+        round(dot(col("e"), col("be")) / (col("nrm") * col("bn")), 6)
+          .as("cos"))
+      .groupBy("vec_id", "cell")
+      .agg(max(struct(col("cos"), (-col("bid")).as("nb"),
+        col("bid").as("bid"))).as("b"))
+      .select(col("vec_id"), col("cell"), col("b.bid").as("best"),
+        col("b.cos").as("cos"))
+  }
 
   /** q37 core: banded-LSH best neighbor per vector (vec_id, best, cos).
     * BANDS bands × BITS md5-sign hyperplane bits; candidates are vectors
@@ -374,7 +400,7 @@ object VectorOps {
     scored.withColumn("rn", row_number().over(w))
   }
 
-  private def bruteBest(s: SparkSession, dir: String, nq: Int): DataFrame =
+  private[graft] def bruteBest(s: SparkSession, dir: String, nq: Int): DataFrame =
     bruteRanked(s, dir, nq)
       .where(col("rn") === 1)
       .select(col("qid"), col("vec_id").as("tbest"))
@@ -509,28 +535,8 @@ object VectorOps {
     // same deal q37's BUCKET_CAP and q69's nprobe make. Every vector
     // sharing a cell with ≥1 representative other than itself gets a
     // row (vectors alone in their cell have no candidates, as in q35).
-    "q142_ann_blocked_capped" -> ((s, dir) => {
-      val a = emb(s, dir).withColumn("cell", quantCell)
-      val reps = a
-        .select(col("vec_id").as("bid"), col("cell"),
-          col("e").as("be"), col("nrm").as("bn"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("cell").orderBy("bid")))
-        .where(col("rk") <= BLOCK_CAP)
-        .drop("rk")
-      a.select(col("vec_id"), col("cell"), col("e"), col("nrm"))
-        .join(reps, Seq("cell"))
-        .where(col("vec_id") =!= col("bid"))
-        .select(col("vec_id"), col("cell"), col("bid"),
-          round(dot(col("e"), col("be")) / (col("nrm") * col("bn")), 6)
-            .as("cos"))
-        .groupBy("vec_id", "cell")
-        .agg(max(struct(col("cos"), (-col("bid")).as("nb"),
-          col("bid").as("bid"))).as("b"))
-        .select(col("vec_id"), col("cell"), col("b.bid").as("best"),
-          col("b.cos").as("cos"))
-        .orderBy("vec_id")
-    }),
+    "q142_ann_blocked_capped" -> ((s, dir) =>
+      cappedBlockedBest(s, dir).orderBy("vec_id")),
 
     // Array/HOF family over embeddings: per-label count, mean norm, and
     // centroid norm (positional explode → per-dimension mean → L2).
@@ -648,8 +654,12 @@ object VectorOps {
         .join(ivfBest(s, dir).where(col("vec_id") < RECALL_Q)
           .select(col("vec_id").as("qid"), col("best").as("i_best")),
           Seq("qid"), "left")
+        .join(cappedBlockedBest(s, dir).where(col("vec_id") < RECALL_Q)
+          .select(col("vec_id").as("qid"), col("best").as("c_best")),
+          Seq("qid"), "left")
       joined.select(col("tbest"), explode(array(
           struct(lit("blocked").as("method"), col("b_best").as("best")),
+          struct(lit("blocked_capped").as("method"), col("c_best").as("best")),
           struct(lit("ivf").as("method"), col("i_best").as("best")),
           struct(lit("lsh").as("method"), col("l_best").as("best")))).as("m"))
         .groupBy(col("m.method").as("method"))
@@ -761,6 +771,31 @@ object VectorOps {
        | FROM bpairs),
        |blocked AS (
        | SELECT vec_id, cell, bid AS best, cos FROM branked WHERE rn = 1)"""
+      .stripMargin
+
+  /** q142's capped-block chain, on top of the `cells` CTE (defined in
+    * BLOCKED_CTES or standalone); ends in `capped(vec_id, cell, best,
+    * cos)`. CTE names prefixed c- to avoid collisions in the q51 eval
+    * where all four method chains coexist. */
+  private val CAPPED_CTES =
+    s"""creps AS (
+       | SELECT bid, cell, be, bn FROM (
+       |  SELECT vec_id AS bid, cell, e AS be, nrm AS bn,
+       |   ROW_NUMBER() OVER (PARTITION BY cell ORDER BY vec_id) AS rk
+       |  FROM cells)
+       | WHERE rk <= $BLOCK_CAP),
+       |cscored AS (
+       | SELECT a.vec_id, a.cell, r.bid,
+       |  ROUND(list_dot_product(a.e, r.be) / (a.nrm * r.bn), 6) AS cos
+       | FROM cells a JOIN creps r
+       |   ON a.cell = r.cell AND a.vec_id != r.bid),
+       |cranked AS (
+       | SELECT vec_id, cell, bid, cos,
+       |  ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                     ORDER BY cos DESC, bid) AS rn
+       | FROM cscored),
+       |capped AS (
+       | SELECT vec_id, cell, bid AS best, cos FROM cranked WHERE rn = 1)"""
       .stripMargin
 
   /** LSH band signatures in DuckDB from the same inlined sign lists. */
@@ -952,23 +987,8 @@ object VectorOps {
       s"""WITH $E_CTE,
          |cells AS MATERIALIZED (
          | SELECT vec_id, e, nrm, $CELL_SQL AS cell FROM e),
-         |reps AS (
-         | SELECT bid, cell, be, bn FROM (
-         |  SELECT vec_id AS bid, cell, e AS be, nrm AS bn,
-         |   ROW_NUMBER() OVER (PARTITION BY cell ORDER BY vec_id) AS rk
-         |  FROM cells)
-         | WHERE rk <= $BLOCK_CAP),
-         |scored AS (
-         | SELECT a.vec_id, a.cell, r.bid,
-         |  ROUND(list_dot_product(a.e, r.be) / (a.nrm * r.bn), 6) AS cos
-         | FROM cells a JOIN reps r
-         |   ON a.cell = r.cell AND a.vec_id != r.bid),
-         |ranked AS (
-         | SELECT vec_id, cell, bid, cos,
-         |  ROW_NUMBER() OVER (PARTITION BY vec_id
-         |                     ORDER BY cos DESC, bid) AS rn
-         | FROM scored)
-         |SELECT vec_id, cell, bid AS best, cos FROM ranked WHERE rn = 1
+         |$CAPPED_CTES
+         |SELECT vec_id, cell, best, cos FROM capped
          |ORDER BY vec_id""".stripMargin,
 
     "q36_embedding_stats" ->
@@ -1046,11 +1066,16 @@ object VectorOps {
       s"""WITH $E_CTE,
          |$TRUTH_CTES,
          |$BLOCKED_CTES,
+         |$CAPPED_CTES,
          |$LSH_CTES,
          |$IVF_CTES,
          |ev AS (
          | SELECT 'blocked' AS method, t.qid, m.best, t.tbest
          | FROM truth t LEFT JOIN blocked m
+         |   ON t.qid = m.vec_id AND m.vec_id < $RECALL_Q
+         | UNION ALL
+         | SELECT 'blocked_capped', t.qid, m.best, t.tbest
+         | FROM truth t LEFT JOIN capped m
          |   ON t.qid = m.vec_id AND m.vec_id < $RECALL_Q
          | UNION ALL
          | SELECT 'ivf', t.qid, m.best, t.tbest
