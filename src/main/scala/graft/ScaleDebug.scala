@@ -44,6 +44,16 @@ object ScaleDebug {
         cappedBlockedBest(spark, dir)))
       spark.stop(); return
     }
+    if (args.lift(1).contains("pagerank")) {
+      // One full q104 run (set GRAFT_PR_DEBUG=1 for per-round deltas):
+      // confirms the convergence loop lands under PR_CAP at this scale
+      // (iteration count is ~scale-free: both the initial delta and the
+      // relative tolerance scale as 1/n).
+      time("q104 converged")(
+        graft.queries.TextOps.queries("q104_pagerank")(spark, dir)
+          .write.format("noop").mode("overwrite").save())
+      spark.stop(); return
+    }
     val pairs = graft.queries.TextOps.jaccardPairs(spark, dir)
       .select(col("da").as("u"), col("db").as("v"))
     time("pairs count")(println("  pairs=" + pairs.count()))

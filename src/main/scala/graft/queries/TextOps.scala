@@ -1028,6 +1028,7 @@ object TextOps {
     var pr = prInit(degn)
     if (nRow.isEmpty) return pr // empty graph: nothing to iterate
     val tol = PR_RTOL / nRow(0).getLong(0)
+    val dbg = sys.env.contains("GRAFT_PR_DEBUG")
     var k = 0
     var delta = Double.PositiveInfinity
     while (delta > tol) {
@@ -1035,10 +1036,13 @@ object TextOps {
       if (k > cap) throw new IllegalStateException(
         s"pagerank failed to converge within $cap iterations " +
           s"(delta=$delta, tol=$tol) — raise PR_CAP or loosen PR_RTOL")
+      val t0 = System.nanoTime
       val next = prStep(pr, edges, degn)
       delta = next.select(col("doc_id"), col("pr"))
         .join(pr.select(col("doc_id"), col("pr").as("prev")), "doc_id")
         .agg(max(abs(col("pr") - col("prev")))).head.getDouble(0)
+      if (dbg) println(f"[pr] round $k: delta=$delta%.3e tol=$tol%.3e " +
+        f"${(System.nanoTime - t0) / 1e9}%.1f s")
       pr = next
     }
     pr
