@@ -868,6 +868,82 @@ object TextOps {
         .orderBy("rnk")
     }),
 
+    // Full BPE TRAINING loop (Sennrich et al. 2016) — q133 counts ONE
+    // round's merge pairs; this runs BPE_ROUNDS rounds end-to-end:
+    // count adjacent-symbol pairs over the word-frequency table, take
+    // the argmax pair (count desc, then lexicographic — a total order),
+    // APPLY the merge, repeat. Emits the learned merge table
+    // (round, left_sym, right_sym, pair_count) — the artifact a
+    // tokenizer ships.
+    //
+    // The classic sequential part — greedy LEFT-TO-RIGHT non-overlapping
+    // merge application within a word (on [a,a,a] the merge (a,a) takes
+    // positions 0-1, not 1-2) — is recast relationally: match positions
+    // form runs of consecutive pos (gaps-and-islands on pos − row_number)
+    // and greedy semantics keep exactly the EVEN offsets within each run.
+    // No per-row loops, no HOF folds; both engines run the identical
+    // window algebra, so the merge table is hash-exact.
+    //
+    // Scale: all state is ∝ VOCABULARY (distinct words × word length),
+    // never corpus tokens — the q133 argument, now held through a whole
+    // training loop. Each round is 3 bounded shuffles on the wid key +
+    // a 1-row argmax broadcast; rounds are driver-paced with lazy
+    // localCheckpoint (the q104/Components discipline).
+    "q143_bpe_train" -> ((s, dir) => {
+      val wWin = Window.partitionBy("wid").orderBy("pos")
+      val words = docs(s, dir)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .where(length(col("w")) >= 2)
+        .groupBy("w").agg(count(lit(1)).as("wf"))
+      var toks = words
+        .select(col("w").as("wid"), col("wf"),
+          posexplode(split(col("w"), "")).as(Seq("pos", "sym")))
+        .select(col("wid"), col("pos").cast("long").as("pos"),
+          col("sym"), col("wf"))
+        .localCheckpoint(false)
+      val merges = Seq.newBuilder[DataFrame]
+      for (r <- 1 to BPE_ROUNDS) {
+        val prs = toks.withColumn("nxt", lead(col("sym"), 1).over(wWin))
+        val best = prs.where(col("nxt").isNotNull)
+          .groupBy(col("sym").as("a"), col("nxt").as("b"))
+          .agg(sum("wf").as("pair_count"))
+          .orderBy(col("pair_count").desc, col("a"), col("b"))
+          .limit(1)
+          .localCheckpoint(false)
+        val m = prs
+          .join(broadcast(best),
+            col("sym") === col("a") && col("nxt") === col("b"))
+          .select(col("wid"), col("pos"))
+          .withColumn("grp", col("pos") - row_number().over(wWin))
+          .withColumn("off", col("pos") -
+            min("pos").over(Window.partitionBy("wid", "grp")))
+          .where(col("off") % 2 === 0)
+          .select(col("wid").as("kwid"), col("pos").as("kpos"))
+          .localCheckpoint(false)
+        val bestSym = best.select(concat(col("a"), col("b")).as("msym"))
+        toks = toks
+          .join(m, col("wid") === col("kwid") && col("pos") === col("kpos"),
+            "left")
+          .join(m.select(col("kwid").as("pwid"), col("kpos").as("ppos")),
+            col("wid") === col("pwid") && col("pos") === col("ppos") + 1,
+            "left")
+          .where(col("ppos").isNull) // the consumed right half of a merge
+          .crossJoin(broadcast(bestSym))
+          .select(col("wid"), col("pos").as("opos"),
+            when(col("kpos").isNotNull, col("msym")).otherwise(col("sym"))
+              .as("sym"),
+            col("wf"))
+          .withColumn("pos", row_number().over(
+            Window.partitionBy("wid").orderBy("opos")).cast("long") - 1)
+          .select("wid", "pos", "sym", "wf")
+          .localCheckpoint(false)
+        merges += best.select(lit(r.toLong).as("round"),
+          col("a").as("left_sym"), col("b").as("right_sym"),
+          col("pair_count"))
+      }
+      merges.result().reduce(_ unionByName _).orderBy("round")
+    }),
+
     // Rolling-hash document fingerprint (Rabin-Karp polynomial hash over
     // the character stream, mod 1e9+7): order-SENSITIVE dedup complement
     // to q32's order-free token-bag fingerprint. Integer-only arithmetic
@@ -964,6 +1040,10 @@ object TextOps {
   private[graft] val PR_CAP   = 60
   private[graft] val PR_RTOL  = 1e-3
   private val WSAMPLE_K  = 5
+
+  /** q143: BPE training rounds — enough to exercise multi-character
+    * merges merging with each other on this vocabulary. */
+  private[graft] val BPE_ROUNDS = 8
 
   /** One damped-PageRank iteration (d = 0.85): contributions quantized to
     * 12 dp and summed exactly in decimal so the result is independent of
@@ -1587,6 +1667,66 @@ object TextOps {
         | SELECT *, ROW_NUMBER() OVER (
         |   ORDER BY pair_count DESC, left_sym, right_sym) AS rnk
         | FROM pc) WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
+
+    // The same relational BPE trainer, BPE_ROUNDS rounds unrolled: each
+    // round re-derives pairs (lead window), the 1-row argmax, the greedy
+    // merge keep-set (islands + even offsets), and the recompacted token
+    // table. Identical window algebra to the Spark loop.
+    "q143_bpe_train" -> {
+      val roundCtes = (1 to BPE_ROUNDS).map { r =>
+        val p = r - 1
+        s"""p$r AS MATERIALIZED (
+           | SELECT wid, pos, sym, wf,
+           |  LEAD(sym) OVER (PARTITION BY wid ORDER BY pos) AS nxt
+           | FROM t$p),
+           |best$r AS MATERIALIZED (
+           | SELECT sym AS a, nxt AS b, CAST(SUM(wf) AS BIGINT) AS cnt
+           | FROM p$r WHERE nxt IS NOT NULL
+           | GROUP BY 1, 2 ORDER BY cnt DESC, a, b LIMIT 1),
+           |k$r AS MATERIALIZED (
+           | SELECT wid, pos FROM (
+           |  SELECT wid, pos,
+           |   pos - MIN(pos) OVER (PARTITION BY wid, grp) AS off
+           |  FROM (
+           |   SELECT m.wid, m.pos,
+           |    m.pos - ROW_NUMBER() OVER (PARTITION BY m.wid
+           |                               ORDER BY m.pos) AS grp
+           |   FROM p$r m JOIN best$r b ON m.sym = b.a AND m.nxt = b.b))
+           | WHERE off % 2 = 0),
+           |t$r AS MATERIALIZED (
+           | SELECT wid,
+           |  ROW_NUMBER() OVER (PARTITION BY wid ORDER BY opos) - 1 AS pos,
+           |  sym, wf
+           | FROM (
+           |  SELECT t.wid, t.pos AS opos,
+           |   CASE WHEN k.pos IS NOT NULL
+           |        THEN (SELECT a || b FROM best$r) ELSE t.sym END AS sym,
+           |   t.wf
+           |  FROM t$p t
+           |  LEFT JOIN k$r k ON t.wid = k.wid AND t.pos = k.pos
+           |  LEFT JOIN k$r kp ON t.wid = kp.wid AND t.pos = kp.pos + 1
+           |  WHERE kp.pos IS NULL))"""
+      }.mkString(",\n")
+      val mergeRows = (1 to BPE_ROUNDS).map(r =>
+        s"SELECT CAST($r AS BIGINT) AS round, a AS left_sym," +
+          s" b AS right_sym, cnt AS pair_count FROM best$r")
+        .mkString("\n UNION ALL ")
+      s"""WITH toksw AS (
+         | SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+         |wfreq AS MATERIALIZED (
+         | SELECT w, COUNT(*) AS wf FROM toksw
+         | WHERE length(w) >= 2 GROUP BY w),
+         |t0 AS MATERIALIZED (
+         | SELECT w AS wid, CAST(i - 1 AS BIGINT) AS pos,
+         |  substr(w, CAST(i AS INT), 1) AS sym, wf
+         | FROM (SELECT w, wf,
+         |        unnest(generate_series(1, length(w))) AS i
+         |       FROM wfreq)),
+         |$roundCtes
+         |SELECT round, left_sym, right_sym, pair_count FROM (
+         | $mergeRows)
+         |ORDER BY round""".stripMargin
+    },
 
     "q58_rolling_hash" ->
       """WITH h AS (
