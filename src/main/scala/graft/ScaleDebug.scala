@@ -44,6 +44,21 @@ object ScaleDebug {
         cappedBlockedBest(spark, dir)))
       spark.stop(); return
     }
+    if (args.lift(1).contains("bm25fixed")) {
+      // SCALE.md finding #5 measured: q120's sweep growth conflates a
+      // 10x query set with a 10x corpus. Holding the WORKLOAD fixed
+      // (qmod 1000 at sf1 selects ~52 query docs ≈ the ~50 that
+      // qmod 100 selects at sf0.1) isolates the corpus term — the
+      // fixed-workload growth at 10x data is the plan's real scaling.
+      val qmod = if (dir.contains("sf1")) 1000 else 100
+      val r = graft.queries.Retrieval.bm25TopK(spark, dir, qmod)
+      println("  queries=" + r.select("qid").distinct().count())
+      time(s"bm25TopK qmod=$qmod")(
+        r.write.format("noop").mode("overwrite").save())
+      time(s"bm25TopK qmod=$qmod (2nd)")(
+        r.write.format("noop").mode("overwrite").save())
+      spark.stop(); return
+    }
     if (args.lift(1).contains("pagerank")) {
       // One full q104 run (set GRAFT_PR_DEBUG=1 for per-round deltas):
       // confirms the convergence loop lands under PR_CAP at this scale

@@ -110,7 +110,8 @@ object Retrieval {
     * cost-sharing is by CONSTRUCTION (one lineage → one exchange), not by
     * ReuseExchange happening to canonicalize two hand-built copies, and
     * so the two rankers can never drift in tokenization. */
-  private def tfAndQt(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private[graft] def tfAndQt(s: SparkSession, dir: String,
+      qmod: Int = QMOD): (DataFrame, DataFrame) = {
     val toks = docs(s, dir)
       .select(col("doc_id"),
         explode(split(col("text"), " ")).as("tok"))
@@ -118,7 +119,7 @@ object Retrieval {
     // tf already holds ONE row per (doc, term): the query vocabulary
     // comes from it directly — no distinct, and no second corpus scan
     // (2× the IO at 100 TB for an identical result).
-    val qt = tf.where(col("doc_id") % QMOD === 0)
+    val qt = tf.where(col("doc_id") % qmod === 0)
       .select(col("doc_id").as("qid"), col("tok"))
     (tf, qt)
   }
@@ -126,8 +127,9 @@ object Retrieval {
   /** q120 core, shared with the q131 fusion: BM25 top-k per query doc
     * (qid, doc_id, bm25, rnk), rnk ≤ BM25_TOPK, ranked AFTER the 6-dp
     * round with a doc_id tiebreak so rank order is cross-engine total. */
-  private def bm25TopK(s: SparkSession, dir: String): DataFrame = {
-    val (tf, qt) = tfAndQt(s, dir)
+  private[graft] def bm25TopK(s: SparkSession, dir: String,
+      qmod: Int = QMOD): DataFrame = {
+    val (tf, qt) = tfAndQt(s, dir, qmod)
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     val scal = dl.agg(count(lit(1)).as("n_docs"),
       (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
