@@ -25,6 +25,30 @@ object EventOps {
     * of the session definition (q38 here, q121 in Retrieval). */
   private[queries] val SESSION_GAP_US = 1800L * 1000000L
 
+  /** The ≥-gap session contract in DuckDB SQL — shared verbatim by q62
+    * (native session_window) and q145 (salted two-pass twin): two plan
+    * forms, one oracle, divergence impossible by construction. */
+  private val SESSION_ORACLE_SQL =
+    """WITH flagged AS (
+      | SELECT user_id, ts, event_id,
+      |  CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w IS NULL
+      |         OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= 1800000000
+      |       THEN 1 ELSE 0 END AS new_sess
+      | FROM events
+      | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      | -- the cumulative sum orders on the SAME (ts, event_id) total
+      | -- order as the LAG flag above: with duplicate (user_id, ts)
+      | -- rows at a session boundary, a ts-only sort could split tied
+      | -- rows across sessions nondeterministically
+      | SELECT user_id, ts,
+      |  SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                      ROWS UNBOUNDED PRECEDING) AS sid
+      | FROM flagged)
+      |SELECT user_id, MIN(ts) AS first_ts, COUNT(*) AS n_events
+      |FROM sess GROUP BY user_id, sid
+      |ORDER BY user_id, first_ts""".stripMargin
+
   /** Per-(user, day) decimal value rollup — the daily-series core shared
     * by q127 (gap fill) and q128 (EWMA). Single-sourced on both engines:
     * this helper Spark-side, [[DAILY_SQL]] interpolated into both
@@ -282,6 +306,61 @@ object EventOps {
           session_window(col("ts"), "30 minutes").as("w"))
         .agg(count(lit(1)).as("n_events"), min("ts").as("first_ts"))
         .select(col("user_id"), col("first_ts"), col("n_events"))
+        .orderBy("user_id", "first_ts")
+    }),
+
+    // Salted sessionization twin of q62 (VERDICT r8 #5 — the shipped
+    // remedy for the hot-user cliff SCALE.md #7 located): when ONE user's
+    // event stream exceeds a task's envelope, a per-user window cannot be
+    // split — but sessions CAN, because two events ≥ gap apart never
+    // share a session. Pass 1 salts the shuffle key with a time slab
+    // (1 day ≫ the 30-min gap, so only slab-adjacent events can ever
+    // merge) and sessionizes *locally* per (user_id, slab) — the hot
+    // user's stream now spreads over |slabs| tasks. Interior sessions
+    // (neither first nor last in their slab) are provably final and are
+    // emitted directly. Pass 2 re-sessionizes ONLY the ≤ 2 boundary
+    // sessions per (user, slab) — rows ∝ users × days, independent of
+    // event count — stitching cross-slab chains by the same ≥-gap rule
+    // (consecutive boundary rows from the SAME slab are ≥ gap apart by
+    // construction, so they never merge; adjacent-slab rows merge iff
+    // the true stream would). Same output contract as q62, same oracle
+    // SQL — the equivalence is hash-checked by the driver every round.
+    "q145_salted_sessions" -> ((s, dir) => {
+      val slabUs = 86400L * 1000000L // 1 day; any width ≥ gap is correct
+      val e = Tables(s, dir).events
+        .select(col("user_id"), col("ts"), col("event_id"),
+          floor(unix_micros(col("ts")) / slabUs).as("slab"))
+      val wl = Window.partitionBy("user_id", "slab")
+        .orderBy("ts", "event_id")
+      val prevTs = lag(unix_micros(col("ts")), 1).over(wl)
+      val local = e
+        .withColumn("new_sess",
+          (prevTs.isNull ||
+            unix_micros(col("ts")) - prevTs >= SESSION_GAP_US).cast("long"))
+        .withColumn("sid", sum("new_sess")
+          .over(wl.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "slab", "sid")
+        .agg(min("ts").as("first_ts"), max("ts").as("last_ts"),
+          count(lit(1)).as("n_events"))
+      val ws = Window.partitionBy("user_id", "slab")
+      val tagged = local
+        .withColumn("max_sid", max("sid").over(ws))
+        .withColumn("boundary", col("sid") === 1 || col("sid") === col("max_sid"))
+      val interior = tagged.where(!col("boundary"))
+        .select(col("user_id"), col("first_ts"), col("n_events"))
+      val wm = Window.partitionBy("user_id").orderBy("first_ts", "slab", "sid")
+      val prevLast = lag(unix_micros(col("last_ts")), 1).over(wm)
+      val chains = tagged.where(col("boundary"))
+        .withColumn("new_chain",
+          (prevLast.isNull ||
+            unix_micros(col("first_ts")) - prevLast >= SESSION_GAP_US)
+            .cast("long"))
+        .withColumn("cid", sum("new_chain")
+          .over(wm.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "cid")
+        .agg(min("first_ts").as("first_ts"), sum("n_events").as("n_events"))
+        .select(col("user_id"), col("first_ts"), col("n_events"))
+      interior.unionByName(chains)
         .orderBy("user_id", "first_ts")
     }),
 
@@ -619,26 +698,12 @@ object EventOps {
         |FROM events CROSS JOIN range(7) k(k)
         |GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
 
-    "q62_session_window" ->
-      """WITH flagged AS (
-        | SELECT user_id, ts, event_id,
-        |  CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w IS NULL
-        |         OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= 1800000000
-        |       THEN 1 ELSE 0 END AS new_sess
-        | FROM events
-        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |sess AS (
-        | -- the cumulative sum orders on the SAME (ts, event_id) total
-        | -- order as the LAG flag above: with duplicate (user_id, ts)
-        | -- rows at a session boundary, a ts-only sort could split tied
-        | -- rows across sessions nondeterministically
-        | SELECT user_id, ts,
-        |  SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                      ROWS UNBOUNDED PRECEDING) AS sid
-        | FROM flagged)
-        |SELECT user_id, MIN(ts) AS first_ts, COUNT(*) AS n_events
-        |FROM sess GROUP BY user_id, sid
-        |ORDER BY user_id, first_ts""".stripMargin,
+    "q62_session_window" -> SESSION_ORACLE_SQL,
+
+    // ONE oracle for the salted/unsalted pair: two physical plans of the
+    // same session contract must hash-match the same SQL (the q77/q113
+    // shared-oracle discipline).
+    "q145_salted_sessions" -> SESSION_ORACLE_SQL,
 
     "q55_dedup_batch" ->
       """WITH first AS (

@@ -292,7 +292,7 @@ object Poster {
     * continuous `extent` shift; per-layer visibility is painter's-order
     * max_by, consistent with q23. Cells may carry a shadow, a blob, or
     * both (full outer join of the two layers). */
-  private def shadowComposite(s: SparkSession, cfg: PosterCfg): DataFrame = {
+  private[graft] def shadowComposite(s: SparkSession, cfg: PosterCfg): DataFrame = {
     val p2 = blur2d(s, canvasInside(s, cfg).where(col("inside"))
       .select("blob_id", "y", "x"), cfg)
     // +0.02 right, −0.02 down (origin lower): content at blur cell

@@ -297,6 +297,34 @@ object Relational {
           col("valid_to").isNull.cast("long").as("is_current"))
         .orderBy("o_orderkey", "valid_from")
     }),
+
+    // Correlated SCALAR subquery (TPC-H Q17 shape; VERDICT r8 #2 — the
+    // last classic relational form absent from the catalog): revenue of
+    // "small-quantity" lineitems, where small means below 20 % of THAT
+    // part's own average quantity. Written as SQL so Catalyst's
+    // decorrelation is what's under test: RewriteCorrelatedScalarSubquery
+    // turns the per-row subquery into ONE aggregate over lineitem grouped
+    // by l_partkey joined back to the fact — no per-row re-execution, two
+    // shuffles total on the same key (verified in PLANS.md round 9: the
+    // physical plan is Aggregate→Join, zero Subquery nodes). AVG stays
+    // cross-engine exact because l_quantity is integral and |group| sums
+    // stay far below 2^53. Money in exact DECIMAL, cast at the boundary.
+    "q144_correlated_subquery" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.lineitem.createOrReplaceTempView("lineitem_q144")
+      t.part.createOrReplaceTempView("part_q144")
+      s.sql(
+        """SELECT p_brand,
+          | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
+          |   AS DECIMAL(38,6)) AS DOUBLE) AS small_qty_revenue,
+          | COUNT(*) AS n_lineitems,
+          | COUNT(DISTINCT p_partkey) AS n_parts
+          |FROM lineitem_q144 JOIN part_q144 ON l_partkey = p_partkey
+          |WHERE l_quantity < (SELECT CAST(0.2 AS DOUBLE) * AVG(l2.l_quantity)
+          |                    FROM lineitem_q144 l2
+          |                    WHERE l2.l_partkey = p_partkey)
+          |GROUP BY p_brand ORDER BY p_brand""".stripMargin)
+    }),
   )
 
   // DuckDB dialect of each query, value-identical by construction.
@@ -468,5 +496,19 @@ object Relational {
         |FROM chg
         |WINDOW w AS (PARTITION BY o_orderkey ORDER BY version)
         |ORDER BY o_orderkey, valid_from""".stripMargin,
+
+    // Same correlated scalar subquery verbatim (both engines decorrelate;
+    // the CONTRACT is the per-row semantics, which DuckDB checks).
+    "q144_correlated_subquery" ->
+      """SELECT p_brand,
+        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
+        |   AS DECIMAL(38,6)) AS DOUBLE) AS small_qty_revenue,
+        | COUNT(*) AS n_lineitems,
+        | COUNT(DISTINCT p_partkey) AS n_parts
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_quantity < (SELECT CAST(0.2 AS DOUBLE) * AVG(l2.l_quantity)
+        |                    FROM lineitem l2
+        |                    WHERE l2.l_partkey = p_partkey)
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
   )
 }

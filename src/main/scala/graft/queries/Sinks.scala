@@ -207,7 +207,61 @@ object Sinks {
         s.read.schema(docs.schema).parquet(path)
           .select(docs.columns.toIndexedSeq.map(col): _*))
     }),
+
+    // Small-file compaction (VERDICT r8 #6 — the OPTIMIZE every 100 TB
+    // table needs nightly): land `documents` deliberately fragmented
+    // (48-way shuffle before a lang-partitioned write ⇒ ~48 files per
+    // lang partition), then compact: ONE shuffle keyed on the partition
+    // column co-locates each lang, and maxRecordsPerFile bin-packs the
+    // output into ceil(n_lang / C) target-size files (row count is the
+    // proxy for target bytes — production divides target_bytes by the
+    // table's avg row size from q110-style stats to get the same knob).
+    // The output pins BOTH invariants cross-engine: content identity
+    // (per-lang text-hash sum vs the original table) and the packed
+    // file count (countDistinct(input_file_name) vs the oracle's
+    // ceil(count/C) — only a correctly bin-packed layout matches).
+    // CompactionSpec additionally pins files_before ≫ files_after.
+    "q146_compact_small_files" -> ((s, dir) => {
+      compactedDocs(s, dir)
+        // non-deterministic exprs may not sit INSIDE an aggregate call —
+        // project the file name first, then count it
+        .withColumn("fname", input_file_name())
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(h48("rt:", col("text"))).as("text_hash_sum"),
+          countDistinct(col("fname")).as("n_files"))
+        .orderBy("lang")
+    }),
   )
+
+  /** q146/CompactionSpec: target rows per compacted file (the row-count
+    * proxy for a byte-size target; must match the oracle's CEIL(n/C)). */
+  private[graft] val COMPACT_RECS_PER_FILE = 100
+
+  /** Fragmented-write path for this run — shared so the spec can count
+    * the before-files of the exact layout q146 compacted. */
+  private[graft] def fragmentedPath: String = runPath("graft_frag_docs")
+
+  /** Compacted-write path for this run. */
+  private[graft] def compactedPath: String = runPath("graft_compact_docs")
+
+  /** The q146 pipeline: fragment → compact → read back. Factored out so
+    * CompactionSpec can drive the identical writes and inspect both
+    * directories' file counts. */
+  private[graft] def compactedDocs(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents
+    docs.repartition(48, col("doc_id"))
+      .write.mode("overwrite").partitionBy("lang").parquet(fragmentedPath)
+    val frag = s.read.schema(docs.schema).parquet(fragmentedPath)
+    // repartition on the partition column: each lang lands in one task,
+    // whose writer rolls a new file every COMPACT_RECS_PER_FILE rows —
+    // exactly ceil(n_lang / C) files, no second shuffle, no global sort.
+    frag.repartition(col("lang"))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", COMPACT_RECS_PER_FILE.toLong)
+      .partitionBy("lang").parquet(compactedPath)
+    s.read.schema(docs.schema).parquet(compactedPath)
+  }
 
   /** The per-lang text-integrity aggregate over the ORIGINAL parquet —
     * shared by the JSON and CSV round-trip oracles. */
@@ -279,5 +333,15 @@ object Sinks {
         | CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
         | MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
         |FROM merged GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // content identity from the ORIGINAL table + the bin-pack arithmetic:
+    // only a lossless rewrite into ceil(n/C)-file partitions matches both
+    "q146_compact_small_files" ->
+      s"""SELECT lang, COUNT(*) AS n_docs,
+         | CAST(SUM(CAST('0x' || substr(md5('rt:' || text), 1, 12)
+         |   AS BIGINT)) AS BIGINT) AS text_hash_sum,
+         | CAST(CEIL(COUNT(*) / $COMPACT_RECS_PER_FILE.0) AS BIGINT)
+         |   AS n_files
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }

@@ -1047,19 +1047,30 @@ object TextOps {
 
   /** One damped-PageRank iteration (d = 0.85): contributions quantized to
     * 12 dp and summed exactly in decimal so the result is independent of
-    * both partition layout and engine. */
+    * both partition layout and engine. With `carryPrev` the output also
+    * keeps the incoming score as `prev`, letting the convergence loop
+    * read max|Δ| off the SAME materialized frame instead of re-joining
+    * the two iterates in a second job per round (VERDICT r8 #2). The
+    * extra join is on the already-shuffled doc_id key against the
+    * previous round's checkpoint, so it rides the same exchange. */
   private def prStep(pr: DataFrame, edges: DataFrame,
-      degn: DataFrame): DataFrame = {
+      degn: DataFrame, carryPrev: Boolean = false): DataFrame = {
     val contrib = pr
       .join(edges, pr("doc_id") === edges("src"))
       .select(edges("dst").as("doc_id"),
         round(pr("pr") / pr("deg"), 12).cast("decimal(38,12)").as("c"))
       .groupBy("doc_id").agg(sum("c").as("sc"))
-    degn.join(contrib, "doc_id")
+    val stepped = degn.join(contrib, "doc_id")
       .select(col("doc_id"), col("deg"), col("n"),
         round(lit(0.15) / col("n")
           + lit(0.85) * col("sc").cast("double"), 12).as("pr"))
-      .localCheckpoint(false)
+    val out =
+      if (!carryPrev) stepped
+      else stepped.join(
+          pr.select(col("doc_id").as("pdoc"), col("pr").as("prev")),
+          col("doc_id") === col("pdoc"))
+        .drop("pdoc")
+    out.localCheckpoint(false)
   }
 
   /** The symmetrized graph: edge list + per-node degree/count table
@@ -1117,13 +1128,15 @@ object TextOps {
         s"pagerank failed to converge within $cap iterations " +
           s"(delta=$delta, tol=$tol) — raise PR_CAP or loosen PR_RTOL")
       val t0 = System.nanoTime
-      val next = prStep(pr, edges, degn)
-      delta = next.select(col("doc_id"), col("pr"))
-        .join(pr.select(col("doc_id"), col("pr").as("prev")), "doc_id")
-        .agg(max(abs(col("pr") - col("prev")))).head.getDouble(0)
+      // One action per round: the delta aggregate is the first action on
+      // the lazily-checkpointed step output, so it both materializes the
+      // round AND reads max|Δ| off the carried prev column — no separate
+      // next⋈prev job (VERDICT r8 #2; was ~2 job latencies per round).
+      val next = prStep(pr, edges, degn, carryPrev = true)
+      delta = next.agg(max(abs(col("pr") - col("prev")))).head().getDouble(0)
       if (dbg) println(f"[pr] round $k: delta=$delta%.3e tol=$tol%.3e " +
         f"${(System.nanoTime - t0) / 1e9}%.1f s")
-      pr = next
+      pr = next.drop("prev")
     }
     pr
   }
