@@ -131,9 +131,17 @@ object Bench {
     val artDir = java.nio.file.Paths
       .get(sys.env.getOrElse("SPARK_GRAFT_REPO", "."), "artifacts")
       .toAbsolutePath.normalize()
+    // SPARK_GRAFT_BENCH_TAG (VERDICT r8 #7): builder-side sweeps set a
+    // tag so each snapshot lands under its own name — a later run (the
+    // driver's closing bench, or a dev BENCH_ONLY loop) can no longer
+    // overwrite a committed record that BASELINE.md cites. The driver
+    // sets no tag, so the canonical bench_full_<sf>.json stays its.
+    val tag = sys.env.get("SPARK_GRAFT_BENCH_TAG")
+      .map(_.replaceAll("[^A-Za-z0-9_.-]", "_")).filter(_.nonEmpty)
+    val stem =
+      if (only.isDefined) s"bench_only_$sfName" else s"bench_full_$sfName"
     val artifact = artDir.resolve(
-      if (only.isDefined) s"bench_only_$sfName.json"
-      else s"bench_full_$sfName.json").toString
+      tag.fold(s"$stem.json")(t => s"${stem}_$t.json")).toString
     try {
       java.nio.file.Files.createDirectories(artDir)
       java.nio.file.Files.writeString(java.nio.file.Paths.get(artifact), full)

@@ -114,6 +114,16 @@ object Tables {
     * SAME session during `body` sees UTC; use separate `newSession()`s
     * for concurrent mixed-zone work.
     *
+    * Composition caveat (ADVICE r8 #3): the soundness argument covers
+    * expressions analyzed INSIDE `body`. If a caller further transforms
+    * the returned DataFrame — adds a cast, date_trunc, hour, … after
+    * this call returns — those NEW expressions analyze under the
+    * caller's restored host zone, yielding mixed-zone semantics in one
+    * plan. Downstream zone-aware transformations that need UTC must be
+    * wrapped in their own withUtcSession (SparkEntry.queries entries are
+    * closed outputs — ORDER BY + final projection — so the catalog
+    * never composes this way; the caveat is for external callers).
+    *
     * `spark.sql.legacy.parquet.nanosAsLong` is deliberately NOT restored
     * here — see the events scaladoc for why it cannot be scoped. */
   def withUtcSession[T](spark: SparkSession)(body: => T): T = {

@@ -81,7 +81,17 @@ object Components {
   /** Production path: large-star/small-star contraction. Returns
     * ((doc_id, label), rounds). Throws IllegalStateException if the edge
     * set has not reached a fixpoint within `maxIter` rounds — never
-    * partial labels. */
+    * partial labels.
+    *
+    * Node-set contract (ADVICE r8 #1): the labeled nodes are the
+    * endpoints of at least one NON-self-loop edge. A (u, u) input edge
+    * contributes neither an edge nor a node — labels derive from the
+    * checkpointed normalized edge set, which drops self-loops (see the
+    * `nodes` comment below for why the raw arg must not be re-read).
+    * minLabelPropagation applies the same rule, so the equivalence spec
+    * compares identical node sets. No catalog caller emits self-loops
+    * (jaccardPairs guarantees da < db); the contract is pinned here for
+    * external callers. */
   private[graft] def starContractionWithRounds(edges: DataFrame,
       maxIter: Int = 30): (DataFrame, Int) = {
     // lazy checkpoints: the sig() aggregate is the action that
@@ -139,7 +149,10 @@ object Components {
     * partial labels). */
   private[graft] def minLabelPropagation(edges: DataFrame,
       maxIter: Int = 20): DataFrame = {
-    val und = undirected(edges).localCheckpoint()
+    // same node-set contract as starContraction: self-loops contribute
+    // neither edges nor nodes
+    val und = undirected(edges.where(col("u") =!= col("v")))
+      .localCheckpoint()
     var labels = und.select(col("u").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
       .localCheckpoint()

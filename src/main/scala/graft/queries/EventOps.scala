@@ -196,6 +196,9 @@ object EventOps {
         .join(firsts, Seq("day"), "left")
         .withColumn("n_cum_exact",
           sum(coalesce(col("n_new"), lit(0L)))
+            // global window SAFE: input is the per-DAY rollup — rows =
+            // distinct days (~30 here, ~36 500 for a century), never
+            // event count
             .over(Window.orderBy("day")))
       exact.join(merged, "day")
         .select(col("day"), col("n_day_exact"), col("n_cum_exact"),
@@ -470,6 +473,7 @@ object EventOps {
         df.agg(count(lit(1)).as("n_users"))
           .select(lit(rank.toLong).as("stage"), lit(name).as("step"),
             col("n_users"))
+      // global window SAFE: exactly 3 rows (one per funnel stage)
       val firstN = first("n_users").over(Window.orderBy("stage")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
       stage(1, "view", v)

@@ -375,6 +375,16 @@ object Retrieval {
     // length, never corpus size. Integer-only output, total order on
     // (doc_a, doc_b, start_a, start_b) — unique because diag is a
     // function of (start_a, start_b).
+    //
+    // Cap semantics (ADVICE r8 #4): the SPAN_DF_CAP filter runs BEFORE
+    // run detection, so "maximal" is maximal OVER THE CAPPED OCCURRENCE
+    // SET — a true span containing one >cap-df shingle mid-run is
+    // fragmented into shorter spans (or dropped below MIN_SPAN) in BOTH
+    // engines identically. That is the intended trade: a shingle in
+    // >SPAN_DF_CAP docs is boilerplate whose pair fan-out is the exact
+    // quadratic blow-up this operator exists to avoid, and a span-dedup
+    // pass treats boilerplate separately (q88). The capped-shingle drop
+    // count is reported in SCALE.md (no-silent-caps convention).
     "q139_repeated_spans" -> ((s, dir) => {
       val sp = posShingles(docs(s, dir))
       val post = sp.select(col("doc_id"), col("sh")).distinct()
@@ -443,6 +453,9 @@ object Retrieval {
       val hist = d.groupBy("dc").agg(sum("n_toks").as("btoks"))
       val tot = hist.agg(sum("btoks").as("total"))
       val stages = hist
+        // global window is SAFE here: it runs over the histogram, whose
+        // row count is bounded by the centi-difficulty VALUE domain
+        // (few hundred rows at any corpus size), never by |documents|
         .withColumn("cumb", coalesce(sum("btoks").over(
           Window.orderBy("dc")
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))

@@ -860,6 +860,9 @@ object TextOps {
         .groupBy(col("p.a").as("left_sym"), col("p.b").as("right_sym"))
         .agg(sum("wf").as("pair_count"))
       pairs
+        // global window SAFE: input is the distinct adjacent-symbol-PAIR
+        // table — rows ∝ vocabulary² at worst, observed ∝ alphabet² —
+        // never corpus tokens
         .withColumn("rnk", row_number().over(Window.orderBy(
           col("pair_count").desc, col("left_sym"), col("right_sym"))))
         .where(col("rnk") <= 20)
@@ -910,6 +913,15 @@ object TextOps {
           .orderBy(col("pair_count").desc, col("a"), col("b"))
           .limit(1)
           .localCheckpoint(false)
+        // Fail loud on a degenerate corpus (ADVICE r8 #2): with no pair
+        // left, the bestSym crossJoin below would silently annihilate the
+        // token state and truncate the merge table — and the oracle's
+        // identical truncation would keep the hash green. Same discipline
+        // as pageRankConverged/starContraction: never a silent partial.
+        // head(1) doubles as the action materializing the lazy checkpoint.
+        if (best.head(1).isEmpty) throw new IllegalStateException(
+          s"q143: no adjacent symbol pair left at round $r of " +
+            s"$BPE_ROUNDS — corpus exhausted; lower BPE_ROUNDS")
         val m = prs
           .join(broadcast(best),
             col("sym") === col("a") && col("nxt") === col("b"))
@@ -987,18 +999,21 @@ object TextOps {
     // complement of q65's components: same q29 edge subtree, but a
     // VALUE-propagating fixpoint instead of a label-collapsing one.
     // Determinism is the q82/q101 pattern — per-edge contributions are
-    // rounded at 12 dp and summed as DECIMAL(38,12) (exact, order-free
-    // at any partition layout), the damping step rounds back to 12 dp —
-    // so six iterations stay bit-identical to the oracle's unrolled CTE
-    // chain. Scale: one co-partitioned join + one keyed aggregate per
-    // iteration (the degree/teleport frame is checkpointed once and
-    // reused), lineage truncated per round like q65/q68 — the plan you
-    // would run on a billion-edge graph, exercised on this one.
+    // computed in integer quanta of 1e-12 (floor division — exact and
+    // order-free at any partition layout AND any engine; see prStep for
+    // the r9 finding that retired the decimal-rounded form), so every
+    // iteration stays bit-identical to the oracle's unrolled CTE chain.
+    // pr = q/1e12 surfaces only at the output boundary. Scale: one
+    // co-partitioned join + one keyed aggregate per iteration (the
+    // degree/teleport frame is checkpointed once and reused), lineage
+    // truncated per round like q65/q68 — the plan you would run on a
+    // billion-edge graph, exercised on this one.
     "q104_pagerank" -> ((s, dir) => {
       val pairs = jaccardPairs(s, dir)
         .select(col("da").as("u"), col("db").as("v"))
       pageRankConverged(pairs)
-        .select(col("doc_id"), col("deg"), col("pr"))
+        .select(col("doc_id"), col("deg"),
+          (col("q").cast("double") / lit(1.0e12)).as("pr"))
         .orderBy("doc_id")
     }),
 
@@ -1032,42 +1047,61 @@ object TextOps {
   )
 
   /** q104/q107 constants — shared with the oracle SQL builders below.
-    * PR_CAP is the fail-loud iteration ceiling; PR_RTOL the RELATIVE stop
-    * tolerance — converged when max|pr_k − pr_{k−1}| ≤ PR_RTOL·(1/n), i.e.
-    * no score is still moving by more than 0.1% of the uniform score. The
-    * damping factor bounds the decay at 0.85^k, so the ceiling covers
-    * graphs needing ~log(PR_RTOL·Δ₀⁻¹/n)/log(0.85) rounds (sf0.1: 46). */
-  private[graft] val PR_CAP   = 60
-  private[graft] val PR_RTOL  = 1e-3
+    * PR_CAP is the fail-loud iteration ceiling; the RELATIVE stop
+    * tolerance is 10⁻³ — converged when max|q_k − q_{k−1}| ≤ the
+    * integer tolerance PR_TOL_NUM_Q div n quanta, i.e. no score is
+    * still moving by more than ~0.1% of the uniform score. The damping
+    * factor bounds the decay at 0.85^k, so the ceiling covers graphs
+    * needing ~log(tol·Δ₀⁻¹)/log(0.85) rounds (sf0.1: ~46).
+    *
+    * All pagerank arithmetic runs in integer QUANTA of 10⁻¹²
+    * (pr = q / PR_Q): floor division is bit-identical in every engine,
+    * unlike decimal rounding of doubles, whose half-tie behavior Spark
+    * and DuckDB resolve differently often enough to drift at sf1 (the
+    * round-9 finding). The three integer constants are spelled out (not
+    * derived via double multiplication, which would itself round). */
+  private[graft] val PR_CAP        = 60
+  private[graft] val PR_Q          = 1000000000000L // 1e12 quanta/unit
+  private[graft] val PR_TELEPORT_Q = 150000000000L  // 0.15 · PR_Q
+  private[graft] val PR_TOL_NUM_Q  = 1000000000L    // 1e-3 · PR_Q
   private val WSAMPLE_K  = 5
 
   /** q143: BPE training rounds — enough to exercise multi-character
     * merges merging with each other on this vocabulary. */
   private[graft] val BPE_ROUNDS = 8
 
-  /** One damped-PageRank iteration (d = 0.85): contributions quantized to
-    * 12 dp and summed exactly in decimal so the result is independent of
-    * both partition layout and engine. With `carryPrev` the output also
-    * keeps the incoming score as `prev`, letting the convergence loop
-    * read max|Δ| off the SAME materialized frame instead of re-joining
-    * the two iterates in a second job per round (VERDICT r8 #2). The
-    * extra join is on the already-shuffled doc_id key against the
-    * previous round's checkpoint, so it rides the same exchange. */
+  /** One damped-PageRank iteration (d = 0.85) in EXACT INTEGER QUANTA
+    * of 10⁻¹² (the `q` column; pr = q / 10¹²): contribution = q div deg,
+    * damping = (17·sc) div 20, teleport = 0.15·10¹² div n — floor
+    * division on positive longs, which every engine computes
+    * bit-identically at ANY scale. This replaced the r8 round(double,12)
+    * form after the round-9 sf1 oracle run caught it drifting ~7·10⁻¹²:
+    * Spark's BigDecimal HALF_UP and DuckDB's multiply-round-divide
+    * disagree on values an ulp from a .5 tie, and 50k nodes × ~20 rounds
+    * of round() calls made a tie hit near-certain at sf1 while sf0.1
+    * stayed green. Integer floor has no ties to disagree on.
+    *
+    * With `carryPrev` the output also keeps the incoming quanta as
+    * `prev`, letting the convergence loop read max|Δ| off the SAME
+    * materialized frame instead of re-joining the two iterates in a
+    * second job per round (VERDICT r8 #2). The extra join is on the
+    * already-shuffled doc_id key against the previous round's
+    * checkpoint, so it rides the same exchange. */
   private def prStep(pr: DataFrame, edges: DataFrame,
       degn: DataFrame, carryPrev: Boolean = false): DataFrame = {
     val contrib = pr
-      .join(edges, pr("doc_id") === edges("src"))
-      .select(edges("dst").as("doc_id"),
-        round(pr("pr") / pr("deg"), 12).cast("decimal(38,12)").as("c"))
+      .select(col("doc_id").as("src_id"), col("q"), col("deg"))
+      .join(edges, col("src_id") === edges("src"))
+      .select(edges("dst").as("doc_id"), expr("q div deg").as("c"))
       .groupBy("doc_id").agg(sum("c").as("sc"))
     val stepped = degn.join(contrib, "doc_id")
       .select(col("doc_id"), col("deg"), col("n"),
-        round(lit(0.15) / col("n")
-          + lit(0.85) * col("sc").cast("double"), 12).as("pr"))
+        (expr(s"$PR_TELEPORT_Q div n")
+          + expr("(17 * sc) div 20")).as("q"))
     val out =
       if (!carryPrev) stepped
       else stepped.join(
-          pr.select(col("doc_id").as("pdoc"), col("pr").as("prev")),
+          pr.select(col("doc_id").as("pdoc"), col("q").as("prev")),
           col("doc_id") === col("pdoc"))
         .drop("pdoc")
     out.localCheckpoint(false)
@@ -1090,7 +1124,7 @@ object TextOps {
 
   private def prInit(degn: DataFrame): DataFrame =
     degn.select(col("doc_id"), col("deg"), col("n"),
-      round(lit(1.0) / col("n"), 12).as("pr"))
+      expr(s"$PR_Q div n").as("q"))
 
   /** Fixed-iteration damped PageRank — the unit-testable step semantics
     * (PipelineOpsSpec pins it against an independent local model). */
@@ -1102,39 +1136,42 @@ object TextOps {
   }
 
   /** Convergence-based damped PageRank (VERDICT r7 #6): iterate until the
-    * max score movement drops to PR_RTOL of the uniform score, fail loud
-    * at PR_CAP — the Components `sig()` fixpoint discipline (1-row driver
+    * max quanta movement drops under the integer tolerance
+    * PR_TOL_NUM_Q div n (~0.1% of the uniform score), fail loud at
+    * PR_CAP — the Components `sig()` fixpoint discipline (1-row driver
     * check per round, lazy localCheckpoint keeps each round one job)
     * instead of a blind unrolled count. The stop rule is a deterministic
-    * function of the (engine-identical) 12-dp-quantized iterates, so the
-    * DuckDB oracle reaches the SAME iteration by computing every round's
-    * delta and selecting the first one under tolerance — no recursion.
-    * An EXACT fixpoint stop would not terminate: measured at sf0.1 the
-    * 12-dp-rounded iteration settles into a 9e-12-amplitude rounding
-    * oscillation, which is why the tolerance is relative and ≫ grain. */
+    * function of the (engine-identical) integer iterates, so the DuckDB
+    * oracle reaches the SAME iteration by computing every round's delta
+    * and selecting the first one under the same integer tolerance — no
+    * recursion. An EXACT fixpoint stop would not terminate: the
+    * quantized iteration settles into a few-quanta oscillation, which
+    * is why the tolerance is relative and ≫ 1 quantum (max(1, …) guards
+    * a pathological n > PR_TOL_NUM_Q where the floor would reach 0). */
   private[graft] def pageRankConverged(pairs: DataFrame,
       cap: Int = PR_CAP): DataFrame = {
     val (edges, degn) = prGraph(pairs)
     val nRow = degn.select(col("n")).head(1)
     var pr = prInit(degn)
     if (nRow.isEmpty) return pr // empty graph: nothing to iterate
-    val tol = PR_RTOL / nRow(0).getLong(0)
+    val tolQ = math.max(1L, PR_TOL_NUM_Q / nRow(0).getLong(0))
     val dbg = sys.env.contains("GRAFT_PR_DEBUG")
     var k = 0
-    var delta = Double.PositiveInfinity
-    while (delta > tol) {
+    var delta = Long.MaxValue
+    while (delta > tolQ) {
       k += 1
       if (k > cap) throw new IllegalStateException(
         s"pagerank failed to converge within $cap iterations " +
-          s"(delta=$delta, tol=$tol) — raise PR_CAP or loosen PR_RTOL")
+          s"(delta=$delta quanta, tol=$tolQ) — raise PR_CAP or loosen " +
+          "the tolerance")
       val t0 = System.nanoTime
       // One action per round: the delta aggregate is the first action on
       // the lazily-checkpointed step output, so it both materializes the
       // round AND reads max|Δ| off the carried prev column — no separate
       // next⋈prev job (VERDICT r8 #2; was ~2 job latencies per round).
       val next = prStep(pr, edges, degn, carryPrev = true)
-      delta = next.agg(max(abs(col("pr") - col("prev")))).head().getDouble(0)
-      if (dbg) println(f"[pr] round $k: delta=$delta%.3e tol=$tol%.3e " +
+      delta = next.agg(max(abs(col("q") - col("prev")))).head().getLong(0)
+      if (dbg) println(f"[pr] round $k: delta=$delta tol=$tolQ " +
         f"${(System.nanoTime - t0) / 1e9}%.1f s")
       pr = next.drop("prev")
     }
@@ -1774,11 +1811,14 @@ object TextOps {
         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     // Convergence-based twin of pageRankConverged: PR_CAP damped
-    // iterations UNROLLED as a CTE chain over the shared jpairs subtree
-    // (decimal contribution sums and 12-dp quantization mirror the Spark
-    // loop operation-for-operation), each round carrying its max-delta;
-    // the final select picks the FIRST round whose delta falls under the
-    // same relative tolerance Spark stopped at. DuckDB computes every
+    // iterations UNROLLED as a CTE chain over the shared jpairs subtree,
+    // mirroring the Spark loop operation-for-operation in INTEGER QUANTA
+    // (q = pr·1e12; `//` floor division ≡ Spark's `div` on the positive
+    // longs here — bit-identical in both engines at any scale, which the
+    // r8 ROUND(double,12) form was NOT: the r9 sf1 oracle run caught its
+    // half-tie divergence). Each round carries its max-delta; the final
+    // select picks the FIRST round whose integer delta falls under the
+    // same integer tolerance Spark stopped at. DuckDB computes every
     // round; the SELECTED state is the one Spark's early-exit produced —
     // identical stop rule over identical iterates. A graph needing more
     // than PR_CAP rounds yields an empty oracle result, the SQL face of
@@ -1786,23 +1826,21 @@ object TextOps {
     "q104_pagerank" -> {
       val iterCtes = (1 to PR_CAP).map { i =>
         s"""c$i AS (
-           | SELECT e.dst AS doc_id,
-           |  SUM(CAST(ROUND(p.pr / d.deg, 12) AS DECIMAL(38,12))) AS sc
+           | SELECT e.dst AS doc_id, CAST(SUM(p.q // d.deg) AS BIGINT) AS sc
            | FROM pr${i - 1} p
            | JOIN degn d ON d.doc_id = p.doc_id
            | JOIN edges e ON e.src = p.doc_id
            | GROUP BY e.dst),
            |pr$i AS MATERIALIZED (
            | SELECT d.doc_id,
-           |  ROUND(CAST(0.15 AS DOUBLE) / d.n
-           |      + CAST(0.85 AS DOUBLE) * CAST(c$i.sc AS DOUBLE), 12) AS pr
+           |  ($PR_TELEPORT_Q // d.n) + ((17 * c$i.sc) // 20) AS q
            | FROM degn d JOIN c$i ON c$i.doc_id = d.doc_id),
            |d$i AS (
-           | SELECT $i AS it, MAX(ABS(a.pr - b.pr)) AS delta
+           | SELECT $i AS it, MAX(ABS(a.q - b.q)) AS delta
            | FROM pr$i a JOIN pr${i - 1} b USING (doc_id))"""
       }.mkString(",\n")
       val allPr = (1 to PR_CAP)
-        .map(i => s"SELECT $i AS it, doc_id, pr FROM pr$i")
+        .map(i => s"SELECT $i AS it, doc_id, q FROM pr$i")
         .mkString("\n UNION ALL ")
       val allD = (1 to PR_CAP).map(i => s"SELECT * FROM d$i")
         .mkString("\n UNION ALL ")
@@ -1815,14 +1853,16 @@ object TextOps {
          |nn AS (SELECT COUNT(*) AS n FROM deg0),
          |degn AS MATERIALIZED (SELECT doc_id, deg, n FROM deg0, nn),
          |pr0 AS MATERIALIZED (
-         | SELECT doc_id, ROUND(CAST(1.0 AS DOUBLE) / n, 12) AS pr FROM degn),
+         | SELECT doc_id, $PR_Q // n AS q FROM degn),
          |$iterCtes,
          |deltas AS ($allD),
          |kstar AS (
          | SELECT MIN(it) AS k FROM deltas
-         | WHERE delta <= CAST($PR_RTOL AS DOUBLE) / (SELECT MAX(n) FROM degn)),
+         | WHERE delta <= GREATEST(CAST(1 AS BIGINT),
+         |   $PR_TOL_NUM_Q // (SELECT MAX(n) FROM degn))),
          |all_pr AS ($allPr)
-         |SELECT d.doc_id, d.deg, p.pr
+         |SELECT d.doc_id, d.deg,
+         | CAST(p.q AS DOUBLE) / $PR_Q.0 AS pr
          |FROM degn d
          |JOIN all_pr p USING (doc_id)
          |JOIN kstar ON p.it = kstar.k

@@ -45,26 +45,28 @@ class PipelineOpsSpec extends AnyFunSuite {
 
   // --- q104 PageRank -------------------------------------------------
 
-  /** The identical recurrence on Scala collections: symmetrize, then
-    * iterate pr' = 0.15/n + 0.85·Σ round(pr/deg, 12) with the same
-    * HALF_UP quantization Spark's round() applies. */
+  /** The identical recurrence on Scala collections in the SAME integer
+    * quanta the engine uses (q = pr·1e12; floor division — the r9 form
+    * that replaced decimal rounding after the sf1 oracle caught its
+    * cross-engine half-tie drift): symmetrize, then iterate
+    * q' = (0.15·1e12 div n) + (17·Σ(q div deg)) div 20. Exact, so the
+    * spec compares with ==, not a tolerance. */
   private def localPageRank(pairs: Seq[(Long, Long)], iters: Int)
-      : Map[Long, Double] = {
-    def r12(x: Double) =
-      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+      : Map[Long, Long] = {
     val edges = pairs.flatMap { case (u, v) => Seq(u -> v, v -> u) }
     val out = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     val n = out.size
-    var pr = out.keys.map(k => k -> r12(1.0 / n)).toMap
+    var q = out.keys.map(k => k -> 1000000000000L / n).toMap
     for (_ <- 1 to iters) {
       val contrib = edges
-        .map { case (src, dst) => dst -> r12(pr(src) / out(src).size) }
+        .map { case (src, dst) => dst -> q(src) / out(src).size }
         .groupBy(_._1).view
-        .mapValues(cs => cs.map(c => BigDecimal(c._2)).sum.toDouble)
+        .mapValues(_.map(_._2).sum)
         .toMap
-      pr = pr.keys.map(k => k -> r12(0.15 / n + 0.85 * contrib(k))).toMap
+      q = q.keys.map(k =>
+        k -> (150000000000L / n + 17L * contrib(k) / 20L)).toMap
     }
-    pr
+    q
   }
 
   test("q104: matches an independent Scala fixpoint on a hand graph") {
@@ -73,12 +75,12 @@ class PipelineOpsSpec extends AnyFunSuite {
     val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
     val df = pairs.toDF("u", "v")
     val got = TextOps.pageRank(df, 6)
-      .select("doc_id", "pr").collect()
-      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      .select("doc_id", "q").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val want = localPageRank(pairs, 6)
     assert(got.keySet == want.keySet)
     got.foreach { case (k, v) =>
-      assert(math.abs(v - want(k)) < 1e-12, s"node $k: $v vs ${want(k)}")
+      assert(v == want(k), s"node $k: $v vs ${want(k)}")
     }
     // the pendant's sole neighbor is the hub
     assert(got(3L) > got(1L) && got(1L) == got(2L) && got(4L) < got(1L))
