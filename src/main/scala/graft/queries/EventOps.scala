@@ -634,7 +634,7 @@ object EventOps {
     "q39_tumbling_window" ->
       """SELECT time_bucket(INTERVAL '1 day', ts) AS day, event_type,
         | COUNT(*) AS n,
-        | CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,6)) AS DOUBLE)
+        | CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE)
         |   AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
 
@@ -732,7 +732,7 @@ object EventOps {
       """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
         | COUNT(*) AS n_orders,
         | COUNT(*) FILTER (date_part('dow', o_orderdate) IN (0, 6)) AS n_weekend,
-        | CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,6)) AS DOUBLE)
+        | CAST(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE)
         |   AS sum_price
         |FROM orders GROUP BY 1 ORDER BY month""".stripMargin,
 
@@ -793,8 +793,8 @@ object EventOps {
     "q112_trailing_window" ->
       """SELECT user_id, event_id, epoch_us(ts) AS us,
         | COUNT(*) OVER w AS n_1h,
-        | CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w
-        |   AS DECIMAL(38,6)) AS DOUBLE) AS sum_1h
+        | CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w
+        |   AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS sum_1h
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
@@ -889,7 +889,7 @@ object EventOps {
         | FROM daily
         | WINDOW w AS (PARTITION BY user_id ORDER BY day))
         |SELECT user_id, day,
-        | CAST(CAST(dsum AS DECIMAL(38,6)) AS DOUBLE) AS day_value,
+        | CAST(CAST(CAST(dsum AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS day_value,
         | CAST($obsTerms AS BIGINT) AS n_window,
         | ROUND(CAST($numTerms AS DOUBLE) / CAST($denTerms AS DOUBLE), 6)
         |   AS ewma

@@ -413,8 +413,8 @@ object Extras {
          | COUNT(*) FILTER ($c IS NULL) AS n_null,
          | COUNT(DISTINCT $c) AS n_distinct,
          | MIN($c) AS min_v, MAX($c) AS max_v,
-         | ROUND(CAST(CAST(SUM(CAST($c AS DECIMAL(18,4)))
-         |     AS DECIMAL(38,6)) AS DOUBLE)
+         | ROUND(CAST(CAST(CAST(SUM(CAST($c AS DECIMAL(18,4)))
+         |     AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE)
          |   / CAST(COUNT($c) AS DOUBLE), 6) AS mean_v
          |FROM lineitem""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
@@ -426,8 +426,8 @@ object Extras {
       s"""SELECT '$c' AS col_name, COUNT($c) AS n,
          | COUNT(DISTINCT $c) AS n_distinct,
          | MIN($c) AS min_v, MAX($c) AS max_v,
-         | ROUND(CAST(CAST(SUM(CAST($c AS DECIMAL(18,4)))
-         |     AS DECIMAL(38,6)) AS DOUBLE)
+         | ROUND(CAST(CAST(CAST(SUM(CAST($c AS DECIMAL(18,4)))
+         |     AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE)
          |   / CAST(COUNT($c) AS DOUBLE), 6) AS mean_v,
          | CAST(1 AS BIGINT) AS within_bound
          |FROM lineitem""".stripMargin

@@ -315,8 +315,8 @@ object Relational {
       t.part.createOrReplaceTempView("part_q144")
       s.sql(
         """SELECT p_brand,
-          | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
-          |   AS DECIMAL(38,6)) AS DOUBLE) AS small_qty_revenue,
+          | CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
+          |   AS DECIMAL(38,6)) AS STRING) AS DOUBLE) AS small_qty_revenue,
           | COUNT(*) AS n_lineitems,
           | COUNT(DISTINCT p_partkey) AS n_parts
           |FROM lineitem_q144 JOIN part_q144 ON l_partkey = p_partkey
@@ -363,13 +363,13 @@ object Relational {
 
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        | CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_qty,
-        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_base_price,
-        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(6,4))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_disc_price,
-        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(6,4)) * CAST(1.0 + l_tax AS DECIMAL(6,4))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_charge,
-        | ROUND(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,6)) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
-        | ROUND(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,6)) AS DOUBLE) / COUNT(*), 6) AS avg_price,
-        | ROUND(CAST(CAST(SUM(CAST(l_discount AS DECIMAL(6,4))) AS DECIMAL(38,6)) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+        | CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS sum_qty,
+        | CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+        | CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(6,4))) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+        | CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(6,4)) * CAST(1.0 + l_tax AS DECIMAL(6,4))) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS sum_charge,
+        | ROUND(CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+        | ROUND(CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+        | ROUND(CAST(CAST(CAST(SUM(CAST(l_discount AS DECIMAL(6,4))) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
         | COUNT(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
@@ -377,7 +377,7 @@ object Relational {
 
     "q02_star_revenue" ->
       """SELECT r_name, n_name,
-        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(6,4))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
+        | CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(6,4))) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS revenue,
         | COUNT(DISTINCT o_custkey) AS n_customers,
         | COUNT(*) AS n_lineitems
         |FROM lineitem
@@ -391,7 +391,7 @@ object Relational {
     "q03_topk_orders" ->
       """SELECT o_orderkey, o_orderdate, o_orderpriority, revenue FROM (
         | SELECT l_orderkey,
-        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(6,4))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue
+        |  CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(6,4))) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS revenue
         | FROM lineitem GROUP BY l_orderkey) rev
         |JOIN orders ON l_orderkey = o_orderkey
         |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
@@ -409,7 +409,7 @@ object Relational {
 
     "q06_revenue_forecast" ->
       """SELECT
-        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(6,4))) AS DECIMAL(38,6)) AS DOUBLE) AS promo_revenue,
+        | CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(6,4))) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS promo_revenue,
         | COUNT(*) AS n_rows
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -422,7 +422,7 @@ object Relational {
         | CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS rf,
         | CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS ls,
         | COUNT(*) AS n,
-        | CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_qty
+        | CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY rf NULLS LAST, ls NULLS LAST""".stripMargin,
 
@@ -431,7 +431,7 @@ object Relational {
         | CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' ELSE o_orderstatus END AS status,
         | CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL' ELSE o_orderpriority END AS priority,
         | COUNT(*) AS n,
-        | CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_price
+        | CAST(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY status NULLS LAST, priority NULLS LAST""".stripMargin,
 
@@ -445,8 +445,8 @@ object Relational {
     "q10_running_spend" ->
       """SELECT o_custkey, o_orderkey, o_orderdate, lifetime_spend, prev_price, n_orders FROM (
         | SELECT o_custkey, o_orderkey, o_orderdate,
-        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
-        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DECIMAL(38,6)) AS DOUBLE) AS lifetime_spend,
+        |  CAST(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS lifetime_spend,
         |  LAG(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
         |  COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS n_orders,
         |  ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
@@ -457,7 +457,7 @@ object Relational {
       """SELECT event_type,
         | COUNT(DISTINCT user_id) AS n_users,
         | COUNT(*) AS n_events,
-        | CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,6)) AS DOUBLE) AS total_value
+        | CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS total_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q12_set_ops" ->
@@ -477,18 +477,18 @@ object Relational {
     "q103_scd2_history" ->
       """WITH chg AS (
         | SELECT o_orderkey, CAST(1 AS BIGINT) AS version,
-        |  CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2))
-        |    * CAST('1.0' AS DECIMAL(6,4)) AS DECIMAL(38,6)) AS DOUBLE) AS price
+        |  CAST(CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2))
+        |    * CAST('1.0' AS DECIMAL(6,4)) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS price
         | FROM orders
         | UNION ALL
         | SELECT o_orderkey, CAST(2 AS BIGINT),
-        |  CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2))
-        |    * CAST('1.10' AS DECIMAL(6,4)) AS DECIMAL(38,6)) AS DOUBLE)
+        |  CAST(CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2))
+        |    * CAST('1.10' AS DECIMAL(6,4)) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE)
         | FROM orders WHERE o_orderkey % 3 = 0
         | UNION ALL
         | SELECT o_orderkey, CAST(3 AS BIGINT),
-        |  CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2))
-        |    * CAST('1.21' AS DECIMAL(6,4)) AS DECIMAL(38,6)) AS DOUBLE)
+        |  CAST(CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2))
+        |    * CAST('1.21' AS DECIMAL(6,4)) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE)
         | FROM orders WHERE o_orderkey % 9 = 0)
         |SELECT o_orderkey, version AS valid_from, price,
         | LEAD(version) OVER w AS valid_to,
@@ -501,8 +501,8 @@ object Relational {
     // the CONTRACT is the per-row semantics, which DuckDB checks).
     "q144_correlated_subquery" ->
       """SELECT p_brand,
-        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
-        |   AS DECIMAL(38,6)) AS DOUBLE) AS small_qty_revenue,
+        | CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
+        |   AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS small_qty_revenue,
         | COUNT(*) AS n_lineitems,
         | COUNT(DISTINCT p_partkey) AS n_parts
         |FROM lineitem JOIN part ON l_partkey = p_partkey

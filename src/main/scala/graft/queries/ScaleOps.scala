@@ -367,8 +367,8 @@ object ScaleOps {
     // changed the execution, not the answer
     "q100_bloom_prefilter" ->
       """SELECT l_returnflag, COUNT(*) AS n_items,
-        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
-        |   AS DECIMAL(38,6)) AS DOUBLE) AS sum_price
+        | CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
+        |   AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS sum_price
         |FROM lineitem
         |WHERE l_orderkey IN (
         | SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')

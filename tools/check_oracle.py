@@ -32,6 +32,13 @@ def canon(df):
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
+    # Spill-safe defaults (round 9): DuckDB's default temp dir is
+    # CWD-relative `.tmp/` — an unbounded sf1 spill there filled the
+    # repo disk and killed an unrelated test run. Cap memory and pin the
+    # spill to /tmp; override via DUCK_MEM / DUCK_THREADS.
+    con.execute("SET temp_directory='/tmp/duck_spill'")
+    con.execute(f"SET memory_limit='{os.environ.get('DUCK_MEM', '24GB')}'")
+    con.execute(f"SET threads={os.environ.get('DUCK_THREADS', '8')}")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
