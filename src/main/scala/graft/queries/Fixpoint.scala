@@ -1,0 +1,36 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+
+/** Shared helper for driver-paced fixpoint loops (q104 pagerank, q65
+  * star contraction, q143 BPE training): materialize a round's state
+  * AND cut the plan-statistics lineage.
+  *
+  * Why the second half matters (round-9 finding, caught by jstack on a
+  * stalled q104): `Dataset.localCheckpoint` truncates the EXECUTION
+  * lineage but INHERITS the origin plan's statistics, and Catalyst's
+  * SizeInBytesOnlyStatsPlanVisitor estimates a join as the PRODUCT of
+  * its children's sizeInBytes (an unbounded BigInt). In a loop that
+  * rebuilds joins on top of the previous round's checkpoint, the
+  * inherited estimate compounds multiplicatively: with one reference to
+  * the previous state the BigInt's digit count grows linearly per round
+  * (quadratic total driver time — the invisible tax r8's loops paid);
+  * with two references (the r9 carry-prev delta optimization) digits
+  * DOUBLE per round and the driver ends up in seconds-long Toom-Cook-3
+  * multiplications around round 17 (measured: 0.4 s/round flat through
+  * round 16, then 3.8 → 9.2 → 22 → 58 → 151 s).
+  *
+  * Rebuilding the frame from the checkpointed RDD through the public
+  * createDataFrame API yields a LogicalRDD with FRESH default
+  * statistics — constant-size stats per round, flat round cost. The
+  * Row round-trip is a linear, per-partition re-encode of already
+  * materialized data (no shuffle); static auto-broadcast decisions on
+  * the loop state are lost, which AQE's runtime re-planning restores
+  * where warranted.
+  */
+object Fixpoint {
+  def checkpointFresh(df: DataFrame): DataFrame = {
+    val ck = df.localCheckpoint()
+    ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+  }
+}

@@ -1104,7 +1104,12 @@ object TextOps {
           pr.select(col("doc_id").as("pdoc"), col("q").as("prev")),
           col("doc_id") === col("pdoc"))
         .drop("pdoc")
-    out.localCheckpoint(false)
+    // Eager checkpoint + STATS RESET (see Fixpoint.checkpointFresh for
+    // the r9 forensic): without the reset, inherited join-size
+    // estimates compound per round and the carried second `pr`
+    // reference makes the driver's stats BigInts double in digit count
+    // every round — exponential planning time from ~round 17.
+    Fixpoint.checkpointFresh(out)
   }
 
   /** The symmetrized graph: edge list + per-node degree/count table
