@@ -94,15 +94,17 @@ object Components {
     * external callers. */
   private[graft] def starContractionWithRounds(edges: DataFrame,
       maxIter: Int = 30): (DataFrame, Int) = {
-    // lazy checkpoints: the sig() aggregate is the action that
-    // materializes each round's edge set, so every round costs ONE job
-    // (an eager checkpoint + separate sig would cost two)
-    val e0 = edges
+    // Lazy checkpoints + STATS RESET (Fixpoint.checkpointFresh): the
+    // sig() aggregate is the action that materializes each round's edge
+    // set, so every round costs ONE job (an eager checkpoint + separate
+    // sig would cost two); the rebuild resets inherited plan statistics
+    // so the smallStar∘largeStar self-join estimates can't compound
+    // across rounds (the q104 stats-BigInt tax, VERDICT r9 #2).
+    val e0 = Fixpoint.checkpointFresh(edges
       .select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
       .where(col("u") =!= col("v"))
-      .distinct()
-      .localCheckpoint(false)
+      .distinct())
     // Node set from the CHECKPOINTED normalized edges, not the raw
     // `edges` arg: the caller's edge subtree (q65/q102: the whole q29
     // pairs build, ~40% of those queries' runtime at 10x scale) would
@@ -118,7 +120,7 @@ object Components {
     var converged = false
     while (!converged && iter < maxIter) {
       t0 = System.nanoTime
-      val next = smallStar(largeStar(e)).localCheckpoint(false)
+      val next = Fixpoint.checkpointFresh(smallStar(largeStar(e)))
       val nextSig = sig(next)
       if (dbg) println(f"[cc] round ${iter + 1}: ${(System.nanoTime - t0) / 1e9}%.1f s, sig=$nextSig")
       converged = nextSig == prevSig

@@ -49,6 +49,57 @@ object EventOps {
       |FROM sess GROUP BY user_id, sid
       |ORDER BY user_id, first_ts""".stripMargin
 
+  /** q145's salted two-pass sessionizer, factored out with the slab
+    * width as a parameter so SaltingSpec can property-sweep it.
+    *
+    * Correctness requires ONLY `slabUs >= SESSION_GAP_US`: slab
+    * boundaries are ≥-gap apart, so merges can only happen between
+    * ADJACENT slabs' boundary sessions, which pass 2 stitches; any
+    * width in [gap, ∞) yields the q62 answer (the ∞ limit degenerates
+    * to the unsalted single-pass). The width is a pure parallelism/
+    * state knob: smaller slabs spread a hot user over more tasks.
+    * Default 1 day ≫ the 30-min gap. */
+  private[graft] def saltedSessionize(events: DataFrame,
+      slabUs: Long = 86400L * 1000000L): DataFrame = {
+    require(slabUs >= SESSION_GAP_US,
+      s"slab width $slabUs us < session gap $SESSION_GAP_US us breaks " +
+        "the adjacent-slab-only merge argument")
+    val e = events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        floor(unix_micros(col("ts")) / slabUs).as("slab"))
+    val wl = Window.partitionBy("user_id", "slab")
+      .orderBy("ts", "event_id")
+    val prevTs = lag(unix_micros(col("ts")), 1).over(wl)
+    val local = e
+      .withColumn("new_sess",
+        (prevTs.isNull ||
+          unix_micros(col("ts")) - prevTs >= SESSION_GAP_US).cast("long"))
+      .withColumn("sid", sum("new_sess")
+        .over(wl.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "slab", "sid")
+      .agg(min("ts").as("first_ts"), max("ts").as("last_ts"),
+        count(lit(1)).as("n_events"))
+    val ws = Window.partitionBy("user_id", "slab")
+    val tagged = local
+      .withColumn("max_sid", max("sid").over(ws))
+      .withColumn("boundary", col("sid") === 1 || col("sid") === col("max_sid"))
+    val interior = tagged.where(!col("boundary"))
+      .select(col("user_id"), col("first_ts"), col("n_events"))
+    val wm = Window.partitionBy("user_id").orderBy("first_ts", "slab", "sid")
+    val prevLast = lag(unix_micros(col("last_ts")), 1).over(wm)
+    val chains = tagged.where(col("boundary"))
+      .withColumn("new_chain",
+        (prevLast.isNull ||
+          unix_micros(col("first_ts")) - prevLast >= SESSION_GAP_US)
+          .cast("long"))
+      .withColumn("cid", sum("new_chain")
+        .over(wm.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "cid")
+      .agg(min("first_ts").as("first_ts"), sum("n_events").as("n_events"))
+      .select(col("user_id"), col("first_ts"), col("n_events"))
+    interior.unionByName(chains)
+  }
+
   /** Per-(user, day) decimal value rollup — the daily-series core shared
     * by q127 (gap fill) and q128 (EWMA). Single-sourced on both engines:
     * this helper Spark-side, [[DAILY_SQL]] interpolated into both
@@ -328,44 +379,9 @@ object EventOps {
     // construction, so they never merge; adjacent-slab rows merge iff
     // the true stream would). Same output contract as q62, same oracle
     // SQL — the equivalence is hash-checked by the driver every round.
-    "q145_salted_sessions" -> ((s, dir) => {
-      val slabUs = 86400L * 1000000L // 1 day; any width ≥ gap is correct
-      val e = Tables(s, dir).events
-        .select(col("user_id"), col("ts"), col("event_id"),
-          floor(unix_micros(col("ts")) / slabUs).as("slab"))
-      val wl = Window.partitionBy("user_id", "slab")
-        .orderBy("ts", "event_id")
-      val prevTs = lag(unix_micros(col("ts")), 1).over(wl)
-      val local = e
-        .withColumn("new_sess",
-          (prevTs.isNull ||
-            unix_micros(col("ts")) - prevTs >= SESSION_GAP_US).cast("long"))
-        .withColumn("sid", sum("new_sess")
-          .over(wl.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .groupBy("user_id", "slab", "sid")
-        .agg(min("ts").as("first_ts"), max("ts").as("last_ts"),
-          count(lit(1)).as("n_events"))
-      val ws = Window.partitionBy("user_id", "slab")
-      val tagged = local
-        .withColumn("max_sid", max("sid").over(ws))
-        .withColumn("boundary", col("sid") === 1 || col("sid") === col("max_sid"))
-      val interior = tagged.where(!col("boundary"))
-        .select(col("user_id"), col("first_ts"), col("n_events"))
-      val wm = Window.partitionBy("user_id").orderBy("first_ts", "slab", "sid")
-      val prevLast = lag(unix_micros(col("last_ts")), 1).over(wm)
-      val chains = tagged.where(col("boundary"))
-        .withColumn("new_chain",
-          (prevLast.isNull ||
-            unix_micros(col("first_ts")) - prevLast >= SESSION_GAP_US)
-            .cast("long"))
-        .withColumn("cid", sum("new_chain")
-          .over(wm.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .groupBy("user_id", "cid")
-        .agg(min("first_ts").as("first_ts"), sum("n_events").as("n_events"))
-        .select(col("user_id"), col("first_ts"), col("n_events"))
-      interior.unionByName(chains)
-        .orderBy("user_id", "first_ts")
-    }),
+    "q145_salted_sessions" -> ((s, dir) =>
+      saltedSessionize(Tables(s, dir).events)
+        .orderBy("user_id", "first_ts")),
 
     // Batch twin of EventStreams.dedupe (§2.10): deterministic first-
     // occurrence dedup on event_id (earliest ts, ties on event_type),
@@ -679,12 +695,12 @@ object EventOps {
     // plan changed the execution, not the answer
     "q80_salted_agg" ->
       """SELECT event_type, COUNT(*) AS n_events,
-        | CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,6))
-        |   AS DOUBLE) AS sum_value,
-        | CAST(CAST(MIN(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,6))
-        |   AS DOUBLE) AS min_value,
-        | CAST(CAST(MAX(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,6))
-        |   AS DOUBLE) AS max_value
+        | CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,6))
+        |   AS VARCHAR) AS DOUBLE) AS sum_value,
+        | CAST(CAST(CAST(MIN(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,6))
+        |   AS VARCHAR) AS DOUBLE) AS min_value,
+        | CAST(CAST(CAST(MAX(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,6))
+        |   AS VARCHAR) AS DOUBLE) AS max_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q41_json_props" ->
@@ -856,8 +872,8 @@ object EventOps {
         | LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day)
         |SELECT user_id, day, observed,
         | COALESCE(n_events, 0) AS n_events,
-        | CAST(CAST(last_value(dsum IGNORE NULLS) OVER w AS DECIMAL(38,6))
-        |   AS DOUBLE) AS value_ff,
+        | CAST(CAST(CAST(last_value(dsum IGNORE NULLS) OVER w
+        |   AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS value_ff,
         | date_diff('day',
         |   last_value(CASE WHEN observed THEN day END IGNORE NULLS) OVER w,
         |   day) AS days_stale

@@ -27,10 +27,17 @@ import org.apache.spark.sql.DataFrame
   * materialized data (no shuffle); static auto-broadcast decisions on
   * the loop state are lost, which AQE's runtime re-planning restores
   * where warranted.
+  *
+  * The checkpoint is LAZY (`eager = false`): the marked RDD
+  * materializes on the loop's own per-round action (q104's delta
+  * aggregate, q65's sig(), q143's argmax head) and is reused by every
+  * later reference, so a round stays ONE job — an eager checkpoint
+  * here would silently re-add the extra job per round that the r8
+  * single-job-per-round optimization removed (ADVICE r9).
   */
 object Fixpoint {
   def checkpointFresh(df: DataFrame): DataFrame = {
-    val ck = df.localCheckpoint()
+    val ck = df.localCheckpoint(eager = false)
     ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
   }
 }

@@ -427,8 +427,8 @@ object Selection {
     // The UNSALTED join: the remedy must be answer-invariant.
     "q117_salted_join" ->
       """SELECT c.c_nationkey, COUNT(*) AS n_events,
-        | CAST(CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DECIMAL(38,6))
-        |   AS DOUBLE) AS sum_value
+        | CAST(CAST(CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DECIMAL(38,6))
+        |   AS VARCHAR) AS DOUBLE) AS sum_value
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY c.c_nationkey ORDER BY c.c_nationkey""".stripMargin,
 

@@ -37,10 +37,23 @@ object Sinks {
     sys.props("java.io.tmpdir") + "/" + stem + "_" + runToken
 
   /** TextOps.h48 (the canonical engine-independent md5-derived 48-bit
-    * hash): bounded by 2⁴⁸, so a per-group SUM over even billions of
-    * rows stays far inside signed-64 in both engines. */
+    * hash). NOTE: a plain signed-64 SUM of these has only ~2¹⁶
+    * rows-per-group headroom (mean hash ≈ 2⁴⁷) — wrap per-group sums
+    * in [[h48sum]], never a bare `sum`. */
   private def h48(prefix: String, c: org.apache.spark.sql.Column) =
     TextOps.h48(prefix, c)
+
+  /** Overflow-proof content-integrity fold (ADVICE r9): SUM the 48-bit
+    * hashes in DECIMAL(38,0) — exact to ~10³⁸ total, i.e. any row count
+    * — then fold mod 2⁴⁸ back to BIGINT so the output column type stays
+    * long in both engines. Spark's long `sum` wraps silently past ~65k
+    * rows per group while DuckDB's HUGEINT sum doesn't, so the bare-sum
+    * form diverges exactly when the data grows; the mod ride-along is
+    * order-free, keeps full 48-bit discrimination, and both engines
+    * compute it on an exact wide sum. Oracle twin: CAST(SUM(...) %
+    * 281474976710656 AS BIGINT) (DuckDB sums BIGINT into HUGEINT). */
+  private def h48sum(c: org.apache.spark.sql.Column) =
+    (sum(c.cast("decimal(38,0)")) % lit(281474976710656L)).cast("long")
 
   /** Write `documents` partitioned by lang + bucketed/sorted by doc_id as
     * a managed-metadata external table; shared by q71 and BucketingSpec. */
@@ -61,7 +74,7 @@ object Sinks {
   private def roundTripSummary(rt: DataFrame): DataFrame =
     rt.groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
-        sum(h48("rt:", col("text"))).as("text_hash_sum"),
+        h48sum(h48("rt:", col("text"))).as("text_hash_sum"),
         sum(length(col("text"))).as("sum_chars"),
         min("doc_id").as("min_doc_id"), max("doc_id").as("max_doc_id"))
       .orderBy("lang")
@@ -72,7 +85,7 @@ object Sinks {
       val rt = writeDocumentsBucketed(s, dir, path, s"graft_docs_bucketed_$runToken")
       rt.groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
-          sum(h48("rt:", col("doc_id").cast("string"))).as("id_hash_sum"),
+          h48sum(h48("rt:", col("doc_id").cast("string"))).as("id_hash_sum"),
           min("doc_id").as("min_doc_id"), max("doc_id").as("max_doc_id"))
         .orderBy("lang")
     }),
@@ -127,7 +140,7 @@ object Sinks {
       a.unionByName(b)
         .groupBy("codec", "lang")
         .agg(count(lit(1)).as("n_docs"),
-          sum(h48("rt:", col("text"))).as("text_hash_sum"),
+          h48sum(h48("rt:", col("text"))).as("text_hash_sum"),
           sum(length(col("text"))).as("sum_chars"))
         .orderBy("codec", "lang")
     }),
@@ -228,7 +241,7 @@ object Sinks {
         .withColumn("fname", input_file_name())
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
-          sum(h48("rt:", col("text"))).as("text_hash_sum"),
+          h48sum(h48("rt:", col("text"))).as("text_hash_sum"),
           countDistinct(col("fname")).as("n_files"))
         .orderBy("lang")
     }),
@@ -268,7 +281,7 @@ object Sinks {
   private val RT_SUMMARY_SQL =
     """SELECT lang, COUNT(*) AS n_docs,
       | CAST(SUM(CAST('0x' || substr(md5('rt:' || text), 1, 12)
-      |   AS BIGINT)) AS BIGINT) AS text_hash_sum,
+      |   AS BIGINT)) % 281474976710656 AS BIGINT) AS text_hash_sum,
       | CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
       | MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
@@ -278,7 +291,7 @@ object Sinks {
     "q71_partitioned_roundtrip" ->
       """SELECT lang, COUNT(*) AS n_docs,
         | CAST(SUM(CAST('0x' || substr(md5('rt:' || doc_id), 1, 12)
-        |   AS BIGINT)) AS BIGINT) AS id_hash_sum,
+        |   AS BIGINT)) % 281474976710656 AS BIGINT) AS id_hash_sum,
         | MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q72_json_roundtrip" -> RT_SUMMARY_SQL,
@@ -291,7 +304,7 @@ object Sinks {
       """WITH c(codec) AS (VALUES ('json_gzip'), ('parquet_zstd'))
         |SELECT codec, lang, COUNT(*) AS n_docs,
         | CAST(SUM(CAST('0x' || substr(md5('rt:' || text), 1, 12)
-        |   AS BIGINT)) AS BIGINT) AS text_hash_sum,
+        |   AS BIGINT)) % 281474976710656 AS BIGINT) AS text_hash_sum,
         | CAST(SUM(length(text)) AS BIGINT) AS sum_chars
         |FROM documents CROSS JOIN c
         |GROUP BY codec, lang ORDER BY codec, lang""".stripMargin,
@@ -329,7 +342,7 @@ object Sinks {
         | WHERE lang = 'en' AND doc_id % 2 = 0)
         |SELECT lang, COUNT(*) AS n_docs,
         | CAST(SUM(CAST('0x' || substr(md5('rt:' || text), 1, 12)
-        |   AS BIGINT)) AS BIGINT) AS text_hash_sum,
+        |   AS BIGINT)) % 281474976710656 AS BIGINT) AS text_hash_sum,
         | CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
         | MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
         |FROM merged GROUP BY lang ORDER BY lang""".stripMargin,
@@ -339,7 +352,7 @@ object Sinks {
     "q146_compact_small_files" ->
       s"""SELECT lang, COUNT(*) AS n_docs,
          | CAST(SUM(CAST('0x' || substr(md5('rt:' || text), 1, 12)
-         |   AS BIGINT)) AS BIGINT) AS text_hash_sum,
+         |   AS BIGINT)) % 281474976710656 AS BIGINT) AS text_hash_sum,
          | CAST(CEIL(COUNT(*) / $COMPACT_RECS_PER_FILE.0) AS BIGINT)
          |   AS n_files
          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,

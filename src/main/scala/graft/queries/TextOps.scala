@@ -898,21 +898,24 @@ object TextOps {
         .select(explode(split(col("text"), " ")).as("w"))
         .where(length(col("w")) >= 2)
         .groupBy("w").agg(count(lit(1)).as("wf"))
-      var toks = words
+      // Lazy checkpoints + stats reset (Fixpoint.checkpointFresh):
+      // each round's best.head(1) is the single materializing action;
+      // the reset keeps the per-round toks⋈m⋈m join estimates from
+      // compounding across rounds (VERDICT r9 #2).
+      var toks = Fixpoint.checkpointFresh(words
         .select(col("w").as("wid"), col("wf"),
           posexplode(split(col("w"), "")).as(Seq("pos", "sym")))
         .select(col("wid"), col("pos").cast("long").as("pos"),
-          col("sym"), col("wf"))
-        .localCheckpoint(false)
+          col("sym"), col("wf")))
       val merges = Seq.newBuilder[DataFrame]
       for (r <- 1 to BPE_ROUNDS) {
         val prs = toks.withColumn("nxt", lead(col("sym"), 1).over(wWin))
-        val best = prs.where(col("nxt").isNotNull)
+        val best = Fixpoint.checkpointFresh(prs
+          .where(col("nxt").isNotNull)
           .groupBy(col("sym").as("a"), col("nxt").as("b"))
           .agg(sum("wf").as("pair_count"))
           .orderBy(col("pair_count").desc, col("a"), col("b"))
-          .limit(1)
-          .localCheckpoint(false)
+          .limit(1))
         // Fail loud on a degenerate corpus (ADVICE r8 #2): with no pair
         // left, the bestSym crossJoin below would silently annihilate the
         // token state and truncate the merge table — and the oracle's
@@ -922,7 +925,7 @@ object TextOps {
         if (best.head(1).isEmpty) throw new IllegalStateException(
           s"q143: no adjacent symbol pair left at round $r of " +
             s"$BPE_ROUNDS — corpus exhausted; lower BPE_ROUNDS")
-        val m = prs
+        val m = Fixpoint.checkpointFresh(prs
           .join(broadcast(best),
             col("sym") === col("a") && col("nxt") === col("b"))
           .select(col("wid"), col("pos"))
@@ -930,10 +933,9 @@ object TextOps {
           .withColumn("off", col("pos") -
             min("pos").over(Window.partitionBy("wid", "grp")))
           .where(col("off") % 2 === 0)
-          .select(col("wid").as("kwid"), col("pos").as("kpos"))
-          .localCheckpoint(false)
+          .select(col("wid").as("kwid"), col("pos").as("kpos")))
         val bestSym = best.select(concat(col("a"), col("b")).as("msym"))
-        toks = toks
+        toks = Fixpoint.checkpointFresh(toks
           .join(m, col("wid") === col("kwid") && col("pos") === col("kpos"),
             "left")
           .join(m.select(col("kwid").as("pwid"), col("kpos").as("ppos")),
@@ -947,8 +949,7 @@ object TextOps {
             col("wf"))
           .withColumn("pos", row_number().over(
             Window.partitionBy("wid").orderBy("opos")).cast("long") - 1)
-          .select("wid", "pos", "sym", "wf")
-          .localCheckpoint(false)
+          .select("wid", "pos", "sym", "wf"))
         merges += best.select(lit(r.toLong).as("round"),
           col("a").as("left_sym"), col("b").as("right_sym"),
           col("pair_count"))
@@ -1104,7 +1105,7 @@ object TextOps {
           pr.select(col("doc_id").as("pdoc"), col("q").as("prev")),
           col("doc_id") === col("pdoc"))
         .drop("pdoc")
-    // Eager checkpoint + STATS RESET (see Fixpoint.checkpointFresh for
+    // Lazy checkpoint + STATS RESET (see Fixpoint.checkpointFresh for
     // the r9 forensic): without the reset, inherited join-size
     // estimates compound per round and the carried second `pr`
     // reference makes the driver's stats BigInts double in digit count

@@ -89,7 +89,10 @@ class PipelineOpsSpec extends AnyFunSuite {
   test("q104: probability mass is conserved across iterations") {
     val out = TextOps.queries("q104_pagerank")(s, "/root/testdata/sf0.01")
       .agg(sum("pr")).head().getDouble(0)
-    // per-iteration 12-dp quantization can drift mass by ≤ n·6·1e-12
+    // integer floor-division quanta (10⁻¹²): each contribution and the
+    // teleport term each drop < 1 quantum to the floor, so per round the
+    // mass deficit is ≤ (Σdeg + n)·1e-12 — far under 1e-6 over ≤ PR_CAP
+    // rounds at test scale (mass only ever LEAKS, never inflates)
     assert(math.abs(out - 1.0) < 1e-6, s"total pr mass $out")
   }
 

@@ -67,4 +67,33 @@ class SaltingSpec extends AnyFunSuite {
     assert("hashpartitioning\\([^)]*salt".r.findFirstIn(plan).isDefined,
       s"first exchange must carry the salt:\n$plan")
   }
+
+  test("q145 slab width is a pure parallelism knob: any width >= gap " +
+      "yields the q62 sessions (VERDICT r9 #7)") {
+    // The saltedSessionize scaladoc claims correctness for EVERY slab
+    // width >= the 30-min gap. Sweep the claim across the boundary
+    // cases — exactly the gap (slab edges can fall INSIDE a live
+    // session as often as possible), 2x gap, 1 h, and the shipped
+    // 1-day default — against the native session_window answer on the
+    // real events table. Equal multisets of (user_id, first_ts,
+    // n_events) = the driver's q145 ≡ q62 hash check, per width.
+    val dir = "/root/testdata/sf0.001"
+    val gapUs = 1800L * 1000000L
+    val want = SparkEntry.queries("q62_session_window")(s, dir)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+      .sorted.toSeq
+    for (slabUs <- Seq(gapUs, 2 * gapUs, 3600L * 1000000L,
+        86400L * 1000000L)) {
+      val got = graft.queries.EventOps
+        .saltedSessionize(graft.model.Tables(s, dir).events, slabUs)
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+        .sorted.toSeq
+      assert(got == want, s"slab width $slabUs us diverged from q62")
+    }
+    // width < gap must be rejected loudly, not silently mis-merge
+    intercept[IllegalArgumentException] {
+      graft.queries.EventOps.saltedSessionize(
+        graft.model.Tables(s, dir).events, gapUs - 1)
+    }
+  }
 }

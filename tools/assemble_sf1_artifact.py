@@ -1,17 +1,36 @@
 #!/usr/bin/env python3
-"""Assemble CORRECTNESS_SF1.json from the round-9 sf1 oracle runs.
+"""Assemble CORRECTNESS_SF1.json from a round's sf1 checker logs
+(VERDICT r9 #1 — make the sf1 evidence durable in the repo, not /tmp).
 
-Three result sources (VERDICT r8 #1 — the oracle had never run above
-sf0.1):
-  - /tmp/oracle_sf1.log   : check_oracle.py on the 10 profile-top queries
-                            (old q104 form — its FAIL line is the round's
-                            finding, superseded by the integer rerun)
-  - /tmp/oracle_sf1b.log  : check_oracle.py on the integer-quanta q104
-  - /tmp/cc_sf1.log       : check_cc_scaled.py (q65/q102 union-find path)
+Inputs (all produced by the sf1 campaign, see SCALE.md "sf1
+correctness"):
+  <log_dir>/oracle.log   : check_oracle.py on the SQL-feasible subset
+  <log_dir>/cc.log       : check_cc_scaled.py (q65/q102 union-find path)
+  <log_dir>/minhash.log  : check_minhash_scaled.py (q27 python path)
 
-Emits one JSON object per query: {status, source, note}.
+Usage: python3 tools/assemble_sf1_artifact.py <log_dir> [round]
+Writes CORRECTNESS_SF1.json; exits 1 if anything failed or no log
+parsed (an empty artifact must never look like a green one).
 """
-import json, re, sys
+import json
+import re
+import sys
+
+SOURCES = [
+    ("oracle.log", "check_oracle (DuckDB SQL)"),
+    ("cc.log", "check_cc_scaled (DuckDB CTEs + python union-find)"),
+    ("minhash.log", "check_minhash_scaled (independent python "
+                    "MinHash-LSH reimplementation)"),
+]
+
+# Committed oracles that CANNOT run at sf1 and why; their scaled
+# checkers above carry the verification instead.
+EXEMPT = {
+    "q65_dedup_clusters": "recursive closure CTE spills >200 GB",
+    "q102_cluster_safe_split": "recursive closure CTE spills >200 GB",
+    "q27_minhash_near_dup": "shingle-pair join chain spills past disk",
+}
+
 
 def parse(path, source):
     out = {}
@@ -26,32 +45,39 @@ def parse(path, source):
         pass
     return out
 
-res = {}
-res.update(parse("/tmp/oracle_sf1.log", "check_oracle (DuckDB SQL)"))
-res.update(parse("/tmp/cc_sf1.log",
-                 "check_cc_scaled (DuckDB CTEs + union-find)"))
-# integer-quanta q104 rerun supersedes the old-form FAIL
-new_q104 = parse("/tmp/oracle_sf1b.log", "check_oracle (DuckDB SQL)")
-if "q104_pagerank" in new_q104:
-    old = res.get("q104_pagerank", {})
-    new_q104["q104_pagerank"]["note"] = (
-        "integer-quanta form (r9 fix); r8 round(double,12) form FAILED "
-        "here first: " + old.get("note", ""))
-    res["q104_pagerank"] = new_q104["q104_pagerank"]
 
-doc = {
-    "round": 9,
-    "sf_dir": "/root/repo/scaledata/sf1",
-    "description": ("DuckDB-oracle correctness spot-check at sf1 (10x "
-                    "adversarially skewed data, ~52k-node similarity "
-                    "graph) for the 10 profile-top queries - VERDICT r8 "
-                    "#1. q65/q102 use the committed oracle CTEs up to "
-                    "jpairs with the recursive closure replaced by "
-                    "union-find (the closure spills >200 GB in DuckDB "
-                    "at this scale)."),
-    "results": dict(sorted(res.items())),
-    "n_pass": sum(1 for v in res.values() if v["status"] == "PASS"),
-    "n_fail": sum(1 for v in res.values() if v["status"] == "FAIL"),
-}
-json.dump(doc, open("CORRECTNESS_SF1.json", "w"), indent=1)
-print(json.dumps(doc, indent=1))
+def main():
+    log_dir = sys.argv[1]
+    rnd = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    res = {}
+    for fname, source in SOURCES:
+        res.update(parse(f"{log_dir}/{fname}", source))
+    for q, why in EXEMPT.items():
+        if q in res and "check_oracle" not in res[q]["source"]:
+            res[q]["note"] += f" [committed SQL oracle infeasible at sf1: {why}]"
+    doc = {
+        "round": rnd,
+        "sf_dir": "/root/repo/scaledata/sf1",
+        "description": (
+            "DuckDB-oracle correctness at sf1 (10x adversarially skewed "
+            "data, tools/gen_scale.py) for the profile-top + round-9/10 "
+            "queries. q65/q102 verified via check_cc_scaled.py (committed "
+            "oracle CTEs up to jpairs + union-find closure), q27 via "
+            "check_minhash_scaled.py (independent python MinHash-LSH "
+            "reimplementation) - their committed SQL oracles spill past "
+            "this host's disk at sf1. Round 9 ran this set first and "
+            "caught two real scale-dependent bugs (q104 decimal-rounding "
+            "tie-break drift -> integer-quanta rewrite; 1-ulp "
+            "decimal-to-double divergence past 53 bits -> string-cast "
+            "output boundary, Exact.scala)."),
+        "results": dict(sorted(res.items())),
+        "n_pass": sum(1 for v in res.values() if v["status"] == "PASS"),
+        "n_fail": sum(1 for v in res.values() if v["status"] == "FAIL"),
+    }
+    json.dump(doc, open("CORRECTNESS_SF1.json", "w"), indent=1)
+    print(json.dumps({k: doc[k] for k in ("round", "n_pass", "n_fail")}))
+    sys.exit(1 if (doc["n_fail"] or not res) else 0)
+
+
+if __name__ == "__main__":
+    main()

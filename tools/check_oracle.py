@@ -1,7 +1,13 @@
 #!/usr/bin/env python3
 """Local mimic of the driver's t2 correctness gate.
 
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [names]
+
+Optional third arg: comma-separated query-name filter (mirrors Verify's
+subset arg) — only those oracles run. Essential at sf1, where a few
+committed oracles (q27/q65/q102's pair/closure chains) are spill-
+infeasible in DuckDB and must be checked by their scaled checkers
+(check_cc_scaled.py / check_minhash_scaled.py) instead.
 
 Reads every <verifyOutDir>/<name> parquet (written by graft.Verify), runs the
 matching oracle SQL from <verifyOutDir>/oracle_sql.json in DuckDB against the
@@ -31,6 +37,7 @@ def canon(df):
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     con = duckdb.connect()
     # Spill-safe defaults (round 9): DuckDB's default temp dir is
     # CWD-relative `.tmp/` — an unbounded sf1 spill there filled the
@@ -44,6 +51,10 @@ def main():
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only is not None:
+        missing = only - set(oracle)
+        assert not missing, f"unknown query names: {sorted(missing)}"
+        oracle = {k: v for k, v in oracle.items() if k in only}
     n_pass = n_fail = 0
     for name in sorted(oracle):
         files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
