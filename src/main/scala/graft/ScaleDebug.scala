@@ -59,6 +59,42 @@ object ScaleDebug {
         r.write.format("noop").mode("overwrite").save())
       spark.stop(); return
     }
+    if (args.lift(1).contains("synthfix")) {
+      // VERDICT r9 #8: the fixpoint loops one more scale notch up —
+      // a SYNTHETIC edge set ~100x sf1's pair multiplicity (default
+      // 520k 11-cliques = 28.6M edges ≈ 100 x 286k, the r9 sf1 pair
+      // count; the clique-of-replicas shape mirrors what near-dup
+      // clustering actually feeds these loops) plus one 2047-node
+      // chain so star contraction's round count exercises its
+      // log-diameter term, not just clique depth-1. Set
+      // GRAFT_CC_DEBUG/GRAFT_PR_DEBUG for per-round times — flat
+      // per-round cost is the checkpointFresh stats-reset claim at
+      // 2-3x the shipped loops' round counts; round counts staying
+      // near the sf1 measurements (6 cc / 17-47 pr) is the
+      // mixing-bound claim (pagerank's rate is the 0.85 damping
+      // factor, graph-size-free; contraction is log-diameter).
+      val nc = args.lift(2).map(_.toInt).getOrElse(520000)
+      val k = 11
+      val ij = spark.range(k).select(col("id").as("i"))
+        .crossJoin(spark.range(k).select(col("id").as("j")))
+        .where(col("i") < col("j"))
+      val cliques = spark.range(nc).select((col("id") * k).as("b"))
+        .crossJoin(ij)
+        .select((col("b") + col("i")).as("u"), (col("b") + col("j")).as("v"))
+      val base = nc.toLong * k
+      val chain = spark.range(2047)
+        .select((col("id") + base).as("u"), (col("id") + base + 1).as("v"))
+      val edges = cliques.unionByName(chain).localCheckpoint()
+      println("  edges=" + edges.count())
+      val (labels, rounds) = time("starContraction @100x")(
+        graft.queries.Components.starContractionWithRounds(edges))
+      println("  cc rounds=" + rounds)
+      time("labels count")(println("  labels=" + labels.count()))
+      val pr = time("pageRankConverged @100x")(
+        graft.queries.TextOps.pageRankConverged(edges))
+      time("pr count")(println("  pr nodes=" + pr.count()))
+      spark.stop(); return
+    }
     if (args.lift(1).contains("pagerank")) {
       // One full q104 run (set GRAFT_PR_DEBUG=1 for per-round deltas):
       // confirms the convergence loop lands under PR_CAP at this scale
