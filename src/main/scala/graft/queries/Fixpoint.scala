@@ -40,4 +40,29 @@ object Fixpoint {
     val ck = df.localCheckpoint(eager = false)
     ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
   }
+
+  /** Amortized reset interval for [[checkpointRound]]. Between resets
+    * the inherited estimate grows ≤ RESET_EVERY doublings — a ≤ ~10³
+    * digit BigInt, microseconds of planner arithmetic — and then snaps
+    * back to the fresh-stats constant, so planning cost is bounded at
+    * ANY round depth. */
+  val RESET_EVERY = 8
+
+  /** Per-round checkpoint for a loop's CARRIED state (r10, after a
+    * measured A/B): `checkpointFresh` every round costs an extra
+    * exchange per round — the createDataFrame rebuild forgets the
+    * round output's hash partitioning, so the next round re-shuffles
+    * state that was already partitioned on the loop key. Measured on
+    * q65+q102+q143 at sf0.1 (tagged bench artifacts): 19.2 s total
+    * with a reset every round vs 15.0 s with plain checkpoints vs
+    * ~16.2 s amortized — and q104's per-round time is 0.3–0.4 s flat
+    * through 47 rounds under the amortized form (GRAFT_PR_DEBUG),
+    * identical to the every-round-reset shape. The plain lazy
+    * `localCheckpoint` keeps the partitioning but inherits compounding
+    * stats; taking it RESET_EVERY−1 rounds out of RESET_EVERY bounds
+    * the stats BigInt to a trivial size while keeping the
+    * exchange-free round shape. Round numbers are 1-based. */
+  def checkpointRound(df: DataFrame, round: Int): DataFrame =
+    if (round % RESET_EVERY == 0) checkpointFresh(df)
+    else df.localCheckpoint(eager = false)
 }

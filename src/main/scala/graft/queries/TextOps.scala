@@ -898,10 +898,12 @@ object TextOps {
         .select(explode(split(col("text"), " ")).as("w"))
         .where(length(col("w")) >= 2)
         .groupBy("w").agg(count(lit(1)).as("wf"))
-      // Lazy checkpoints + stats reset (Fixpoint.checkpointFresh):
-      // each round's best.head(1) is the single materializing action;
-      // the reset keeps the per-round toks⋈m⋈m join estimates from
-      // compounding across rounds (VERDICT r9 #2).
+      // Lazy checkpoints + amortized stats reset (Fixpoint
+      // .checkpointRound on the carried toks, VERDICT r9 #2): each
+      // round's best.head(1) is the single materializing action; the
+      // periodic reset bounds the per-round toks⋈m⋈m join estimates
+      // without paying checkpointFresh's re-shuffle every round.
+      // best/m are intra-round frames — plain lazy checkpoints.
       var toks = Fixpoint.checkpointFresh(words
         .select(col("w").as("wid"), col("wf"),
           posexplode(split(col("w"), "")).as(Seq("pos", "sym")))
@@ -910,12 +912,13 @@ object TextOps {
       val merges = Seq.newBuilder[DataFrame]
       for (r <- 1 to BPE_ROUNDS) {
         val prs = toks.withColumn("nxt", lead(col("sym"), 1).over(wWin))
-        val best = Fixpoint.checkpointFresh(prs
+        val best = prs
           .where(col("nxt").isNotNull)
           .groupBy(col("sym").as("a"), col("nxt").as("b"))
           .agg(sum("wf").as("pair_count"))
           .orderBy(col("pair_count").desc, col("a"), col("b"))
-          .limit(1))
+          .limit(1)
+          .localCheckpoint(false)
         // Fail loud on a degenerate corpus (ADVICE r8 #2): with no pair
         // left, the bestSym crossJoin below would silently annihilate the
         // token state and truncate the merge table — and the oracle's
@@ -925,7 +928,7 @@ object TextOps {
         if (best.head(1).isEmpty) throw new IllegalStateException(
           s"q143: no adjacent symbol pair left at round $r of " +
             s"$BPE_ROUNDS — corpus exhausted; lower BPE_ROUNDS")
-        val m = Fixpoint.checkpointFresh(prs
+        val m = prs
           .join(broadcast(best),
             col("sym") === col("a") && col("nxt") === col("b"))
           .select(col("wid"), col("pos"))
@@ -933,9 +936,10 @@ object TextOps {
           .withColumn("off", col("pos") -
             min("pos").over(Window.partitionBy("wid", "grp")))
           .where(col("off") % 2 === 0)
-          .select(col("wid").as("kwid"), col("pos").as("kpos")))
+          .select(col("wid").as("kwid"), col("pos").as("kpos"))
+          .localCheckpoint(false)
         val bestSym = best.select(concat(col("a"), col("b")).as("msym"))
-        toks = Fixpoint.checkpointFresh(toks
+        toks = Fixpoint.checkpointRound(toks
           .join(m, col("wid") === col("kwid") && col("pos") === col("kpos"),
             "left")
           .join(m.select(col("kwid").as("pwid"), col("kpos").as("ppos")),
@@ -949,7 +953,7 @@ object TextOps {
             col("wf"))
           .withColumn("pos", row_number().over(
             Window.partitionBy("wid").orderBy("opos")).cast("long") - 1)
-          .select("wid", "pos", "sym", "wf"))
+          .select("wid", "pos", "sym", "wf"), r)
         merges += best.select(lit(r.toLong).as("round"),
           col("a").as("left_sym"), col("b").as("right_sym"),
           col("pair_count"))
@@ -1089,7 +1093,7 @@ object TextOps {
     * already-shuffled doc_id key against the previous round's
     * checkpoint, so it rides the same exchange. */
   private def prStep(pr: DataFrame, edges: DataFrame,
-      degn: DataFrame, carryPrev: Boolean = false): DataFrame = {
+      degn: DataFrame, round: Int, carryPrev: Boolean = false): DataFrame = {
     val contrib = pr
       .select(col("doc_id").as("src_id"), col("q"), col("deg"))
       .join(edges, col("src_id") === edges("src"))
@@ -1105,12 +1109,15 @@ object TextOps {
           pr.select(col("doc_id").as("pdoc"), col("q").as("prev")),
           col("doc_id") === col("pdoc"))
         .drop("pdoc")
-    // Lazy checkpoint + STATS RESET (see Fixpoint.checkpointFresh for
-    // the r9 forensic): without the reset, inherited join-size
+    // Lazy checkpoint + AMORTIZED STATS RESET (see Fixpoint for the r9
+    // forensic and the r10 A/B): without any reset, inherited join-size
     // estimates compound per round and the carried second `pr`
     // reference makes the driver's stats BigInts double in digit count
-    // every round — exponential planning time from ~round 17.
-    Fixpoint.checkpointFresh(out)
+    // every round — exponential planning time from ~round 17. Resetting
+    // every round re-shuffles the already-partitioned state; every
+    // RESET_EVERY rounds bounds the digits at ≤ 2^8·d₀ (planner
+    // microseconds) and keeps the exchange-free round shape between.
+    Fixpoint.checkpointRound(out, round)
   }
 
   /** The symmetrized graph: edge list + per-node degree/count table
@@ -1137,7 +1144,7 @@ object TextOps {
   private[graft] def pageRank(pairs: DataFrame, iters: Int): DataFrame = {
     val (edges, degn) = prGraph(pairs)
     var pr = prInit(degn)
-    for (_ <- 1 to iters) pr = prStep(pr, edges, degn)
+    for (i <- 1 to iters) pr = prStep(pr, edges, degn, i)
     pr
   }
 
@@ -1175,7 +1182,7 @@ object TextOps {
       // the lazily-checkpointed step output, so it both materializes the
       // round AND reads max|Δ| off the carried prev column — no separate
       // next⋈prev job (VERDICT r8 #2; was ~2 job latencies per round).
-      val next = prStep(pr, edges, degn, carryPrev = true)
+      val next = prStep(pr, edges, degn, k, carryPrev = true)
       delta = next.agg(max(abs(col("q") - col("prev")))).head().getLong(0)
       if (dbg) println(f"[pr] round $k: delta=$delta tol=$tolQ " +
         f"${(System.nanoTime - t0) / 1e9}%.1f s")

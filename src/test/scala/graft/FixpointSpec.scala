@@ -68,4 +68,34 @@ class FixpointSpec extends AnyFunSuite {
     assert(got.length == 32 - rounds)
     assert(got.forall { case (u, v) => v == u + rounds + 1 })
   }
+
+  test("checkpointRound bounds estimates to the reset window at any " +
+      "depth (the shipped amortized form)") {
+    // The shipped loops use checkpointRound: plain lazy checkpoints
+    // (partitioning-preserving, no per-round exchange) with a full
+    // reset every RESET_EVERY rounds. The estimate must be PERIODIC —
+    // every round's digit count equals the same-phase round one window
+    // earlier — i.e. bounded forever, never compounding.
+    val e0 = s.range(64).select(col("id").as("u"), (col("id") + 1).as("v"))
+    val rounds = 26 // > 3 reset windows
+    var st = Fixpoint.checkpointRound(step(e0, e0), 1)
+    val ds = scala.collection.mutable.ArrayBuffer(digits(st))
+    for (r <- 2 to rounds) {
+      st = Fixpoint.checkpointRound(step(st, e0), r)
+      ds += digits(st)
+    }
+    val w = Fixpoint.RESET_EVERY
+    // compare full post-first-reset windows (phases align from round
+    // w+1 on; the pre-reset phase may differ at its entry point)
+    for (r <- 2 * w + 1 to rounds)
+      assert(ds(r - 1) == ds(r - 1 - w),
+        s"round $r estimate ${ds(r - 1)} digits != round ${r - w} " +
+          s"${ds(r - 1 - w)} — not window-periodic: $ds")
+    // growth within a window exists (it is the plain-checkpoint phase)
+    assert(ds.max > ds.min, s"expected within-window growth: $ds")
+    // data path: 26 hops over the 64-chain
+    val got = st.orderBy("u").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 64 - rounds)
+    assert(got.forall { case (u, v) => v == u + rounds + 1 })
+  }
 }
