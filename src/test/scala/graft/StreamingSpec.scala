@@ -68,6 +68,41 @@ class StreamingSpec extends AnyFunSuite {
       (2L, t(9, 5), 1L)))
   }
 
+  test("sessionCounts over the REAL events table equals the q62 batch " +
+      "answer once the watermark passes every session") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import org.apache.spark.sql.functions.{col, expr, lit}
+    val SF = "/root/testdata/sf0.001"
+    val dir = Files.createTempDirectory("graft_stream_sessions")
+    Files.copy(Paths.get(s"$SF/events.parquet"),
+      dir.resolve("part-0.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val raw = s.read.parquet(dir.toString)
+    val stream = graft.model.Tables.normalizeEventTs(
+      s.readStream.schema(raw.schema).parquet(dir.toString))
+    val q = EventStreams.sessionCounts(stream)
+      .writeStream.format("memory").queryName("sessions_real")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // a far-future sentinel event (user -1) pushes the watermark past
+    // every real session's close so Append mode emits them all; the
+    // interval add preserves the on-disk ts type, so the file source
+    // accepts the second file
+    raw.limit(1)
+      .withColumn("user_id", lit(-1L))
+      .withColumn("ts", col("ts") + expr("INTERVAL 365 DAYS"))
+      .write.mode("append").parquet(dir.toString)
+    q.processAllAvailable()
+    val streamed = s.table("sessions_real")
+      .where(col("user_id") =!= -1L).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).sorted.toSeq
+    q.stop()
+    val want = SparkEntry.queries("q62_session_window")(s, SF)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+      .sorted.toSeq
+    assert(want.nonEmpty)
+    assert(streamed == want)
+  }
+
   test("dropDuplicatesWithinWatermark removes repeated event ids") {
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
