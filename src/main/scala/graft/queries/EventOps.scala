@@ -415,6 +415,31 @@ object EventOps {
         .orderBy("user_id", "click_ts", "purchase_ts")
     }),
 
+    // The ANTI complement of q56 (round 10): clicks with NO purchase by
+    // the same user in the following 30 minutes — the abandonment feed
+    // a re-engagement pipeline consumes. LEFT ANTI with the same
+    // equi+range condition: one shuffle on user_id for each side (the
+    // equi key), the range predicate evaluated inside the joined
+    // stream, output ≤ the click count. The streaming twin is
+    // EventStreams.clickAbandonment (LEFT OUTER interval join whose
+    // null-padded rows emit when the watermark closes the click's
+    // 30-minute window); StreamingSpec pins stream ≡ this batch answer
+    // on the real events table.
+    "q147_click_abandonment" -> ((s, dir) => {
+      val e = Tables(s, dir).events
+      val c = e.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"))
+      val p = e.where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+      c.join(p,
+          col("user_id") === col("p_user") &&
+            col("purchase_ts") >= col("click_ts") &&
+            unix_micros(col("purchase_ts"))
+              <= unix_micros(col("click_ts")) + 1800L * 1000000L,
+          "left_anti")
+        .orderBy("user_id", "click_ts")
+    }),
+
     // Date family over orders: month truncation, weekend detection
     // (Spark dayofweek is 1=Sunday; DuckDB dow is 0=Sunday — both sides
     // express "Saturday or Sunday" in their own numbering).
@@ -743,6 +768,18 @@ object EventOps {
         | AND p.ts >= c.ts
         | AND epoch_us(p.ts) <= epoch_us(c.ts) + 1800000000
         |ORDER BY c.user_id, click_ts, purchase_ts""".stripMargin,
+
+    "q147_click_abandonment" ->
+      """SELECT c.user_id, c.ts AS click_ts
+        |FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+        |WHERE NOT EXISTS (
+        |  SELECT 1
+        |  FROM (SELECT user_id, ts FROM events
+        |        WHERE event_type = 'purchase') p
+        |  WHERE p.user_id = c.user_id
+        |    AND p.ts >= c.ts
+        |    AND epoch_us(p.ts) <= epoch_us(c.ts) + 1800000000)
+        |ORDER BY user_id, click_ts""".stripMargin,
 
     "q42_date_math" ->
       """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,

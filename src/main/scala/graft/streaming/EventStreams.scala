@@ -105,6 +105,27 @@ object EventStreams {
       .select(col("c.user_id").as("user_id"), col("c.ts").as("click_ts"),
         col("p.ts").as("purchase_ts"))
 
+  /** LEFT OUTER stream-stream interval join — the streaming q147
+    * (click abandonment). Matched rows emit like clickToPurchase;
+    * an UNMATCHED click emits once, null-padded, only when the
+    * watermark passes the end of its 30-minute match window (the
+    * engine must know no future purchase can still arrive before it
+    * can assert "abandoned" — outer results are inherently
+    * watermark-delayed, the semantic this operator exists to pin).
+    * State stays bounded exactly as in the inner form: both sides'
+    * expired event-time ranges are dropped. The abandonment feed is
+    * `purchase_ts IS NULL` over this output — stateless filter on
+    * top; q147_click_abandonment is the batch oracle-checked twin. */
+  def clickAbandonment(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    clicks.withWatermark("ts", "1 hour").alias("c")
+      .join(
+        purchases.withWatermark("ts", "2 hours").alias("p"),
+        expr("""c.user_id = p.user_id AND
+                p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTES"""),
+        "left_outer")
+      .select(col("c.user_id").as("user_id"), col("c.ts").as("click_ts"),
+        col("p.ts").as("purchase_ts"))
+
   /** Stream-static broadcast enrichment — the dimension join every
     * ingest path runs: each micro-batch joins the static dim frame,
     * broadcast, with NO streaming state and no watermark requirement.

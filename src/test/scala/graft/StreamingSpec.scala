@@ -195,6 +195,79 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows === Set((1L, Timestamp.valueOf("2024-01-01 10:20:00"))))
   }
 
+  test("left-outer interval join: abandoned clicks emit null-padded only " +
+      "after the watermark closes their 30-min window") {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Timestamp)]
+    val q = EventStreams.clickAbandonment(
+      clicks.toDF().toDF("user_id", "ts"),
+      purchases.toDF().toDF("user_id", "ts"))
+      .writeStream.format("memory").queryName("abandon")
+      .outputMode("append").start()
+    // u1 converts within 30 min; u2 never purchases
+    clicks.addData((1L, ts(1, 10)), (2L, ts(1, 10)))
+    purchases.addData((1L, Timestamp.valueOf("2024-01-01 10:20:00")))
+    q.processAllAvailable()
+    val early = s.table("abandon").collect()
+      .map(r => (r.getLong(0), r.isNullAt(2))).toSet
+    // the match may emit immediately; the null-padded u2 row MUST NOT —
+    // the engine cannot yet rule out a future purchase
+    assert(early === Set((1L, false)),
+      s"abandonment asserted before the watermark allowed it: $early")
+    // day-3 traffic on BOTH streams pushes the joint watermark past
+    // u2's click + 30 min (+ the 1 h/2 h delays)
+    clicks.addData((9L, ts(3, 12)))
+    purchases.addData((9L, ts(3, 12)))
+    q.processAllAvailable()
+    q.processAllAvailable()
+    val late = s.table("abandon").collect()
+      .map(r => (r.getLong(0), r.isNullAt(2))).toSet
+    q.stop()
+    assert(late.contains((2L, true)),
+      s"u2's abandoned click never emitted: $late")
+  }
+
+  test("streaming abandonment feed over the REAL events table equals the " +
+      "q147 batch answer once the watermark passes everything") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import org.apache.spark.sql.functions.{col, expr, lit}
+    val SF = "/root/testdata/sf0.001"
+    val dir = Files.createTempDirectory("graft_stream_abandon")
+    Files.copy(Paths.get(s"$SF/events.parquet"),
+      dir.resolve("part-0.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val raw = s.read.parquet(dir.toString)
+    def side(tpe: String) = graft.model.Tables.normalizeEventTs(
+      s.readStream.schema(raw.schema).parquet(dir.toString))
+      .where(col("event_type") === tpe)
+      .select("user_id", "ts")
+    val q = EventStreams.clickAbandonment(side("click"), side("purchase"))
+      .writeStream.format("memory").queryName("abandon_real")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // far-future sentinel rows of BOTH types push both sides' watermarks
+    // past every real click's 30-min window
+    raw.limit(1).withColumn("user_id", lit(-1L))
+      .withColumn("event_type", lit("click"))
+      .withColumn("ts", col("ts") + expr("INTERVAL 365 DAYS"))
+      .write.mode("append").parquet(dir.toString)
+    raw.limit(1).withColumn("user_id", lit(-1L))
+      .withColumn("event_type", lit("purchase"))
+      .withColumn("ts", col("ts") + expr("INTERVAL 365 DAYS"))
+      .write.mode("append").parquet(dir.toString)
+    q.processAllAvailable()
+    q.processAllAvailable()
+    val streamed = s.table("abandon_real")
+      .where(col("purchase_ts").isNull && col("user_id") =!= -1L)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1))).sorted.toSeq
+    q.stop()
+    val want = SparkEntry.queries("q147_click_abandonment")(s, SF)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1))).sorted.toSeq
+    assert(want.nonEmpty)
+    assert(streamed == want)
+  }
+
   test("mapGroupsWithState accumulates per-user totals across batches") {
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
