@@ -150,6 +150,74 @@ object Components {
       maxIter: Int = 30): DataFrame =
     starContractionWithRounds(edges, maxIter)._1
 
+  /** Per-node triangle participation counts over an undirected simple
+    * graph (q148) — the structural-density metric of a near-dup cluster:
+    * a boilerplate clique is triangle-saturated while a chain of
+    * pairwise-similar revisions has none, so n_tri/deg separates "true
+    * duplicate cluster" from "drifting near-dup chain" where component
+    * size alone cannot.
+    *
+    * Algorithm: degree-ordered edge orientation (the classic external-
+    * memory/MapReduce triangle count — Suri & Vassilvitskii, "Counting
+    * Triangles and the Curse of the Last Reducer", WWW 2011). Under the
+    * total order η(x) = (deg(x), x), every edge is directed toward its
+    * η-larger endpoint; each triangle {a,b,c} with η(a)<η(b)<η(c) then
+    * appears EXACTLY once as the wedge (a→b, a→c) closed by the edge
+    * b→c. The point at scale: after orientation every node's
+    * OUT-degree is O(√m), so the wedge join's per-key fan-out is
+    * bounded — a celebrity node with 10⁶ neighbors contributes 10⁶
+    * wedge-join ROWS but never 10¹² wedge pairs, because its incident
+    * edges all point INTO it. (The naive u<v wedge join has exactly
+    * that quadratic hot-key blowup; the oracle uses it, at sf scale,
+    * as the independent check.)
+    *
+    * Edges are normalized/deduped defensively (callers like
+    * jaccardPairs already guarantee u < v distinct); the entry
+    * checkpoint keeps the caller's pairs subtree from re-evaluating
+    * under the three consumers (degree build + both wedge sides — the
+    * q65 lesson), and the oriented edge list is lazily checkpointed
+    * because the wedge join reads it twice and the closing join a third
+    * time. Output: (doc_id, n_tri) for every node in ≥ 1 triangle. */
+  private[graft] def triangleCounts(pairs: DataFrame): DataFrame = {
+    val edges = Fixpoint.checkpointFresh(pairs
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct())
+    val deg = undirected(edges)
+      .groupBy(col("u").as("x")).agg(count(lit(1)).as("d"))
+    val withDeg = edges
+      .join(deg.select(col("x").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("x").as("v"), col("d").as("dv")), "v")
+    val oriented = withDeg.select(
+        when(col("du") < col("dv") ||
+             (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("s"), col("v").as("t"), col("dv").as("dt")))
+        .otherwise(
+          struct(col("v").as("s"), col("u").as("t"), col("du").as("dt")))
+        .as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"), col("e.dt").as("dt"))
+      .localCheckpoint(false)
+    // wedges at the η-minimum corner; strict (dt, t) order picks each
+    // unordered target pair once, in the SAME η order the orientation
+    // used, so the closing edge is guaranteed to run b→c
+    val e1 = oriented.select(col("s"), col("t").as("b"), col("dt").as("db_"))
+    val e2 = oriented.select(col("s").as("s2"), col("t").as("c"),
+      col("dt").as("dc_"))
+    val wedges = e1.join(e2, col("s") === col("s2") &&
+        (col("db_") < col("dc_") ||
+         (col("db_") === col("dc_") && col("b") < col("c"))))
+      .select(col("s").as("a"), col("b"), col("c"))
+    val closing = oriented.select(col("s").as("b2"), col("t").as("c2"))
+    val tri = wedges.join(closing,
+        col("b") === col("b2") && col("c") === col("c2"))
+      .select("a", "b", "c")
+    tri.select(col("a").as("doc_id"))
+      .unionByName(tri.select(col("b").as("doc_id")))
+      .unionByName(tri.select(col("c").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_tri"))
+  }
+
   /** Foil / property-test twin: naive min-label propagation. Rounds =
     * max graph distance to a component minimum; FAILS LOUDLY when the
     * cap exits before the fixpoint (the r4 form silently returned the

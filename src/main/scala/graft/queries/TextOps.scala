@@ -1049,6 +1049,19 @@ object TextOps {
         .where(col("rk") <= WSAMPLE_K)
         .orderBy("lang", "rk")
     }),
+
+    // Triangle census of the q29 similarity graph — the cluster-density
+    // diagnostic that separates boilerplate cliques (triangle-saturated)
+    // from drifting near-dup chains (triangle-free) inside the same q65
+    // component. Degree-ordered orientation bounds the wedge join's
+    // per-key fan-out at O(√m) — see Components.triangleCounts for the
+    // hot-node argument; the oracle is the naive a<b<c three-way
+    // self-join, fine at oracle scale, quadratic on a hot node at 100 TB.
+    "q148_triangle_count" -> ((s, dir) => {
+      val pairs = jaccardPairs(s, dir)
+        .select(col("da").as("u"), col("db").as("v"))
+      Components.triangleCounts(pairs).orderBy("doc_id")
+    }),
   )
 
   /** q104/q107 constants — shared with the oracle SQL builders below.
@@ -1511,6 +1524,25 @@ object TextOps {
          | SELECT e.v, r.label FROM reach r JOIN und e ON e.u = r.u)
          |SELECT u AS doc_id, MIN(label) AS cluster_id FROM reach
          |GROUP BY u ORDER BY doc_id""".stripMargin,
+
+    // independent formulation on purpose: the oracle enumerates each
+    // triangle as its unique u<v<w edge triple (no degrees anywhere),
+    // so a bug in the engine's η-orientation bookkeeping cannot be
+    // mirrored here
+    "q148_triangle_count" ->
+      s"""WITH $JPAIRS_CTES,
+         |e AS (SELECT da AS u, db AS v FROM jpairs),
+         |tri AS (
+         | SELECT e1.u AS a, e1.v AS b, e2.v AS c
+         | FROM e e1
+         | JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+         | JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+         |corners AS (
+         | SELECT a AS doc_id FROM tri
+         | UNION ALL SELECT b FROM tri
+         | UNION ALL SELECT c FROM tri)
+         |SELECT doc_id, COUNT(*) AS n_tri FROM corners
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // same recursive-CTE components as q65 + both split policies from
     // the same md5 buckets; the straddle columns are computed, not

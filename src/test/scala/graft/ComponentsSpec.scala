@@ -51,4 +51,48 @@ class ComponentsSpec extends AnyFunSuite {
     assert(star(3L) === 1L && star(13L) === 10L && star(27L) === 20L &&
       star(33L) === 30L && star(41L) === 40L)
   }
+
+  test("triangle counts: clique saturated, cycle/star/chain triangle-free, " +
+      "input normalization tolerated") {
+    import s.implicits._
+    // K4 on {1,2,3,4} (each node in C(3,2)=3 triangles), a 4-cycle, a
+    // star hub and a chain (all triangle-free) — plus a reversed
+    // duplicate edge and a self-loop the normalization must absorb
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (2L, 1L),                                  // reversed duplicate
+      (5L, 5L),                                  // self-loop
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 10L), // 4-cycle
+      (20L, 25L), (20L, 26L), (20L, 27L),        // star
+      (30L, 31L), (31L, 32L)                     // chain
+    ).toDF("u", "v")
+    val got = Components.triangleCounts(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangle counts match a local brute-force census on a seeded " +
+      "random graph with a forced hot hub") {
+    import s.implicits._
+    val rnd = new scala.util.Random(148)
+    val n = 60
+    // ~8% random edges + a hub (node 0) wired to every third node: the
+    // hub's degree (~20) dwarfs the rest, exercising the η-orientation's
+    // hot-node path (its edges must all point INTO it)
+    val base = for {
+      u <- 0 until n; v <- (u + 1) until n
+      if rnd.nextDouble() < 0.08 || (u == 0 && v % 3 == 0)
+    } yield (u.toLong, v.toLong)
+    val got = Components.triangleCounts(base.toDF("u", "v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val adj = base.foldLeft(Map.empty[Long, Set[Long]].withDefaultValue(Set.empty[Long])) {
+      case (m, (u, v)) => m.updated(u, m(u) + v).updated(v, m(v) + u)
+    }
+    val want = (0L until n.toLong).map { x =>
+      val nb = adj(x).toSeq
+      x -> nb.combinations(2).count { case Seq(y, z) => adj(y)(z) }.toLong
+    }.filter(_._2 > 0).toMap
+    assert(want.nonEmpty, "seeded graph unexpectedly triangle-free")
+    assert(got === want)
+  }
 }
