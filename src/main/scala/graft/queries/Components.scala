@@ -218,6 +218,60 @@ object Components {
       .groupBy("doc_id").agg(count(lit(1)).as("n_tri"))
   }
 
+  /** k-core of an undirected simple graph (q149): the maximal subgraph
+    * in which every node keeps degree ≥ k, by PARALLEL PEELING — each
+    * round deletes EVERY node currently under-degree (not one at a
+    * time, the sequential textbook order), which reaches the same
+    * unique fixpoint because k-core membership is order-independent
+    * (the standard Matula–Beck argument). On the similarity graph this
+    * is the third structure diagnostic next to q65 (membership) and
+    * q148 (closure): pendant chains of drifting revisions peel away,
+    * boilerplate cliques survive as cores.
+    *
+    * Plan per round: one degree aggregate over the undirected view
+    * (shuffle on node id) and two LEFT SEMI joins re-filtering the edge
+    * list (shuffles on u, then v) — all over a monotonically SHRINKING
+    * edge set; the `alive` frame is lazily checkpointed because both
+    * semi joins read it. Convergence = edge COUNT unchanged, which on a
+    * deletion-only loop is a proof, not a heuristic (equal cardinality
+    * of nested sets forces equality), so the per-round action is a bare
+    * count. Round count = peel depth; a path is the worst case
+    * (length/2 rounds for k=2) and the `cap` fails loudly rather than
+    * returning a half-peeled subgraph (the r4 components lesson).
+    * Carried state routes through [[Fixpoint.checkpointRound]]: plan
+    * stats stay bounded at any depth, rounds stay exchange-free between
+    * the amortized resets. Output: (doc_id, core_deg) for the core's
+    * nodes — degrees WITHIN the core, each ≥ k by construction. */
+  private[graft] def kCore(pairs: DataFrame, k: Int, cap: Int): DataFrame = {
+    var edges = Fixpoint.checkpointFresh(pairs
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct())
+    var n = edges.count()
+    var round = 0
+    var converged = n == 0L
+    while (!converged) {
+      round += 1
+      require(round <= cap, s"kCore: still peeling after $cap rounds")
+      val alive = undirected(edges)
+        .groupBy(col("u").as("x")).agg(count(lit(1)).as("d"))
+        .where(col("d") >= k)
+        .select("x")
+        .localCheckpoint(false)
+      val next = Fixpoint.checkpointRound(
+        edges.join(alive.select(col("x").as("u")), Seq("u"), "left_semi")
+          .join(alive.select(col("x").as("v")), Seq("v"), "left_semi")
+          .select("u", "v"), round)
+      val m = next.count()
+      converged = m == n
+      n = m
+      edges = next
+    }
+    undirected(edges)
+      .groupBy(col("u").as("doc_id")).agg(count(lit(1)).as("core_deg"))
+  }
+
   /** Foil / property-test twin: naive min-label propagation. Rounds =
     * max graph distance to a component minimum; FAILS LOUDLY when the
     * cap exits before the fixpoint (the r4 form silently returned the

@@ -1062,6 +1062,23 @@ object TextOps {
         .select(col("da").as("u"), col("db").as("v"))
       Components.triangleCounts(pairs).orderBy("doc_id")
     }),
+
+    // k-core of the q29 similarity graph — the peeling complement of
+    // q148's closure census: drifting-revision chains (every internal
+    // node deg 2, endpoints deg 1) dissolve under repeated peeling while
+    // boilerplate cliques survive intact, so the 2-core IS the "dense
+    // duplication" sub-corpus. Parallel peeling, edge-count convergence
+    // (deletion-only ⇒ equal count proves the fixpoint), fail-loud round
+    // cap — see Components.kCore for the per-round plan shape. The
+    // oracle unrolls KCORE_CAP peel rounds as CTEs; peeling is IDEMPOTENT
+    // at the fixpoint, so extra unrolled rounds are no-ops and no stop-
+    // round selection is needed (contrast q104, whose oracle must pick
+    // the first converged iterate).
+    "q149_kcore" -> ((s, dir) => {
+      val pairs = jaccardPairs(s, dir)
+        .select(col("da").as("u"), col("db").as("v"))
+      Components.kCore(pairs, KCORE_K, KCORE_CAP).orderBy("doc_id")
+    }),
   )
 
   /** q104/q107 constants — shared with the oracle SQL builders below.
@@ -1083,6 +1100,13 @@ object TextOps {
   private[graft] val PR_TELEPORT_Q = 150000000000L  // 0.15 · PR_Q
   private[graft] val PR_TOL_NUM_Q  = 1000000000L    // 1e-3 · PR_Q
   private val WSAMPLE_K  = 5
+
+  /** q149: the k of the shipped k-core (2 = dissolve chains, keep
+    * anything cyclic) and the fail-loud peel-round ceiling — also the
+    * oracle's unroll depth, so Spark can never converge LATER than the
+    * oracle stops. Peel depth observed: 2–4 on the sf graphs. */
+  private[graft] val KCORE_K   = 2
+  private[graft] val KCORE_CAP = 30
 
   /** q143: BPE training rounds — enough to exercise multi-character
     * merges merging with each other on this vocabulary. */
@@ -1543,6 +1567,36 @@ object TextOps {
          | UNION ALL SELECT c FROM tri)
          |SELECT doc_id, COUNT(*) AS n_tri FROM corners
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // unrolled parallel peeling, KCORE_CAP rounds: each round keeps the
+    // edges whose BOTH endpoints currently have degree >= k. Peeling is
+    // idempotent at its fixpoint, so unrolling past convergence is a
+    // no-op and the final round IS the answer — no stop-round selection
+    // (q104's oracle needs one because pagerank iterates never stop
+    // changing). The Spark side fails loudly past the same cap, so it
+    // can never have peeled deeper than this oracle.
+    "q149_kcore" -> {
+      val rounds = (1 to KCORE_CAP).map { i =>
+        s"""alive$i AS MATERIALIZED (
+           | SELECT u AS x FROM (
+           |  SELECT u, COUNT(*) AS d FROM (
+           |   SELECT u, v FROM e${i - 1}
+           |   UNION ALL SELECT v AS u, u AS v FROM e${i - 1}) und$i
+           |  GROUP BY u) deg$i
+           | WHERE d >= $KCORE_K),
+           |e$i AS MATERIALIZED (
+           | SELECT e.u, e.v FROM e${i - 1} e
+           | JOIN alive$i a ON e.u = a.x
+           | JOIN alive$i b ON e.v = b.x)"""
+      }.mkString(",\n")
+      s"""WITH $JPAIRS_CTES,
+         |e0 AS MATERIALIZED (SELECT da AS u, db AS v FROM jpairs),
+         |$rounds
+         |SELECT u AS doc_id, COUNT(*) AS core_deg FROM (
+         | SELECT u, v FROM e$KCORE_CAP
+         | UNION ALL SELECT v AS u, u AS v FROM e$KCORE_CAP) undf
+         |GROUP BY u ORDER BY doc_id""".stripMargin
+    },
 
     // same recursive-CTE components as q65 + both split policies from
     // the same md5 buckets; the straddle columns are computed, not
