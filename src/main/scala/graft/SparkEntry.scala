@@ -30,6 +30,7 @@ object SparkEntry {
     _root_.graft.queries.ScaleOps.queries,
     _root_.graft.queries.Selection.queries,
     _root_.graft.queries.Retrieval.queries,
+    _root_.graft.queries.Affinity.queries,
   )
   private def oracleCatalogs = Seq(
     _root_.graft.queries.Relational.oracles,
@@ -45,6 +46,7 @@ object SparkEntry {
     _root_.graft.queries.ScaleOps.oracles,
     _root_.graft.queries.Selection.oracles,
     _root_.graft.queries.Retrieval.oracles,
+    _root_.graft.queries.Affinity.oracles,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
