@@ -325,10 +325,80 @@ object Relational {
           |                    WHERE l2.l_partkey = p_partkey)
           |GROUP BY p_brand ORDER BY p_brand""".stripMargin)
     }),
+
+    // Referential-integrity audit over the star's seven FK edges — the
+    // data-quality gate a warehouse runs before trusting a join. Per
+    // edge: child row/null/distinct-key counts, orphan keys (child keys
+    // with no parent — LEFT ANTI on the DISTINCT key set, never on raw
+    // fact rows), and childless parents (the reverse anti-join: parts
+    // never ordered, customers who never bought). Every per-edge
+    // subtree prunes its scan to the ONE key column (lineitem appears
+    // on three edges = three single-column scans, not three full-width
+    // reads), anti-joins run against deduped keys sized |key domain|,
+    // and the 7 one-row aggregates cross-join into the summary — a
+    // constant-size frame regardless of SF.
+    "q152_fk_audit" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val tabs = Map("lineitem" -> t.lineitem, "orders" -> t.orders,
+        "customer" -> t.customer, "supplier" -> t.supplier,
+        "nation" -> t.nation, "part" -> t.part, "region" -> t.region)
+      FK_EDGES.map { case (nm, c, ck, p, pk) =>
+        val child = tabs(c).select(col(ck).as("k"))
+        val dk = child.where(col("k").isNotNull).distinct()
+        val parent = tabs(p).select(col(pk).as("k"))
+        val base = child.agg(count(lit(1)).as("n_child"),
+          count(col("k")).as("n_nonnull"))
+        val nd = dk.agg(count(lit(1)).as("n_distinct"))
+        val orph = dk.join(parent, Seq("k"), "left_anti")
+          .agg(count(lit(1)).as("n_orphan_keys"))
+        val childless = parent.join(dk, Seq("k"), "left_anti")
+          .agg(count(lit(1)).as("n_childless_parents"))
+        base.crossJoin(nd).crossJoin(orph).crossJoin(childless)
+          .select(lit(nm).as("fk"), col("n_child"),
+            (col("n_child") - col("n_nonnull")).as("n_null"),
+            col("n_distinct"), col("n_orphan_keys"),
+            col("n_childless_parents"))
+      }.reduce(_ unionByName _).orderBy("fk")
+    }),
+  )
+
+  /** q152: the star's FK edges — (edge label, child table, child key,
+    * parent table, parent key). Shared by the Spark audit and the
+    * generated oracle so the two sides cannot drift. */
+  private[graft] val FK_EDGES = Seq(
+    ("customer.c_nationkey -> nation", "customer", "c_nationkey",
+      "nation", "n_nationkey"),
+    ("lineitem.l_orderkey -> orders", "lineitem", "l_orderkey",
+      "orders", "o_orderkey"),
+    ("lineitem.l_partkey -> part", "lineitem", "l_partkey",
+      "part", "p_partkey"),
+    ("lineitem.l_suppkey -> supplier", "lineitem", "l_suppkey",
+      "supplier", "s_suppkey"),
+    ("nation.n_regionkey -> region", "nation", "n_regionkey",
+      "region", "r_regionkey"),
+    ("orders.o_custkey -> customer", "orders", "o_custkey",
+      "customer", "c_custkey"),
+    ("supplier.s_nationkey -> nation", "supplier", "s_nationkey",
+      "nation", "n_nationkey"),
   )
 
   // DuckDB dialect of each query, value-identical by construction.
   def oracles: Map[String, String] = Map(
+    // generated from the SAME FK_EDGES list as the Spark side
+    "q152_fk_audit" -> (FK_EDGES.map { case (nm, c, ck, p, pk) =>
+      s"""SELECT '$nm' AS fk,
+         | (SELECT COUNT(*) FROM $c) AS n_child,
+         | (SELECT COUNT(*) FROM $c WHERE $ck IS NULL) AS n_null,
+         | (SELECT COUNT(DISTINCT $ck) FROM $c) AS n_distinct,
+         | (SELECT COUNT(*) FROM
+         |   (SELECT DISTINCT $ck AS k FROM $c WHERE $ck IS NOT NULL) d
+         |  WHERE NOT EXISTS (SELECT 1 FROM $p WHERE $pk = d.k))
+         |  AS n_orphan_keys,
+         | (SELECT COUNT(*) FROM $p WHERE NOT EXISTS
+         |   (SELECT 1 FROM $c WHERE $c.$ck = $p.$pk))
+         |  AS n_childless_parents""".stripMargin
+    }.mkString("\nUNION ALL\n") + "\nORDER BY fk"),
+
     "q95_pivot_reshape" ->
       s"""SELECT source,
          |${LANGS.map(l =>
