@@ -21,6 +21,8 @@ SOURCES = [
     ("cc.log", "check_cc_scaled (DuckDB CTEs + python union-find)"),
     ("minhash.log", "check_minhash_scaled (independent python "
                     "MinHash-LSH reimplementation)"),
+    ("triangles.log", "check_triangles_scaled (python adjacency-set "
+                      "census over the committed oracle's edge CTEs)"),
 ]
 
 # Committed oracles that CANNOT run at sf1 and why; their scaled
@@ -29,6 +31,8 @@ EXEMPT = {
     "q65_dedup_clusters": "recursive closure CTE spills >200 GB",
     "q102_cluster_safe_split": "recursive closure CTE spills >200 GB",
     "q27_minhash_near_dup": "shingle-pair join chain spills past disk",
+    "q148_triangle_count": "naive (deliberately unoriented) wedge join "
+                           "spills past disk",
 }
 
 

@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""sf1-scale oracle for q148_triangle_count.
+
+The committed DuckDB oracle enumerates triangles as a naive three-way
+self-join of the similarity edge list — deliberately so (an orientation
+bug in the engine cannot be mirrored by a formulation with no degrees in
+it), and fine at the sf0.01/sf0.1 gates. At sf1 the unoriented wedge
+explosion spills past this host's disk (measured round 10: DuckDB dies
+on temp storage), exactly the blowup the engine's degree-ordered
+orientation exists to avoid.
+
+This checker follows check_cc_scaled.py's recipe: reuse the COMMITTED
+oracle text verbatim up to the edge list (shingles, df cap, jaccard
+threshold — the pair semantics cannot drift), then replace only the
+triangle join with a THIRD independent formulation — python adjacency
+sets, each triangle found once as (u < v < w) via sorted set
+intersection. No degrees, no orientation, no SQL join order: a bug in
+either engine formulation would have to be reinvented here to pass.
+
+Usage: python3 tools/check_triangles_scaled.py <sfDir> <verifyOutDir>
+Compares <verifyOutDir>/q148_triangle_count parquet; exits 1 on mismatch.
+"""
+import glob
+import json
+import sys
+from collections import defaultdict
+
+import duckdb
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    con.execute("SET threads=8")
+    con.execute("SET memory_limit='24GB'")
+    con.execute("SET temp_directory='/tmp/duck_spill'")
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    q148_sql = oracle["q148_triangle_count"]
+    # cut the committed text at the triangle join; keep the edge CTEs
+    cut = q148_sql.index("tri AS (")
+    edge_sql = q148_sql[:cut].rstrip().rstrip(",") + "\nSELECT u, v FROM e"
+    print("[tri] materializing the edge list via the committed oracle CTEs ...")
+    edges = con.execute(edge_sql).fetchall()
+    print(f"[tri] {len(edges)} edges")
+
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    ntri = defaultdict(int)
+    for u, v in edges:  # u < v by jpairs construction
+        for w in adj[u] & adj[v]:
+            if w > v:  # each triangle once, at its sorted corner order
+                ntri[u] += 1
+                ntri[v] += 1
+                ntri[w] += 1
+    want = sorted(ntri.items())
+    print(f"[tri] {sum(n for _, n in want) // 3} triangles, "
+          f"{len(want)} participating nodes")
+
+    files = sorted(glob.glob(f"{out_dir}/q148_triangle_count/*.parquet"))
+    if not files:
+        print("FAIL q148_triangle_count: no spark output")
+        sys.exit(1)
+    got = con.execute(
+        f"SELECT doc_id, n_tri FROM read_parquet({files!r}) "
+        f"ORDER BY doc_id").fetchall()
+    got = [(int(a), int(b)) for a, b in got]
+    if got != want:
+        extra = set(got) - set(want)
+        missing = set(want) - set(got)
+        print(f"FAIL q148_triangle_count: {len(got)} vs {len(want)} rows; "
+              f"{len(extra)} unexpected, {len(missing)} missing "
+              f"(samples: {sorted(extra)[:3]} / {sorted(missing)[:3]})")
+        sys.exit(1)
+    print(f"PASS q148_triangle_count ({len(got)} rows, 2 cols)")
+
+
+if __name__ == "__main__":
+    main()
