@@ -36,6 +36,16 @@ import org.apache.spark.sql.DataFrame
   * single-job-per-round optimization removed (ADVICE r9).
   */
 object Fixpoint {
+  /** Timing caveat (round-10 measurement, q149): even with
+    * `eager = false`, building the rebuilt frame touches `ck.rdd`, and
+    * under AQE that materializes every INTERMEDIATE query stage of the
+    * input subtree right there (AdaptiveSparkPlanExec executes shuffle
+    * stages eagerly to re-plan; only the final stage stays lazy). So a
+    * loop's CONSTRUCTION — not its first action — pays the input
+    * subtree's cost, and per-round wall timers see only final stages.
+    * Harmless for correctness and for the one-job-per-round shape, but
+    * anyone profiling a fixpoint should put the clock around the
+    * whole build, not the first count. */
   def checkpointFresh(df: DataFrame): DataFrame = {
     val ck = df.localCheckpoint(eager = false)
     ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
