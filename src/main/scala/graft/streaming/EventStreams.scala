@@ -311,6 +311,72 @@ object EventStreams {
       }
   }
 
+  final case class Interaction(user_id: Long, ts: java.sql.Timestamp,
+      event_id: Long, item: Long)
+  /** The whole per-user state of [[itemTransitions]]: the LAST
+    * interaction only — a transition needs nothing older. */
+  final case class LastSeen(tsMs: Long, eventId: Long, item: Long)
+
+  /** Streaming twin of q151's transition EXTRACTION: per-user
+    * flatMapGroupsWithState emitting one (src, dst) step per consecutive
+    * interaction pair within the 30-minute gap; the (src, dst) counting/
+    * probability tail is a plain downstream aggregation (batch q151) or
+    * a second streaming agg — extraction is the stateful part worth a
+    * twin.
+    *
+    * State bound — the tightest in this file: ONE LastSeen per user,
+    * expiring as soon as the watermark passes last_ts + gap, because no
+    * in-order arrival after that instant can chain to it (the gap gate
+    * would reject it anyway). So state is O(users active within the
+    * last 30 min), not O(users): on a firehose with hundreds of
+    * millions of historical users, only the concurrently-active slice
+    * occupies the store. The max() guard keeps the timeout legal when a
+    * user's last event trails the global watermark by more than the
+    * gap (Spark rejects timestamps at or below the watermark).
+    *
+    * Ordering contract, stated rather than hidden: within a micro-batch
+    * a group's rows are sorted by (ts, event_id) — the batch q151
+    * order — so any shuffling INSIDE a batch is absorbed; ACROSS
+    * batches the source must deliver a user's events in nondecreasing
+    * event-time order for exact batch parity (true of an ordered replay
+    * and of any per-key-ordered log; StreamingSpec pins parity on an
+    * ordered replay of the real table, chaining across batch
+    * boundaries). A cross-batch regression would emit the arrival-order
+    * step where batch emits the event-time one — the standard at-ingest
+    * approximation, and the reason the oracle-checked q151 stays the
+    * system of record. */
+  def itemTransitions(inter: Dataset[Interaction], gapMinutes: Long = 30L)
+      : Dataset[(Long, Long)] = {
+    import inter.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    inter
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastSeen, (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_, rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.event_id))
+            var last = state.getOption
+            val out = Vector.newBuilder[(Long, Long)]
+            sorted.foreach { r =>
+              last.foreach { l =>
+                if (r.ts.getTime >= l.tsMs && r.ts.getTime - l.tsMs <= gapMs)
+                  out += ((l.item, r.item))
+              }
+              last = Some(LastSeen(r.ts.getTime, r.event_id, r.item))
+            }
+            last.foreach { l =>
+              state.update(l)
+              state.setTimeoutTimestamp(
+                math.max(l.tsMs + gapMs, state.getCurrentWatermarkMs + 1))
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   /** The exactly-once parquet sink pattern (VERDICT r7 #5): a foreachBatch
     * writer that lands each micro-batch in its own `batch_id=<id>`
     * partition with DYNAMIC partition overwrite.
