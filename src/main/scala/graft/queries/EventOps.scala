@@ -219,6 +219,47 @@ object EventOps {
         .orderBy("event_type")
     }),
 
+    // Audience overlap via HLL INCLUSION-EXCLUSION — the set operation
+    // HLL famously lacks (sketches union, never intersect), recovered as
+    // |A∩B| ≈ est(A) + est(B) − est(A∪B). At 100 TB this is the only
+    // sane way to ask "how many users did BOTH X and Y" across many
+    // segment pairs: one sketch per segment (one pass, mergeable binary
+    // state), then pairwise unions on a |segments|-sized frame — no
+    // second shuffle of raw ids per pair. Error compounds across the
+    // three estimates and is RELATIVE TO THE UNION, so the estimate is
+    // only trustworthy when the intersection isn't tiny against it —
+    // the within_bound contract (5 % of exact, floor 5) states exactly
+    // that, and the exact per-pair intersection rides along (distinct
+    // (type,user) self-join — |types|² fan-out per user, bounded by the
+    // 5-type domain). Output follows the q40 convention: exact values +
+    // the asserted bound; the raw estimate never crosses engines.
+    "q153_audience_overlap" -> ((s, dir) => {
+      val ev = Tables(s, dir).events
+        .select(col("event_type").as("t"), col("user_id"))
+      val sk = ev.groupBy("t").agg(
+        hll_sketch_agg(col("user_id"), lit(14)).as("sk"),
+        countDistinct(col("user_id")).as("n"))
+      val pairs = sk.select(col("t").as("ta"), col("sk").as("ska"),
+          col("n").as("n_a"))
+        .crossJoin(sk.select(col("t").as("tb"), col("sk").as("skb"),
+          col("n").as("n_b")))
+        .where(col("ta") < col("tb"))
+      val du = ev.distinct()
+      val inter = du.select(col("t").as("ta"), col("user_id"))
+        .join(du.select(col("t").as("tb"), col("user_id")), "user_id")
+        .where(col("ta") < col("tb"))
+        .groupBy("ta", "tb").agg(countDistinct(col("user_id")).as("n_inter"))
+      pairs.join(inter, Seq("ta", "tb"))
+        .select(col("ta"), col("tb"), col("n_a"), col("n_b"), col("n_inter"),
+          (abs(hll_sketch_estimate(col("ska"))
+              + hll_sketch_estimate(col("skb"))
+              - hll_sketch_estimate(hll_union(col("ska"), col("skb")))
+              - col("n_inter"))
+            <= greatest(lit(5), ceil(lit(0.05) * col("n_inter"))))
+            .cast("long").as("within_bound"))
+        .orderBy("ta", "tb")
+    }),
+
     // The SKETCH-ONCE / MERGE-MANY rollup — the pattern that makes
     // distinct counts tractable at 100 TB: one pass builds a Datasketches
     // HLL per day (`hll_sketch_agg`, mergeable binary state), and every
@@ -687,6 +728,23 @@ object EventOps {
         | COUNT(*) AS n_events,
         | CAST(1 AS BIGINT) AS within_bound
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // exact sides + the asserted inclusion-exclusion bound (q40's
+    // convention: the sketch estimate itself never crosses engines)
+    "q153_audience_overlap" ->
+      """WITH du AS (
+        | SELECT DISTINCT event_type AS t, user_id FROM events),
+        |n AS (SELECT t, COUNT(*) AS n FROM du GROUP BY t),
+        |inter AS (
+        | SELECT a.t AS ta, b.t AS tb, COUNT(*) AS n_inter
+        | FROM du a JOIN du b ON a.user_id = b.user_id AND a.t < b.t
+        | GROUP BY 1, 2)
+        |SELECT i.ta, i.tb, na.n AS n_a, nb.n AS n_b, i.n_inter,
+        | CAST(1 AS BIGINT) AS within_bound
+        |FROM inter i
+        |JOIN n na ON na.t = i.ta
+        |JOIN n nb ON nb.t = i.tb
+        |ORDER BY ta, tb""".stripMargin,
 
     // exact sides only (the q40 sketch contract): daily distinct, the
     // first-seen cumulative, and the asserted bound
