@@ -481,6 +481,60 @@ object EventOps {
         .orderBy("user_id", "click_ts")
     }),
 
+    // U-shaped multi-touch attribution — the marketing-analytics
+    // completion of the q56/q147 click-purchase family: every purchase
+    // splits its value over the clicks that preceded it within the
+    // 30-minute window, 40/20/40 position-weighted (first and last
+    // touch carry intent; middles share the rest), credited to the
+    // clicked item. All arithmetic is INTEGER (the q104 lesson —
+    // rational weights like 0.2/(n−2) round differently per engine):
+    // weights are basis points summing to exactly 10000 per purchase —
+    // n=1 → 10000; n=2 → 5000/5000; n≥3 → 4000 ends, middles take
+    // 2000 div (n−2) with the remainder going to the LAST middle —
+    // and credit = bp × value-cents, summed in DECIMAL(38,0) (the
+    // h48sum overflow lesson) and surfaced as micro-dollars through
+    // the exact string boundary. Plan: the q147 interval join shape
+    // (one shuffle per side on user_id), two windows keyed by
+    // purchase id — fan-in bounded by clicks-per-30-minutes, never by
+    // a user's history — then a |catalog|-sized aggregate. Purchases
+    // with no click in window are unattributed and excluded (the
+    // operator credits touches; coverage is q56's report).
+    "q154_touch_attribution" -> ((s, dir) => {
+      val e = Tables(s, dir).events
+      val p = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"),
+          col("event_id").as("p_id"),
+          (dPrice(col("value")) * 100).cast("long").as("cents"))
+      val c = e.where(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+          col("event_id").as("c_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("item"))
+        .where(col("item").isNotNull)
+      val joined = p.join(c,
+        col("user_id") === col("c_user") &&
+          col("c_ts") <= col("p_ts") &&
+          unix_micros(col("c_ts"))
+            >= unix_micros(col("p_ts")) - 1800L * 1000000L)
+      val wr = Window.partitionBy("p_id").orderBy(col("c_ts"), col("c_id"))
+      val wn = Window.partitionBy("p_id")
+      joined
+        .withColumn("r", row_number().over(wr).cast("long"))
+        .withColumn("n", count(lit(1)).over(wn))
+        .withColumn("bp",
+          when(col("n") === 1, lit(10000L))
+            .when(col("n") === 2, lit(5000L))
+            .when(col("r") === 1 || col("r") === col("n"), lit(4000L))
+            .otherwise(expr("2000 div (n - 2)") +
+              when(col("r") === col("n") - 1, expr("2000 % (n - 2)"))
+                .otherwise(lit(0L))))
+        .groupBy("item")
+        .agg(count(lit(1)).as("n_touches"),
+          countDistinct(col("p_id")).as("n_purchases"),
+          asD(sum((col("bp") * col("cents")).cast("decimal(38,0)"))
+            .cast("decimal(38,6)")).as("credit_usd_micro"))
+        .orderBy("item")
+    }),
+
     // Date family over orders: month truncation, weekend detection
     // (Spark dayofweek is 1=Sunday; DuckDB dow is 0=Sunday — both sides
     // express "Saturday or Sunday" in their own numbering).
@@ -728,6 +782,43 @@ object EventOps {
         | COUNT(*) AS n_events,
         | CAST(1 AS BIGINT) AS within_bound
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // identical integer bp allocation (// and % on positive ints are
+    // engine-identical); credit summed as HUGEINT-safe decimal
+    "q154_touch_attribution" ->
+      """WITH p AS (
+        | SELECT user_id, ts AS p_ts, event_id AS p_id,
+        |  CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        | FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        | SELECT user_id AS c_user, ts AS c_ts, event_id AS c_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+        | FROM events WHERE event_type = 'click'
+        |  AND json_extract_string(props, '$.k') IS NOT NULL),
+        |j AS (
+        | SELECT p.*, c.c_ts, c.c_id, c.item
+        | FROM p JOIN c ON p.user_id = c.c_user
+        |  AND c.c_ts <= p.p_ts
+        |  AND c.c_ts >= p.p_ts - INTERVAL '30 minutes'),
+        |rk AS (
+        | SELECT *,
+        |  ROW_NUMBER() OVER (PARTITION BY p_id ORDER BY c_ts, c_id) AS r,
+        |  COUNT(*) OVER (PARTITION BY p_id) AS n
+        | FROM j),
+        |cr AS (
+        | SELECT item, p_id,
+        |  CASE WHEN n = 1 THEN 10000
+        |       WHEN n = 2 THEN 5000
+        |       WHEN r = 1 OR r = n THEN 4000
+        |       ELSE 2000 // (n - 2)
+        |            + CASE WHEN r = n - 1 THEN 2000 % (n - 2) ELSE 0 END
+        |  END * cents AS credit
+        | FROM rk)
+        |SELECT item, COUNT(*) AS n_touches,
+        | COUNT(DISTINCT p_id) AS n_purchases,
+        | CAST(CAST(CAST(SUM(CAST(credit AS DECIMAL(38,0))) AS DECIMAL(38,6))
+        |      AS VARCHAR) AS DOUBLE) AS credit_usd_micro
+        |FROM cr GROUP BY item ORDER BY item""".stripMargin,
 
     // exact sides + the asserted inclusion-exclusion bound (q40's
     // convention: the sketch estimate itself never crosses engines)
