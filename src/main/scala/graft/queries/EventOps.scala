@@ -493,25 +493,46 @@ object EventOps {
     // 2000 div (n−2) with the remainder going to the LAST middle —
     // and credit = bp × value-cents, summed in DECIMAL(38,0) (the
     // h48sum overflow lesson) and surfaced as micro-dollars through
-    // the exact string boundary. Plan: the q147 interval join shape
-    // (one shuffle per side on user_id), two windows keyed by
-    // purchase id — fan-in bounded by clicks-per-30-minutes, never by
-    // a user's history — then a |catalog|-sized aggregate. Purchases
-    // with no click in window are unattributed and excluded (the
-    // operator credits touches; coverage is q56's report).
+    // the exact string boundary.
+    //
+    // Plan — the SLAB-BUCKETED interval join (q145's salt applied to a
+    // join): a bare user_id equi-join evaluates the range predicate
+    // over ALL of a user's click × purchase pairs, and the sf1 hot
+    // user (~36k clicks × ~36k purchases ⇒ ~1.3 G candidate pairs on
+    // one key) priced that cliff at 24.0 s — measured on this query
+    // before this fix. Clicks key on (user, slab) with
+    // slab = ts div 30 min; a purchase's window spans at most 2 slabs
+    // (window length == slab width), so it probes slab(p) and
+    // slab(p)−1 via a 2-row explode, and every (purchase, click) pair
+    // meets in EXACTLY one slab — the click's — so no dedup is needed
+    // and the answer is hash-identical to the naive join (the sf0.01/
+    // sf0.1/sf1 oracle greens re-verified on this plan). Per-key
+    // fan-out drops from |history|² to per-slab products; sf1 cost
+    // dropped 24.0 s → 3.9 s measured (and sf0.1 0.88 → 0.60 s — the
+    // slab key prunes even un-skewed pair candidates). Then two windows keyed by purchase id
+    // (fan-in bounded by clicks-per-30-minutes, never user history)
+    // and a |catalog|-sized aggregate. Purchases with no click in
+    // window are unattributed and excluded (the operator credits
+    // touches; coverage is q56's report).
     "q154_touch_attribution" -> ((s, dir) => {
+      val slabUs = 1800L * 1000000L
       val e = Tables(s, dir).events
       val p = e.where(col("event_type") === "purchase")
         .select(col("user_id"), col("ts").as("p_ts"),
           col("event_id").as("p_id"),
           (dPrice(col("value")) * 100).cast("long").as("cents"))
+        .withColumn("p_slab", explode(array(
+          expr(s"unix_micros(p_ts) div $slabUs"),
+          expr(s"unix_micros(p_ts) div $slabUs - 1"))))
       val c = e.where(col("event_type") === "click")
         .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
           col("event_id").as("c_id"),
           get_json_object(col("props"), "$.k").cast("long").as("item"))
         .where(col("item").isNotNull)
+        .withColumn("c_slab", expr(s"unix_micros(c_ts) div $slabUs"))
       val joined = p.join(c,
         col("user_id") === col("c_user") &&
+          col("p_slab") === col("c_slab") &&
           col("c_ts") <= col("p_ts") &&
           unix_micros(col("c_ts"))
             >= unix_micros(col("p_ts")) - 1800L * 1000000L)
