@@ -31,6 +31,7 @@ object SparkEntry {
     _root_.graft.queries.Selection.queries,
     _root_.graft.queries.Retrieval.queries,
     _root_.graft.queries.Affinity.queries,
+    _root_.graft.queries.Warehouse.queries,
   )
   private def oracleCatalogs = Seq(
     _root_.graft.queries.Relational.oracles,
@@ -47,6 +48,7 @@ object SparkEntry {
     _root_.graft.queries.Selection.oracles,
     _root_.graft.queries.Retrieval.oracles,
     _root_.graft.queries.Affinity.oracles,
+    _root_.graft.queries.Warehouse.oracles,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -52,7 +52,7 @@ object Sinks {
     * order-free, keeps full 48-bit discrimination, and both engines
     * compute it on an exact wide sum. Oracle twin: CAST(SUM(...) %
     * 281474976710656 AS BIGINT) (DuckDB sums BIGINT into HUGEINT). */
-  private def h48sum(c: org.apache.spark.sql.Column) =
+  private[graft] def h48sum(c: org.apache.spark.sql.Column) =
     (sum(c.cast("decimal(38,0)")) % lit(281474976710656L)).cast("long")
 
   /** Write `documents` partitioned by lang + bucketed/sorted by doc_id as

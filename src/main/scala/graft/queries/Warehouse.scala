@@ -1,0 +1,304 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+import Exact.dPrice
+
+/** Snapshot-maintenance operators — the three table-versioning primitives
+  * a 100 TB lakehouse runs between ingest and query:
+  *
+  *  - q155: snapshot DIFF (added / removed / changed / unchanged between
+  *    two table versions, detected by row fingerprint, not column-wise
+  *    compare);
+  *  - q156: per-partition content MANIFEST with an order-free Merkle-style
+  *    root — the artifact that makes q155 incremental (only partitions
+  *    whose leaf hash moved need the row-level diff);
+  *  - q157: seasonal-baseline anomaly screen over the event stream
+  *    (hour-of-week profile per event type, 3σ row flags) — the
+  *    data-quality twin of the content integrity pair, computed in exact
+  *    integers so both engines agree bit-for-bit.
+  *
+  * The second snapshot for q155 is derived DETERMINISTICALLY from
+  * `orders` itself (the q103 CDC convention): deletes at key ≡ 7
+  * (mod 101), price revisions at key ≡ 3 (mod 97), inserts mirrored to
+  * fresh negative keys at key ≡ 0 (mod 103) — so both engines construct
+  * the identical "tomorrow" table without any fixture.
+  */
+object Warehouse {
+
+  private def h48(prefix: String, c: Column) = TextOps.h48(prefix, c)
+  private def h48sum(c: Column)              = Sinks.h48sum(c)
+
+  /** Snapshot rows in diff-ready shape: integer cents (the exact-money
+    * rule), the order timestamp as epoch micros (engine-neutral), and
+    * every payload column that participates in the fingerprint. */
+  private def snapA(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).orders.select(
+      col("o_orderkey").as("key"),
+      col("o_custkey").as("custkey"),
+      col("o_orderstatus").as("status"),
+      (dPrice(col("o_totalprice")) * 100).cast("long").as("cents"),
+      col("o_orderpriority").as("priority"),
+      // o_orderdate arrives TIMESTAMP_NTZ; the cast relabels the naive
+      // wall clock as a UTC instant — exact because the catalog pins the
+      // session zone to UTC during construction (Tables.withUtcSession),
+      // so epoch micros here ≡ DuckDB's epoch_us on the naive value.
+      unix_micros(col("o_orderdate").cast("timestamp")).as("dat_us"))
+
+  /** The derived next-day snapshot (see object scaladoc). Deletes apply
+    * first; the revision rule applies to survivors; inserts land on
+    * −(key+1) so they can never collide with an existing key (key 0
+    * would make a bare negation collide). */
+  private def snapB(s: SparkSession, dir: String): DataFrame = {
+    val a    = snapA(s, dir)
+    val rev  = pmod(col("key"), lit(97)) === 3
+    val kept = a.where(pmod(col("key"), lit(101)) =!= 7)
+      .withColumn("cents", when(rev, col("cents") + 500).otherwise(col("cents")))
+      .withColumn("status", when(rev, lit("R")).otherwise(col("status")))
+    val ins = a.where(pmod(col("key"), lit(103)) === 0)
+      .withColumn("key", -(col("key") + lit(1L)))
+      .withColumn("status", lit("N"))
+    kept.unionByName(ins)
+  }
+
+  /** Full-row fingerprint: ONE 48-bit hash over the pipe-joined payload.
+    * Change detection compares this single long, so the diff's cost per
+    * row is independent of column count — at 100 TB the alternative
+    * (column-wise `<=>` chains) re-reads every payload column into the
+    * join output. The oracle builds the identical string, so the
+    * fingerprint itself is oracle-checked, not just the classification. */
+  private def withFp(df: DataFrame): DataFrame =
+    df.select(col("key"), col("priority"), col("cents"),
+      h48("sd:", concat_ws("|",
+        col("key"), col("status"), col("cents"), col("priority"),
+        col("custkey"), col("dat_us"))).as("fp"))
+
+  /** q156 leaf grain: calendar month of the order date (the natural
+    * ingest partition of a date-partitioned fact), as year·100+month. */
+  private def monthKey(c: Column): Column =
+    (year(c) * 100 + month(c)).cast("long")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Snapshot diff by fingerprint: full-outer join of the two versions
+    // on the primary key, row identity decided by ONE hash compare.
+    // Plan shape at scale: each side is a single projection over its
+    // snapshot scan; the only shuffle is the key join — and when both
+    // snapshots are bucketed by the key (the layout q71's bucketed writer
+    // and BucketingSpec demonstrate), even that exchange disappears into
+    // a sort-merge over co-located buckets, making the nightly diff a
+    // scan-bound operation. Output is aggregate-sized (change class ×
+    // priority), with an order-free h48 key-sum per cell so the oracle
+    // pins WHICH rows changed, not just how many; cents_delta audits the
+    // revision rule end-to-end (+500 per revised key, additions add their
+    // full price, removals subtract theirs).
+    "q155_snapshot_diff" -> ((s, dir) => {
+      val fa = withFp(snapA(s, dir))
+        .select(col("key").as("ka"), col("priority").as("pa"),
+          col("cents").as("ca"), col("fp").as("fpa"))
+      val fb = withFp(snapB(s, dir))
+        .select(col("key").as("kb"), col("priority").as("pb"),
+          col("cents").as("cb"), col("fp").as("fpb"))
+      fa.join(fb, col("ka") === col("kb"), "full_outer")
+        .select(
+          when(col("ka").isNull, "added")
+            .when(col("kb").isNull, "removed")
+            .when(col("fpa") === col("fpb"), "unchanged")
+            .otherwise("changed").as("change_type"),
+          coalesce(col("pb"), col("pa")).as("priority"),
+          coalesce(col("ka"), col("kb")).as("key"),
+          (coalesce(col("cb"), lit(0L)) - coalesce(col("ca"), lit(0L)))
+            .as("cd"))
+        .groupBy("change_type", "priority")
+        .agg(count(lit(1)).as("n_rows"),
+          h48sum(h48("sd:", col("key").cast("string"))).as("key_hash_sum"),
+          sum(col("cd").cast("decimal(38,0)")).cast("long").as("cents_delta"))
+        .orderBy("change_type", "priority")
+    }),
+
+    // Partition manifest + Merkle-style root: per month-partition row
+    // count, content hash (h48 of the SAME full-row fingerprint family
+    // as q155, folded order-free mod 2⁴⁸), and exact cents total; one
+    // 'root' row folds the leaf hashes again. Computed as ONE
+    // rollup(part_key) pass: the grand-total row IS the root, because
+    // the fold is an order-free SUM mod 2⁴⁸ and modular sums compose —
+    // Σ_leaves (Σ rh mod m) ≡ Σ rh (mod m) — so "fold of the leaf
+    // hashes" and "fold of all row hashes" are the same number, and the
+    // plan is a single scan + one partial-aggregate exchange (the naive
+    // leaf-then-root union re-scans the fact twice). This is the
+    // incremental-sync artifact: a replica compares roots, walks down to
+    // the leaves that differ, and runs q155's row diff on those
+    // partitions only — a partition's hash is reproducible from any task
+    // layout, the root from any leaf order, and appending a partition
+    // updates the root in O(1). (part_key is never NULL in the data, so
+    // the rollup's NULL grouping marks the root row unambiguously —
+    // grouping() is used, not the NULL itself.)
+    "q156_partition_manifest" -> ((s, dir) => {
+      Tables(s, dir).orders.select(
+          monthKey(col("o_orderdate")).as("part_key"),
+          (dPrice(col("o_totalprice")) * 100).cast("long").as("cents"),
+          h48("mk:", concat_ws("|",
+            col("o_orderkey"), col("o_orderstatus"),
+            (dPrice(col("o_totalprice")) * 100).cast("long"),
+            col("o_orderpriority"), col("o_custkey"),
+            unix_micros(col("o_orderdate").cast("timestamp")))).as("rh"))
+        .rollup("part_key")
+        .agg(grouping(col("part_key")).as("gflag"),
+          count(lit(1)).as("n_rows"),
+          h48sum(col("rh")).as("content_hash"),
+          sum(col("cents").cast("decimal(38,0)")).cast("long").as("sum_cents"))
+        .select(
+          when(col("gflag") === 1, "root").otherwise("leaf").as("level"),
+          coalesce(col("part_key"), lit(-1L)).as("part_key"),
+          col("n_rows"), col("content_hash"), col("sum_cents"))
+        .orderBy("level", "part_key")
+    }),
+
+    // Seasonal-baseline anomaly screen: per (event_type, hour-of-week)
+    // cell — hour-of-week computed as pure integer arithmetic on the
+    // epoch-microsecond timestamp, no calendar function to disagree on —
+    // count the rows whose value sits more than 3σ from the CELL's own
+    // mean. The test is the cross-multiplied integer form of
+    // |v−μ| > 3σ:  (n·v − s)² > 9·(n·q − s²)  with s = Σv, q = Σv² in
+    // exact cents, evaluated in DECIMAL(38,0) (HUGEINT on the oracle) so
+    // there is no float division and no tie for the engines to round
+    // differently. Plan shape at scale: the stats frame is bounded by
+    // |event_type| · 168 cells, so it BROADCASTS back onto the event
+    // scan — the flag pass is map-side, and the only corpus-sized
+    // shuffles are the two partial-aggregate exchanges (cell-count-sized
+    // after map-side combine). A window over (type, how) would instead
+    // cap parallelism at 840 keys — ~120 GB per task at 100 TB — which
+    // is exactly the shape this two-scan + broadcast form avoids.
+    "q157_seasonal_anomaly" -> ((s, dir) => {
+      val D = "decimal(38,0)"
+      val base = Tables(s, dir).events.select(
+        col("event_type"),
+        expr("(unix_micros(ts) div 3600000000) % 168").as("how"),
+        (dPrice(col("value")) * 100).cast("long").as("cents"))
+      val st = base.groupBy("event_type", "how").agg(
+        count(lit(1)).as("n"),
+        sum(col("cents").cast(D)).as("s"),
+        sum(col("cents").cast(D) * col("cents")).as("q"))
+      val lhs = col("n").cast(D) * col("cents") - col("s")
+      val rhs = lit(9).cast(D) *
+        (col("n").cast(D) * col("q") - col("s") * col("s"))
+      base.join(broadcast(st), Seq("event_type", "how"))
+        .withColumn("fl", when(lhs * lhs > rhs, 1L).otherwise(0L))
+        .groupBy("event_type", "how")
+        .agg(count(lit(1)).as("n_events"),
+          sum("fl").as("n_anomalies"),
+          sum(col("cents").cast(D)).cast("long").as("sum_cents"),
+          max("cents").as("max_cents"))
+        .orderBy("event_type", "how")
+    }),
+  )
+
+  /** The oracle's twin of [[snapA]]/[[snapB]]/[[withFp]] as CTE text —
+    * one definition string so the derivation rules cannot drift between
+    * q155 and any future consumer. */
+  private val SNAP_CTES =
+    """a AS (
+      | SELECT o_orderkey AS key, o_custkey AS custkey,
+      |  o_orderstatus AS status,
+      |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+      |  o_orderpriority AS priority, epoch_us(o_orderdate) AS dat_us
+      | FROM orders),
+      |b AS (
+      | SELECT key, custkey,
+      |  CASE WHEN key % 97 = 3 THEN 'R' ELSE status END AS status,
+      |  CASE WHEN key % 97 = 3 THEN cents + 500 ELSE cents END AS cents,
+      |  priority, dat_us
+      | FROM a WHERE key % 101 <> 7
+      | UNION ALL
+      | SELECT -(key + 1), custkey, 'N', cents, priority, dat_us
+      | FROM a WHERE key % 103 = 0),
+      |fa AS (
+      | SELECT key, priority, cents,
+      |  CAST('0x' || substr(md5('sd:' || CAST(key AS VARCHAR) || '|' ||
+      |    status || '|' || CAST(cents AS VARCHAR) || '|' || priority ||
+      |    '|' || CAST(custkey AS VARCHAR) || '|' ||
+      |    CAST(dat_us AS VARCHAR)), 1, 12) AS BIGINT) AS fp
+      | FROM a),
+      |fb AS (
+      | SELECT key, priority, cents,
+      |  CAST('0x' || substr(md5('sd:' || CAST(key AS VARCHAR) || '|' ||
+      |    status || '|' || CAST(cents AS VARCHAR) || '|' || priority ||
+      |    '|' || CAST(custkey AS VARCHAR) || '|' ||
+      |    CAST(dat_us AS VARCHAR)), 1, 12) AS BIGINT) AS fp
+      | FROM b)""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+
+    "q155_snapshot_diff" ->
+      s"""WITH $SNAP_CTES,
+         |j AS (
+         | SELECT fa.key AS ka, fb.key AS kb, fa.priority AS pa,
+         |  fb.priority AS pb, fa.cents AS ca, fb.cents AS cb,
+         |  fa.fp AS fpa, fb.fp AS fpb
+         | FROM fa FULL OUTER JOIN fb ON fa.key = fb.key),
+         |c AS (
+         | SELECT CASE WHEN ka IS NULL THEN 'added'
+         |             WHEN kb IS NULL THEN 'removed'
+         |             WHEN fpa = fpb THEN 'unchanged'
+         |             ELSE 'changed' END AS change_type,
+         |  COALESCE(pb, pa) AS priority, COALESCE(ka, kb) AS key,
+         |  COALESCE(cb, 0) - COALESCE(ca, 0) AS cd
+         | FROM j)
+         |SELECT change_type, priority, COUNT(*) AS n_rows,
+         | CAST(SUM(CAST('0x' || substr(md5('sd:' || CAST(key AS VARCHAR)),
+         |   1, 12) AS BIGINT)) % 281474976710656 AS BIGINT) AS key_hash_sum,
+         | CAST(SUM(cd) AS BIGINT) AS cents_delta
+         |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q156_partition_manifest" ->
+      """WITH rows_ AS (
+        | SELECT (year(o_orderdate) * 100 + month(o_orderdate)) AS part_key,
+        |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+        |  CAST('0x' || substr(md5('mk:' || CAST(o_orderkey AS VARCHAR) ||
+        |    '|' || o_orderstatus || '|' ||
+        |    CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      AS VARCHAR) || '|' || o_orderpriority || '|' ||
+        |    CAST(o_custkey AS VARCHAR) || '|' ||
+        |    CAST(epoch_us(o_orderdate) AS VARCHAR)), 1, 12)
+        |   AS BIGINT) AS rh
+        | FROM orders),
+        |leaf AS (
+        | SELECT part_key, COUNT(*) AS n_rows,
+        |  CAST(SUM(rh) % 281474976710656 AS BIGINT) AS content_hash,
+        |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+        | FROM rows_ GROUP BY part_key)
+        |SELECT 'leaf' AS level, part_key, n_rows, content_hash, sum_cents
+        |FROM leaf
+        |UNION ALL
+        |SELECT 'root', -1, CAST(SUM(n_rows) AS BIGINT),
+        | CAST(SUM(content_hash) % 281474976710656 AS BIGINT),
+        | CAST(SUM(sum_cents) AS BIGINT)
+        |FROM leaf
+        |ORDER BY level, part_key""".stripMargin,
+
+    "q157_seasonal_anomaly" ->
+      """WITH base AS (
+        | SELECT event_type, (epoch_us(ts) // 3600000000) % 168 AS how,
+        |  CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        | FROM events),
+        |st AS (
+        | SELECT event_type, how, COUNT(*) AS n,
+        |  SUM(CAST(cents AS HUGEINT)) AS s,
+        |  SUM(CAST(cents AS HUGEINT) * cents) AS q
+        | FROM base GROUP BY 1, 2),
+        |fl AS (
+        | SELECT b.event_type, b.how, b.cents,
+        |  CASE WHEN (CAST(st.n AS HUGEINT) * b.cents - st.s) *
+        |            (CAST(st.n AS HUGEINT) * b.cents - st.s)
+        |          > 9 * (st.n * st.q - st.s * st.s)
+        |       THEN 1 ELSE 0 END AS fl
+        | FROM base b JOIN st USING (event_type, how))
+        |SELECT event_type, how, COUNT(*) AS n_events,
+        | CAST(SUM(fl) AS BIGINT) AS n_anomalies,
+        | CAST(SUM(cents) AS BIGINT) AS sum_cents,
+        | MAX(cents) AS max_cents
+        |FROM fl GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+  )
+}
