@@ -1079,6 +1079,29 @@ object TextOps {
         .select(col("da").as("u"), col("db").as("v"))
       Components.kCore(pairs, KCORE_K, KCORE_CAP).orderBy("doc_id")
     }),
+
+    // Personalized PageRank over the q29 similarity graph — random walk
+    // with restart to a SEED set (doc_id ≡ 0 mod 10), the "expand this
+    // labeled slice" primitive of semi-supervised data curation: rank
+    // the whole corpus by proximity to a trusted seed corpus and take
+    // the high-PPR unlabeled docs as candidates. Same integer-quanta
+    // discipline as q104 (floor division has no cross-engine ties), same
+    // carried-prev one-job-per-round convergence loop, same amortized
+    // checkpoint stats reset; what changes is the teleport vector (all
+    // mass to seeds, so non-seeds hold exactly 0 until wave k reaches
+    // them — the left-join + COALESCE handles the zero-contribution
+    // frontier the uniform init of q104 never exhibits) and the cap
+    // (the concentrated init starts ~n/|S|× further from its fixpoint,
+    // so the 0.85-geometric argument needs ~log(n/|S|)/log(1/0.85) more
+    // rounds than q104 — 80 covers it where 60 would not).
+    "q158_personalized_pagerank" -> ((s, dir) => {
+      val pairs = jaccardPairs(s, dir)
+        .select(col("da").as("u"), col("db").as("v"))
+      pprConverged(pairs)
+        .select(col("doc_id"), col("deg"), col("seed").as("is_seed"),
+          (col("q").cast("double") / lit(1.0e12)).as("ppr"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** q104/q107 constants — shared with the oracle SQL builders below.
@@ -1099,6 +1122,15 @@ object TextOps {
   private[graft] val PR_Q          = 1000000000000L // 1e12 quanta/unit
   private[graft] val PR_TELEPORT_Q = 150000000000L  // 0.15 · PR_Q
   private[graft] val PR_TOL_NUM_Q  = 1000000000L    // 1e-3 · PR_Q
+
+  /** q158: the seed rule (doc_id ≡ 0 mod PPR_SEED_MOD — ~10 % of nodes,
+    * engine-neutral), and the deeper fail-loud cap: PPR's init sits
+    * ~log(n/|S|)/log(1/0.85) ≈ 15 rounds further from its fixpoint than
+    * q104's uniform init at these graph sizes (observed: 46 vs ~60 at
+    * sf0.1), so q104's 60 would fail loud exactly where the operator
+    * still converges fine. */
+  private[graft] val PPR_SEED_MOD = 10L
+  private[graft] val PPR_CAP      = 80
   private val WSAMPLE_K  = 5
 
   /** q149: the k of the shipped k-core (2 = dissolve chains, keep
@@ -1222,6 +1254,89 @@ object TextOps {
       val next = prStep(pr, edges, degn, k, carryPrev = true)
       delta = next.agg(max(abs(col("q") - col("prev")))).head().getLong(0)
       if (dbg) println(f"[pr] round $k: delta=$delta tol=$tolQ " +
+        f"${(System.nanoTime - t0) / 1e9}%.1f s")
+      pr = next.drop("prev")
+    }
+    pr
+  }
+
+  /** q158: the PPR node table — prGraph's degn extended with the seed
+    * indicator and the (broadcast) seed count. Fails loud on a seedless
+    * graph: with |S| = 0 the teleport vector is undefined, and silently
+    * returning the all-zero fixpoint would look like a result. */
+  private def pprGraph(pairs: DataFrame): (DataFrame, DataFrame) = {
+    val (edges, degn) = prGraph(pairs)
+    val seeded = degn.withColumn("seed",
+      (pmod(col("doc_id"), lit(PPR_SEED_MOD)) === 0).cast("long"))
+    val degns = seeded
+      .crossJoin(broadcast(seeded.agg(sum("seed").as("ns"))))
+      .localCheckpoint(false) // reused every round AND by the output
+    (edges, degns)
+  }
+
+  /** One PPR iteration in the q104 integer quanta: teleport mass lands
+    * ONLY on seeds ((0.15·10¹²) div |S| each); the contribution term is
+    * identical to prStep except the join back to the node table is LEFT
+    * (pre-convergence, nodes beyond wave k have q = 0 and a node whose
+    * whole neighborhood is still at 0 receives no contribution rows —
+    * q104's uniform init never has this frontier). */
+  private def pprStep(pr: DataFrame, edges: DataFrame,
+      degns: DataFrame, round: Int, carryPrev: Boolean = false): DataFrame = {
+    val contrib = pr
+      .select(col("doc_id").as("src_id"), col("q"), col("deg"))
+      .join(edges, col("src_id") === edges("src"))
+      .select(edges("dst").as("doc_id"), expr("q div deg").as("c"))
+      .groupBy("doc_id").agg(sum("c").as("sc"))
+    val stepped = degns.join(contrib, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("deg"), col("n"), col("seed"), col("ns"),
+        (expr(s"CASE WHEN seed = 1 THEN $PR_TELEPORT_Q div ns ELSE 0 END")
+          + expr("(17 * coalesce(sc, 0L)) div 20")).as("q"))
+    val out =
+      if (!carryPrev) stepped
+      else stepped.join(
+          pr.select(col("doc_id").as("pdoc"), col("q").as("prev")),
+          col("doc_id") === col("pdoc"))
+        .drop("pdoc")
+    Fixpoint.checkpointRound(out, round)
+  }
+
+  /** Convergence-based PPR — q104's loop discipline verbatim (carried
+    * prev, one action per round, amortized checkpoint stats reset,
+    * fail-loud cap), over the seeded teleport vector. */
+  private[graft] def pprConverged(pairs: DataFrame,
+      cap: Int = PPR_CAP): DataFrame = {
+    val (edges, degns) = pprGraph(pairs)
+    val head = degns.select(col("n"), col("ns")).head(1)
+    var pr = degns.select(col("doc_id"), col("deg"), col("n"),
+      col("seed"), col("ns"),
+      expr(s"CASE WHEN seed = 1 THEN $PR_Q div ns ELSE 0L END").as("q"))
+    if (head.isEmpty) return pr // empty graph: nothing to iterate
+    if (head(0).getLong(1) == 0L) throw new IllegalStateException(
+      s"personalized pagerank: no seed nodes (doc_id % $PPR_SEED_MOD == 0) " +
+        "in the similarity graph — the teleport vector is undefined")
+    // Tolerance relative to the PER-SEED mass scale 1/|S|, not q104's
+    // uniform 1/n: PPR scores concentrate near the seed set (a typical
+    // seed holds ~0.15/|S| at the fixpoint), so 1/n-relative stopping
+    // would demand |S|/n× more precision than the scores carry — and
+    // since Δ₀ ≈ 1/|S| too, it would cost ~log(n/|S|)/log(1/0.85) EXTRA
+    // rounds at every scale (measured: 57 rounds vs 42 at sf0.01; ~99 —
+    // past any reasonable cap — at sf1's n/|S| ≈ 10 with n = 52k).
+    // 1/|S|-relative keeps both the relative precision AND the round
+    // count scale-stable (mixing-bound, like q104's).
+    val tolQ = math.max(1L, PR_TOL_NUM_Q / head(0).getLong(1))
+    val dbg = sys.env.contains("GRAFT_PR_DEBUG")
+    var k = 0
+    var delta = Long.MaxValue
+    while (delta > tolQ) {
+      k += 1
+      if (k > cap) throw new IllegalStateException(
+        s"personalized pagerank failed to converge within $cap iterations " +
+          s"(delta=$delta quanta, tol=$tolQ) — raise PPR_CAP or loosen " +
+          "the tolerance")
+      val t0 = System.nanoTime
+      val next = pprStep(pr, edges, degns, k, carryPrev = true)
+      delta = next.agg(max(abs(col("q") - col("prev")))).head().getLong(0)
+      if (dbg) println(f"[ppr] round $k: delta=$delta tol=$tolQ " +
         f"${(System.nanoTime - t0) / 1e9}%.1f s")
       pr = next.drop("prev")
     }
@@ -1962,6 +2077,67 @@ object TextOps {
          |all_pr AS ($allPr)
          |SELECT d.doc_id, d.deg,
          | CAST(p.q AS DOUBLE) / $PR_Q.0 AS pr
+         |FROM degn d
+         |JOIN all_pr p USING (doc_id)
+         |JOIN kstar ON p.it = kstar.k
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    // q104's unrolled-convergence oracle with the PPR deltas: the degn
+    // CTE carries the seed flag and |S|, teleport is seed-gated, the
+    // per-round rejoin is LEFT (zero-frontier nodes receive no
+    // contribution rows pre-convergence), and the unroll depth is
+    // PPR_CAP — same first-round-under-tolerance selection.
+    "q158_personalized_pagerank" -> {
+      val iterCtes = (1 to PPR_CAP).map { i =>
+        s"""c$i AS (
+           | SELECT e.dst AS doc_id, CAST(SUM(p.q // d.deg) AS BIGINT) AS sc
+           | FROM pr${i - 1} p
+           | JOIN degn d ON d.doc_id = p.doc_id
+           | JOIN edges e ON e.src = p.doc_id
+           | GROUP BY e.dst),
+           |pr$i AS MATERIALIZED (
+           | SELECT d.doc_id,
+           |  (CASE WHEN d.seed = 1 THEN $PR_TELEPORT_Q // d.ns ELSE 0 END)
+           |   + ((17 * COALESCE(c$i.sc, 0)) // 20) AS q
+           | FROM degn d LEFT JOIN c$i ON c$i.doc_id = d.doc_id),
+           |d$i AS (
+           | SELECT $i AS it, MAX(ABS(a.q - b.q)) AS delta
+           | FROM pr$i a JOIN pr${i - 1} b USING (doc_id))"""
+      }.mkString(",\n")
+      val allPr = (1 to PPR_CAP)
+        .map(i => s"SELECT $i AS it, doc_id, q FROM pr$i")
+        .mkString("\n UNION ALL ")
+      val allD = (1 to PPR_CAP).map(i => s"SELECT * FROM d$i")
+        .mkString("\n UNION ALL ")
+      s"""WITH $JPAIRS_CTES,
+         |edges AS MATERIALIZED (
+         | SELECT da AS src, db AS dst FROM jpairs
+         | UNION ALL
+         | SELECT db AS src, da AS dst FROM jpairs),
+         |deg0 AS (SELECT src AS doc_id, COUNT(*) AS deg FROM edges GROUP BY src),
+         |nn AS (SELECT COUNT(*) AS n FROM deg0),
+         |sn AS (
+         | SELECT CAST(SUM(CASE WHEN doc_id % $PPR_SEED_MOD = 0
+         |   THEN 1 ELSE 0 END) AS BIGINT) AS ns FROM deg0),
+         |degn AS MATERIALIZED (
+         | SELECT doc_id, deg, n,
+         |  CASE WHEN doc_id % $PPR_SEED_MOD = 0 THEN 1 ELSE 0 END AS seed,
+         |  ns
+         | FROM deg0, nn, sn),
+         |pr0 AS MATERIALIZED (
+         | SELECT doc_id,
+         |  CASE WHEN seed = 1 THEN $PR_Q // ns ELSE 0 END AS q
+         | FROM degn),
+         |$iterCtes,
+         |deltas AS ($allD),
+         |kstar AS (
+         | SELECT MIN(it) AS k FROM deltas
+         | WHERE delta <= GREATEST(CAST(1 AS BIGINT),
+         |   $PR_TOL_NUM_Q // (SELECT MAX(ns) FROM degn))),
+         |all_pr AS ($allPr)
+         |SELECT d.doc_id, d.deg, CAST(d.seed AS BIGINT) AS is_seed,
+         | CAST(p.q AS DOUBLE) / $PR_Q.0 AS ppr
          |FROM degn d
          |JOIN all_pr p USING (doc_id)
          |JOIN kstar ON p.it = kstar.k
