@@ -193,7 +193,49 @@ object Warehouse {
           max("cents").as("max_cents"))
         .orderBy("event_type", "how")
     }),
+
+    // Exact equi-depth histogram per event type — the optimizer-grade
+    // statistic q63's equi-WIDTH histogram can't give (uniform bucket
+    // POPULATIONS, data-driven boundaries). The classic form is
+    // ntile(B) over a global sort — a single-partition sort of the
+    // whole fact, the worst plan at 100 TB. This one rides DOMAIN
+    // COMPRESSION instead: cents has a bounded value domain (≤ ~56k
+    // distinct), so the fact-sized pass is ONE groupBy(type, cents)
+    // partial-aggregate, and the running "rows strictly below v" window
+    // runs on the domain-sized frame (type × distinct-value rows, ~280k
+    // at any corpus size) — the window's partition is per type, never
+    // per row. Bucket of a VALUE is ((rows below)·B) div n, so ties
+    // never straddle a boundary (value-based equi-depth: populations
+    // equalize up to tie spill) and floor division keeps both engines
+    // bit-identical. Output is B rows per type with exact populations
+    // and boundary values.
+    "q159_equidepth_histogram" -> ((s, dir) => {
+      val B = EQUIDEPTH_BUCKETS
+      val d = Tables(s, dir).events
+        .select(col("event_type"),
+          (dPrice(col("value")) * 100).cast("long").as("cents"))
+        .groupBy("event_type", "cents").agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("cents")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val n = d.groupBy("event_type").agg(sum("cnt").as("n"))
+      d.withColumn("below", coalesce(sum("cnt").over(w), lit(0L)))
+        .join(broadcast(n), "event_type")
+        .withColumn("bucket", expr(s"(below * $B) div n"))
+        .groupBy("event_type", "bucket")
+        .agg(sum("cnt").as("n_rows"),
+          min("cents").as("min_cents"),
+          max("cents").as("max_cents"),
+          sum(col("cents").cast("decimal(38,0)") * col("cnt"))
+            .cast("long").as("sum_cents"))
+        .orderBy("event_type", "bucket")
+    }),
   )
+
+  /** q159: bucket count — small enough that every bucket is populated
+    * at sf0.001, large enough that equi-depth differs visibly from
+    * q63's equi-width on the exponential-ish value distribution. */
+  private[graft] val EQUIDEPTH_BUCKETS = 10
 
   /** The oracle's twin of [[snapA]]/[[snapB]]/[[withFp]] as CTE text —
     * one definition string so the derivation rules cannot drift between
@@ -300,5 +342,28 @@ object Warehouse {
         | CAST(SUM(cents) AS BIGINT) AS sum_cents,
         | MAX(cents) AS max_cents
         |FROM fl GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q159_equidepth_histogram" ->
+      s"""WITH base AS (
+         | SELECT event_type,
+         |  CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+         | FROM events),
+         |d AS (
+         | SELECT event_type, cents, COUNT(*) AS cnt
+         | FROM base GROUP BY 1, 2),
+         |n AS (SELECT event_type, COUNT(*) AS n FROM base GROUP BY 1),
+         |c AS (
+         | SELECT event_type, cents, cnt,
+         |  COALESCE(SUM(cnt) OVER (PARTITION BY event_type ORDER BY cents
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+         | FROM d),
+         |b AS (
+         | SELECT c.event_type, cents, cnt,
+         |  CAST((below * $EQUIDEPTH_BUCKETS) // n AS BIGINT) AS bucket
+         | FROM c JOIN n USING (event_type))
+         |SELECT event_type, bucket, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+         | MIN(cents) AS min_cents, MAX(cents) AS max_cents,
+         | CAST(SUM(CAST(cents AS HUGEINT) * cnt) AS BIGINT) AS sum_cents
+         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

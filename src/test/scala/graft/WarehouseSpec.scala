@@ -178,4 +178,44 @@ class WarehouseSpec extends AnyFunSuite {
     assert(gotFlags === flags)
     assert(gotFlags > 0L, "the 3σ rule must bind on the shipped data")
   }
+
+  // ---------------------------------------------------------------- q159
+
+  test("q159 matches a local equi-depth model and keeps buckets contiguous") {
+    val dir = "/root/testdata/sf0.01"
+    val B   = queries.Warehouse.EQUIDEPTH_BUCKETS
+    val got = queries.Warehouse.queries("q159_equidepth_histogram")(s, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+
+    // Local model: value-based equi-depth over collected cents.
+    val cents = graft.model.Tables(s, dir).events
+      .select(col("event_type"),
+        (col("value").cast("decimal(12,2)") * 100).cast("long").as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val want = cents.groupBy(_._1).flatMap { case (tpe, rows) =>
+      val vs = rows.map(_._2).sorted
+      val n  = vs.length.toLong
+      val belowOf = vs.distinct.map(v => v -> vs.count(_ < v).toLong).toMap
+      vs.groupBy(v => belowOf(v) * B / n).map { case (b, bucketVs) =>
+        (tpe, b) -> (bucketVs.length.toLong, bucketVs.min, bucketVs.max,
+          bucketVs.map(BigInt(_)).sum.toLong)
+      }
+    }
+    assert(got.toMap === want)
+
+    // Structural invariants: buckets contiguous in value, populations
+    // sum to n, ids within [0, B).
+    for ((tpe, rows0) <- got.groupBy(_._1._1)) {
+      val rows = rows0.sortBy(_._1._2)
+      assert(rows.forall { case ((_, b), _) => b >= 0 && b < B })
+      for (w <- rows.sliding(2) if w.length == 2) {
+        val mx = w(0)._2._3 // previous bucket's max_cents
+        val mn = w(1)._2._2 // next bucket's min_cents
+        assert(mx < mn, s"$tpe: bucket value ranges must not overlap")
+      }
+      assert(rows.map(_._2._1).sum === cents.count(_._1 == tpe).toLong)
+    }
+  }
 }
