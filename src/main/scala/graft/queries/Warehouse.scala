@@ -80,6 +80,39 @@ object Warehouse {
   private def monthKey(c: Column): Column =
     (year(c) * 100 + month(c)).cast("long")
 
+  /** Exact-integer decimal width for the q157 anomaly arithmetic. */
+  private val D = "decimal(38,0)"
+
+  /** q157's cell projection: hour-of-week as pure integer arithmetic on
+    * the epoch-microsecond timestamp (no calendar function to disagree
+    * on), value in exact cents. Shared with the streaming twin
+    * ([[graft.streaming.EventStreams.anomalyScreen]]) — with the ts
+    * column passed through so the stream can watermark/window on it. */
+  private[graft] def eventCells(events: DataFrame): DataFrame =
+    events.select(col("ts"), col("event_type"),
+      expr("(unix_micros(ts) div 3600000000) % 168").as("how"),
+      (dPrice(col("value")) * 100).cast("long").as("cents"))
+
+  /** The (event_type, hour-of-week) baseline: n, Σcents, Σcents² in
+    * exact DECIMAL(38,0). Bounded by |event_type|·168 cells, so the
+    * consumer side always broadcasts it. */
+  private[graft] def seasonalBaseline(cells: DataFrame): DataFrame =
+    cells.groupBy("event_type", "how").agg(
+      count(lit(1)).as("n"),
+      sum(col("cents").cast(D)).as("s"),
+      sum(col("cents").cast(D) * col("cents")).as("q"))
+
+  /** The cross-multiplied integer 3σ test — |v−μ| > 3σ with no float
+    * division and no rounding tie:  (n·v − s)² > 9·(n·q − s²), all in
+    * DECIMAL(38,0) (HUGEINT on the oracle). ONE definition shared by
+    * q157 and the streaming screen so the flag rule cannot drift. */
+  private[graft] def anomalyFlag: Column = {
+    val lhs = col("n").cast(D) * col("cents") - col("s")
+    val rhs = lit(9).cast(D) *
+      (col("n").cast(D) * col("q") - col("s") * col("s"))
+    when(lhs * lhs > rhs, 1L).otherwise(0L)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Snapshot diff by fingerprint: full-outer join of the two versions
@@ -172,20 +205,9 @@ object Warehouse {
     // cap parallelism at 840 keys — ~120 GB per task at 100 TB — which
     // is exactly the shape this two-scan + broadcast form avoids.
     "q157_seasonal_anomaly" -> ((s, dir) => {
-      val D = "decimal(38,0)"
-      val base = Tables(s, dir).events.select(
-        col("event_type"),
-        expr("(unix_micros(ts) div 3600000000) % 168").as("how"),
-        (dPrice(col("value")) * 100).cast("long").as("cents"))
-      val st = base.groupBy("event_type", "how").agg(
-        count(lit(1)).as("n"),
-        sum(col("cents").cast(D)).as("s"),
-        sum(col("cents").cast(D) * col("cents")).as("q"))
-      val lhs = col("n").cast(D) * col("cents") - col("s")
-      val rhs = lit(9).cast(D) *
-        (col("n").cast(D) * col("q") - col("s") * col("s"))
-      base.join(broadcast(st), Seq("event_type", "how"))
-        .withColumn("fl", when(lhs * lhs > rhs, 1L).otherwise(0L))
+      val base = eventCells(Tables(s, dir).events)
+      base.join(broadcast(seasonalBaseline(base)), Seq("event_type", "how"))
+        .withColumn("fl", anomalyFlag)
         .groupBy("event_type", "how")
         .agg(count(lit(1)).as("n_events"),
           sum("fl").as("n_anomalies"),

@@ -138,6 +138,35 @@ object EventStreams {
   def enrichWithDim(events: DataFrame, dim: DataFrame): DataFrame =
     events.join(broadcast(dim), "event_type")
 
+  /** Streaming seasonal-anomaly screen — the streaming face of q157:
+    * the (event_type, hour-of-week) baseline is computed in BATCH over
+    * the historical table (yesterday's profile), handed in as a static
+    * frame, and every live event is flagged with the SAME
+    * cross-multiplied integer 3σ test (Warehouse.anomalyFlag — one
+    * definition, so the batch and streaming rules cannot drift), then
+    * rolled up per tumbling day × type under a 1-hour watermark.
+    * Plan shape: the baseline stays |types|·168-sized and broadcasts
+    * into every micro-batch (enrichWithDim's argument); the flag is a
+    * stateless map; the ONLY streaming state is the windowed count —
+    * |types| × live windows rows, independent of event volume. This is
+    * the production split: the expensive two-pass statistics run
+    * offline where q157's oracle checks them; the online path is a
+    * broadcast join plus integer arithmetic per event. */
+  def anomalyScreen(events: DataFrame, baseline: DataFrame): DataFrame =
+    graft.queries.Warehouse.eventCells(events)
+      // watermark BEFORE the baseline join: an event whose cell has no
+      // profile yet is dropped by the inner join, but its event time
+      // must still advance the watermark — downstream of the join it
+      // would never be seen, and a stream of all-new cells would leave
+      // every window open forever.
+      .withWatermark("ts", "1 hour")
+      .join(broadcast(baseline), Seq("event_type", "how"))
+      .withColumn("fl", graft.queries.Warehouse.anomalyFlag)
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum("fl").as("n_anomalies"))
+      .select(col("window.start").as("day"), col("event_type"),
+        col("n_events"), col("n_anomalies"))
+
   /** Point-in-time-correct stream enrichment — the as-of upgrade of
     * enrichWithDim for VERSIONED dimensions (rate ticks, config
     * changes, model-version rollouts): each event joins the latest dim
