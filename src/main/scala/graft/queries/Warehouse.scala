@@ -252,6 +252,44 @@ object Warehouse {
             .cast("long").as("sum_cents"))
         .orderBy("event_type", "bucket")
     }),
+
+    // Join-key skew profile — the diagnostic a 100 TB shop runs BEFORE
+    // choosing a shuffle strategy (q117's salting, q145's slabs, AQE
+    // skew thresholds all assume you know the multiplicity shape).
+    // Per (event_type): exact p50/p90/p99/max key multiplicity and the
+    // hottest key's row share in ppm. Same domain-compression ladder as
+    // q159: the only fact-sized pass is the groupBy(type, user_id)
+    // partial aggregate; the multiplicity HISTOGRAM (distinct-count
+    // values per type — hundreds of rows at any corpus size) is what
+    // the running window and percentile selection run on. Percentile
+    // rule is the integer form p_X = min{c : cum(c)·100 ≥ X·K} — no
+    // interpolation, no ties for the engines to resolve differently.
+    "q160_key_skew_profile" -> ((s, dir) => {
+      val km = Tables(s, dir).events
+        .groupBy("event_type", "user_id").agg(count(lit(1)).as("cnt"))
+      val mh = km.groupBy("event_type", "cnt").agg(count(lit(1)).as("nk"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("cnt")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val tot = mh.groupBy("event_type").agg(
+        sum("nk").as("k_keys"),
+        sum(col("cnt").cast(D) * col("nk")).cast("long").as("n_rows"),
+        max("cnt").as("max_mult"))
+      mh.withColumn("cum", sum("nk").over(w))
+        .join(broadcast(tot), "event_type")
+        .groupBy("event_type")
+        .agg(max("n_rows").as("n_rows"),
+          max("k_keys").as("n_keys"),
+          max("max_mult").as("max_mult"),
+          min(when(col("cum") * 2 >= col("k_keys"), col("cnt")))
+            .as("p50_mult"),
+          min(when(col("cum") * 10 >= col("k_keys") * 9, col("cnt")))
+            .as("p90_mult"),
+          min(when(col("cum") * 100 >= col("k_keys") * 99, col("cnt")))
+            .as("p99_mult"))
+        .withColumn("hot_ppm", expr("(max_mult * 1000000) div n_rows"))
+        .orderBy("event_type")
+    }),
   )
 
   /** q159: bucket count — small enough that every bucket is populated
@@ -387,5 +425,31 @@ object Warehouse {
          | MIN(cents) AS min_cents, MAX(cents) AS max_cents,
          | CAST(SUM(CAST(cents AS HUGEINT) * cnt) AS BIGINT) AS sum_cents
          |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q160_key_skew_profile" ->
+      """WITH km AS (
+        | SELECT event_type, user_id, COUNT(*) AS cnt
+        | FROM events GROUP BY 1, 2),
+        |mh AS (
+        | SELECT event_type, cnt, COUNT(*) AS nk FROM km GROUP BY 1, 2),
+        |c AS (
+        | SELECT event_type, cnt, nk,
+        |  SUM(nk) OVER (PARTITION BY event_type ORDER BY cnt
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        | FROM mh),
+        |tot AS (
+        | SELECT event_type, CAST(SUM(nk) AS BIGINT) AS k_keys,
+        |  CAST(SUM(CAST(cnt AS HUGEINT) * nk) AS BIGINT) AS n_rows,
+        |  MAX(cnt) AS max_mult
+        | FROM mh GROUP BY 1)
+        |SELECT event_type, MAX(n_rows) AS n_rows, MAX(k_keys) AS n_keys,
+        | MAX(max_mult) AS max_mult,
+        | MIN(CASE WHEN cum * 2 >= k_keys THEN cnt END) AS p50_mult,
+        | MIN(CASE WHEN cum * 10 >= k_keys * 9 THEN cnt END) AS p90_mult,
+        | MIN(CASE WHEN cum * 100 >= k_keys * 99 THEN cnt END) AS p99_mult,
+        | CAST((MAX(max_mult) * 1000000) // MAX(n_rows) AS BIGINT)
+        |  AS hot_ppm
+        |FROM c JOIN tot USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -218,4 +218,52 @@ class WarehouseSpec extends AnyFunSuite {
       assert(rows.map(_._2._1).sum === cents.count(_._1 == tpe).toLong)
     }
   }
+
+  // ---------------------------------------------------------------- q160
+
+  test("q160 matches a local multiplicity-percentile model") {
+    val dir = "/root/testdata/sf0.01"
+    val got = queries.Warehouse.queries("q160_key_skew_profile")(s, dir)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+      .toMap
+
+    val keyCounts = graft.model.Tables(s, dir).events
+      .select("event_type", "user_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong)
+      .toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2))
+    for ((tpe, mults) <- keyCounts) {
+      val sorted = mults.sorted
+      val k = sorted.length.toLong
+      val n = sorted.sum
+      // p_X = min{c : (#keys with mult ≤ c)·100 ≥ X·K} — integer rule
+      def pct(num: Long, den: Long) = {
+        val need = sorted.indices.find(i => (i + 1).toLong * den >= k * num)
+        sorted(need.get)
+      }
+      val want = (n, k, sorted.max, pct(1, 2), pct(9, 10), pct(99, 100),
+        sorted.max * 1000000L / n)
+      assert(got(tpe) === want, s"type $tpe")
+    }
+  }
+
+  test("q160 surfaces a planted hot key") {
+    import s.implicits._
+    val d = Files.createTempDirectory("graft_skew").toString
+    // 99 singleton users + ONE user with 901 rows → p99 = 1, max = 901,
+    // hot_ppm = 901·10⁶/1000 = 901000
+    val rows = (1L to 99L).map(u => (u, new Timestamp(1000L * u), u,
+        "click", 1.0, "{}")) ++
+      (1L to 901L).map(i => (1000L + i, new Timestamp(2000000L + i), 777L,
+        "click", 1.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$d/events.parquet")
+    val r = queries.Warehouse.queries("q160_key_skew_profile")(s, d)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    assert(r("click") === ((1000L, 100L, 901L, 1L, 1L, 1L, 901000L)))
+  }
 }
