@@ -1102,7 +1102,50 @@ object TextOps {
           (col("q").cast("double") / lit(1.0e12)).as("ppr"))
         .orderBy("doc_id")
     }),
+
+    // Degree assortativity of the similarity graph — one number that
+    // separates the two duplication regimes the graph family keeps
+    // meeting: boilerplate cliques are assortative (high-degree nodes
+    // link high-degree nodes), hub-and-spoke template reuse is
+    // DISassortative. On a SYMMETRIZED edge list the two degree
+    // marginals coincide, so Newman's Pearson-over-edges needs no
+    // square root: r = (m·Σxy − (Σx)²) / (m·Σx² − (Σx)²) with x,y the
+    // endpoint degrees per directed edge — every sum an exact integer
+    // in DECIMAL(38,0), divided only at the double boundary through the
+    // exact string route. Plan: degree table joined to the edge list on
+    // src then dst (both co-partitioned corpus-sized joins), folding to
+    // a ONE-ROW aggregate; no window, no sort. den = 0 only on a
+    // degree-regular graph (every clique the same size) — impossible
+    // here and documented rather than special-cased.
+    "q161_degree_assortativity" -> ((s, dir) =>
+      degreeAssortativity(jaccardPairs(s, dir)
+        .select(col("da").as("u"), col("db").as("v")))),
   )
+
+  /** q161 core over an undirected pair list — see the catalog entry's
+    * scaladoc for the no-sqrt argument on symmetrized edges. */
+  private[graft] def degreeAssortativity(pairs: DataFrame): DataFrame = {
+    val D = "decimal(38,0)"
+    val edges = pairs.select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(pairs.select(col("v").as("src"), col("u").as("dst")))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val sums = edges
+      .join(deg.select(col("src").as("s1"), col("deg").as("x")),
+        col("src") === col("s1"))
+      .join(deg.select(col("src").as("s2"), col("deg").as("y")),
+        col("dst") === col("s2"))
+      .agg(count(lit(1)).as("m"),
+        sum(col("x").cast(D)).as("sx"),
+        sum(col("x").cast(D) * col("x")).as("sxx"),
+        sum(col("x").cast(D) * col("y")).as("sxy"))
+    sums.select(col("m"),
+      col("sx").cast("long").as("sum_deg"),
+      col("sxx").cast("long").as("sum_deg_sq"),
+      col("sxy").cast("long").as("sum_xy"),
+      (Exact.asD(col("m").cast(D) * col("sxy") - col("sx") * col("sx")) /
+        Exact.asD(col("m").cast(D) * col("sxx") - col("sx") * col("sx")))
+        .as("assortativity"))
+  }
 
   /** q104/q107 constants — shared with the oracle SQL builders below.
     * PR_CAP is the fail-loud iteration ceiling; the RELATIVE stop
@@ -2143,6 +2186,30 @@ object TextOps {
          |JOIN kstar ON p.it = kstar.k
          |ORDER BY doc_id""".stripMargin
     },
+
+    "q161_degree_assortativity" ->
+      s"""WITH $JPAIRS_CTES,
+         |edges AS (
+         | SELECT da AS src, db AS dst FROM jpairs
+         | UNION ALL
+         | SELECT db AS src, da AS dst FROM jpairs),
+         |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+         |sums AS (
+         | SELECT COUNT(*) AS m,
+         |  SUM(CAST(a.deg AS HUGEINT)) AS sx,
+         |  SUM(CAST(a.deg AS HUGEINT) * a.deg) AS sxx,
+         |  SUM(CAST(a.deg AS HUGEINT) * b.deg) AS sxy
+         | FROM edges e
+         | JOIN deg a ON a.src = e.src
+         | JOIN deg b ON b.src = e.dst)
+         |SELECT m, CAST(sx AS BIGINT) AS sum_deg,
+         | CAST(sxx AS BIGINT) AS sum_deg_sq,
+         | CAST(sxy AS BIGINT) AS sum_xy,
+         | CAST(CAST(CAST(m AS HUGEINT) * sxy - sx * sx AS VARCHAR)
+         |   AS DOUBLE)
+         |  / CAST(CAST(CAST(m AS HUGEINT) * sxx - sx * sx AS VARCHAR)
+         |   AS DOUBLE) AS assortativity
+         |FROM sums""".stripMargin,
 
     // identical md5-uniform draw, ln-key, and rounded rank order
     "q107_weighted_sample" ->
