@@ -80,6 +80,37 @@ object Warehouse {
   private def monthKey(c: Column): Column =
     (year(c) * 100 + month(c)).cast("long")
 
+  /** q162: the month the correction batch lands in, and the in-month
+    * selection rule. A mid-range month so it exists at every sf. */
+  private[graft] val HOT_MONTH = 199603L
+  private[graft] val HOT_MOD   = 7L
+
+  /** q162's third snapshot: A with a MONTH-LOCALIZED correction batch —
+    * keys ≡ 3 (mod 7) inside HOT_MONTH get a 5-dollar revision (the
+    * late-arriving-corrections shape: one accounting period reopens,
+    * the rest of the table is untouched). Same-key-set by construction:
+    * updates only, no inserts/deletes. */
+  private def snapC(s: SparkSession, dir: String): DataFrame = {
+    val hit = col("pk") === HOT_MONTH &&
+      pmod(col("key"), lit(HOT_MOD)) === 3
+    snapAM(s, dir)
+      .withColumn("cents", when(hit, col("cents") + 500).otherwise(col("cents")))
+      .withColumn("status", when(hit, lit("C")).otherwise(col("status")))
+  }
+
+  /** snapA with the month partition key attached (timestamp_micros is
+    * zone-free; year/month read it under the UTC-pinned session). */
+  private def snapAM(s: SparkSession, dir: String): DataFrame =
+    snapA(s, dir)
+      .withColumn("pk", monthKey(timestamp_micros(col("dat_us"))))
+
+  /** Fingerprint + month partition key, the q162 diff grain. */
+  private def withFpM(df: DataFrame): DataFrame =
+    df.select(col("key"), col("pk"), col("cents"),
+      h48("id:", concat_ws("|",
+        col("key"), col("status"), col("cents"), col("priority"),
+        col("custkey"), col("dat_us"))).as("fp"))
+
   /** Exact-integer decimal width for the q157 anomaly arithmetic. */
   private val D = "decimal(38,0)"
 
@@ -290,6 +321,47 @@ object Warehouse {
         .withColumn("hot_ppm", expr("(max_mult * 1000000) div n_rows"))
         .orderBy("event_type")
     }),
+
+    // Incremental snapshot diff — the q156 ∘ q155 composition that makes
+    // nightly diffs cheap: compare the two versions' per-month MANIFESTS
+    // first (partition-count-sized), and run the row-level fingerprint
+    // diff ONLY over months whose leaf hash moved. The change batch is
+    // month-localized by construction (late-arriving corrections reopen
+    // one accounting period), so the manifest prunes ~all of the fact:
+    // the row join's input drops from |table| to |changed months|. The
+    // changed-month set is runtime data (a broadcast semi-join, not a
+    // static predicate) — on month-partitioned storage this is exactly
+    // the shape dynamic partition pruning turns into skipped files, and
+    // it is how a 100 TB replica syncs without ever scanning the 99.9 %
+    // of partitions the manifest already proved identical. Updates-only
+    // batch ⇒ both snapshots hold the same key set, so the per-month
+    // row join is inner and the output accounts every compared row
+    // (n_rows vs n_changed) plus the exact money moved.
+    "q162_incremental_diff" -> ((s, dir) => {
+      val aFp = withFpM(snapAM(s, dir))
+      val cFp = withFpM(snapC(s, dir))
+      def manifest(f: DataFrame) =
+        f.groupBy("pk").agg(h48sum(col("fp")).as("h"))
+      val changed = manifest(aFp).as("ma")
+        .join(manifest(cFp).as("mc"), "pk")
+        .where(col("ma.h") =!= col("mc.h"))
+        .select(col("pk"))
+      val a = aFp.join(broadcast(changed), "pk")
+        .select(col("pk"), col("key"), col("cents").as("ca"),
+          col("fp").as("fpa"))
+      val c = cFp.join(broadcast(changed), "pk")
+        .select(col("key"), col("cents").as("cb"), col("fp").as("fpb"))
+      a.join(c, "key")
+        .groupBy("pk")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("fpa") =!= col("fpb"), 1L).otherwise(0L))
+            .as("n_changed"),
+          sum((col("cb") - col("ca")).cast(D)).cast("long")
+            .as("cents_delta"))
+        .select(col("pk").as("part_key"), col("n_rows"),
+          col("n_changed"), col("cents_delta"))
+        .orderBy("part_key")
+    }),
   )
 
   /** q159: bucket count — small enough that every bucket is populated
@@ -451,5 +523,50 @@ object Warehouse {
         |  AS hot_ppm
         |FROM c JOIN tot USING (event_type)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q162_incremental_diff" ->
+      s"""WITH a AS (
+         | SELECT o_orderkey AS key, o_custkey AS custkey,
+         |  o_orderstatus AS status,
+         |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+         |  o_orderpriority AS priority, epoch_us(o_orderdate) AS dat_us,
+         |  (year(o_orderdate) * 100 + month(o_orderdate)) AS pk
+         | FROM orders),
+         |c AS (
+         | SELECT key, custkey,
+         |  CASE WHEN pk = $HOT_MONTH AND key % $HOT_MOD = 3
+         |       THEN 'C' ELSE status END AS status,
+         |  CASE WHEN pk = $HOT_MONTH AND key % $HOT_MOD = 3
+         |       THEN cents + 500 ELSE cents END AS cents,
+         |  priority, dat_us, pk
+         | FROM a),
+         |fa AS (
+         | SELECT key, pk, cents,
+         |  CAST('0x' || substr(md5('id:' || CAST(key AS VARCHAR) || '|' ||
+         |    status || '|' || CAST(cents AS VARCHAR) || '|' || priority ||
+         |    '|' || CAST(custkey AS VARCHAR) || '|' ||
+         |    CAST(dat_us AS VARCHAR)), 1, 12) AS BIGINT) AS fp
+         | FROM a),
+         |fc AS (
+         | SELECT key, pk, cents,
+         |  CAST('0x' || substr(md5('id:' || CAST(key AS VARCHAR) || '|' ||
+         |    status || '|' || CAST(cents AS VARCHAR) || '|' || priority ||
+         |    '|' || CAST(custkey AS VARCHAR) || '|' ||
+         |    CAST(dat_us AS VARCHAR)), 1, 12) AS BIGINT) AS fp
+         | FROM c),
+         |ma AS (
+         | SELECT pk, CAST(SUM(fp) % 281474976710656 AS BIGINT) AS h
+         | FROM fa GROUP BY pk),
+         |mc AS (
+         | SELECT pk, CAST(SUM(fp) % 281474976710656 AS BIGINT) AS h
+         | FROM fc GROUP BY pk),
+         |ch AS (
+         | SELECT pk FROM ma JOIN mc USING (pk) WHERE ma.h <> mc.h)
+         |SELECT fa.pk AS part_key, COUNT(*) AS n_rows,
+         | CAST(SUM(CASE WHEN fa.fp <> fc.fp THEN 1 ELSE 0 END) AS BIGINT)
+         |  AS n_changed,
+         | CAST(SUM(fc.cents - fa.cents) AS BIGINT) AS cents_delta
+         |FROM fa JOIN fc USING (key) JOIN ch ON fa.pk = ch.pk
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -266,4 +266,29 @@ class WarehouseSpec extends AnyFunSuite {
           r.getLong(5), r.getLong(6), r.getLong(7))).toMap
     assert(r("click") === ((1000L, 100L, 901L, 1L, 1L, 1L, 901000L)))
   }
+
+  // ---------------------------------------------------------------- q162
+
+  test("q162 localizes the diff to the one manifest-changed month") {
+    import queries.Warehouse.{HOT_MONTH, HOT_MOD}
+    val out = queries.Warehouse.queries("q162_incremental_diff")(s, sfDir)
+      .collect()
+    // manifest pruning: ONLY the hot month reaches the row diff
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getLong(0) === HOT_MONTH)
+
+    // independent model from the raw table
+    val rows = graft.model.Tables(s, sfDir).orders
+      .select(col("o_orderkey"),
+        (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+          .cast("long").as("pk"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+      .filter(_._2 == HOT_MONTH)
+    val nChanged = rows.count(_._1 % HOT_MOD == 3).toLong
+    assert(nChanged > 0, "the correction rule must bind at sf0.001")
+    assert(r.getLong(1) === rows.length.toLong)  // n_rows = month size
+    assert(r.getLong(2) === nChanged)
+    assert(r.getLong(3) === 500L * nChanged)     // exact money moved
+  }
 }
