@@ -362,7 +362,55 @@ object Warehouse {
           col("n_changed"), col("cents_delta"))
         .orderBy("part_key")
     }),
+
+    // Right-to-be-forgotten cascade — the deletion a privacy request
+    // forces through the star: a batch of customers (key ≡ 11 mod 53)
+    // is purged, their orders with them, and the lineitems of those
+    // orders transitively. Per table the report carries purge/keep
+    // counts AND an order-free h48 key-sum of the SURVIVORS, so the
+    // oracle pins exactly which rows remain — a count-only audit would
+    // pass a cascade that deleted the wrong rows. Plan shape at scale:
+    // the request batch is dimension-derived (|customer|/53), so the
+    // customer and orders purges are BROADCAST anti-joins (zero fact
+    // shuffle); the lineitem cascade keys off the DELETED ORDERS key
+    // set, which is fact-derived and can outgrow a broadcast at 100 TB —
+    // that anti-join is left as a shuffled LEFT ANTI on the distinct
+    // key set (the q152 discipline), the honest cost of a transitive
+    // cascade. Everything is one pass per table; no window, no sort
+    // beyond the 3-row output.
+    "q163_delete_propagation" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val del = t.customer
+        .where(pmod(col("c_custkey"), lit(DEL_MOD)) === DEL_RES)
+        .select(col("c_custkey").as("k"))
+      val odel = t.orders.join(t.dim(del), col("o_custkey") === col("k"))
+        .select(col("o_orderkey").as("ok"))
+      def report(name: String, total: DataFrame, keep: DataFrame,
+          keyStr: Column): DataFrame =
+        keep.agg(count(lit(1)).as("n_kept"),
+            h48sum(h48("dp:", keyStr)).as("kept_key_hash"))
+          .crossJoin(broadcast(total.agg(count(lit(1)).as("n_total"))))
+          .select(lit(name).as("table_name"), col("n_total"),
+            (col("n_total") - col("n_kept")).as("n_purged"),
+            col("n_kept"), col("kept_key_hash"))
+      val cust = report("customer", t.customer,
+        t.customer.join(t.dim(del), col("c_custkey") === col("k"),
+          "left_anti"),
+        col("c_custkey").cast("string"))
+      val ord = report("orders", t.orders,
+        t.orders.join(t.dim(del), col("o_custkey") === col("k"),
+          "left_anti"),
+        col("o_orderkey").cast("string"))
+      val li = report("lineitem", t.lineitem,
+        t.lineitem.join(odel, col("l_orderkey") === col("ok"), "left_anti"),
+        concat_ws("|", col("l_orderkey"), col("l_linenumber")))
+      cust.unionByName(ord).unionByName(li).orderBy("table_name")
+    }),
   )
+
+  /** q163: the privacy-request batch — every 53rd customer. */
+  private[graft] val DEL_MOD = 53L
+  private[graft] val DEL_RES = 11L
 
   /** q159: bucket count — small enough that every bucket is populated
     * at sf0.001, large enough that equi-depth differs visibly from
@@ -568,5 +616,48 @@ object Warehouse {
          | CAST(SUM(fc.cents - fa.cents) AS BIGINT) AS cents_delta
          |FROM fa JOIN fc USING (key) JOIN ch ON fa.pk = ch.pk
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q163_delete_propagation" ->
+      s"""WITH del AS (
+         | SELECT c_custkey AS k FROM customer
+         | WHERE c_custkey % $DEL_MOD = $DEL_RES),
+         |odel AS (
+         | SELECT o_orderkey AS ok FROM orders
+         | JOIN del ON o_custkey = k),
+         |ck AS (
+         | SELECT c_custkey FROM customer
+         | WHERE NOT EXISTS (SELECT 1 FROM del WHERE k = c_custkey)),
+         |ok_ AS (
+         | SELECT o_orderkey FROM orders
+         | WHERE NOT EXISTS (SELECT 1 FROM del WHERE k = o_custkey)),
+         |lk AS (
+         | SELECT l_orderkey, l_linenumber FROM lineitem
+         | WHERE NOT EXISTS (SELECT 1 FROM odel WHERE ok = l_orderkey))
+         |SELECT 'customer' AS table_name,
+         | (SELECT COUNT(*) FROM customer) AS n_total,
+         | (SELECT COUNT(*) FROM customer) - COUNT(*) AS n_purged,
+         | COUNT(*) AS n_kept,
+         | CAST(SUM(CAST('0x' || substr(md5('dp:' ||
+         |   CAST(c_custkey AS VARCHAR)), 1, 12) AS BIGINT))
+         |  % 281474976710656 AS BIGINT) AS kept_key_hash
+         |FROM ck
+         |UNION ALL
+         |SELECT 'lineitem',
+         | (SELECT COUNT(*) FROM lineitem),
+         | (SELECT COUNT(*) FROM lineitem) - COUNT(*), COUNT(*),
+         | CAST(SUM(CAST('0x' || substr(md5('dp:' ||
+         |   CAST(l_orderkey AS VARCHAR) || '|' ||
+         |   CAST(l_linenumber AS VARCHAR)), 1, 12) AS BIGINT))
+         |  % 281474976710656 AS BIGINT)
+         |FROM lk
+         |UNION ALL
+         |SELECT 'orders',
+         | (SELECT COUNT(*) FROM orders),
+         | (SELECT COUNT(*) FROM orders) - COUNT(*), COUNT(*),
+         | CAST(SUM(CAST('0x' || substr(md5('dp:' ||
+         |   CAST(o_orderkey AS VARCHAR)), 1, 12) AS BIGINT))
+         |  % 281474976710656 AS BIGINT)
+         |FROM ok_
+         |ORDER BY table_name""".stripMargin,
   )
 }

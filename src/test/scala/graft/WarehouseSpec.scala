@@ -291,4 +291,31 @@ class WarehouseSpec extends AnyFunSuite {
     assert(r.getLong(2) === nChanged)
     assert(r.getLong(3) === 500L * nChanged)     // exact money moved
   }
+
+  // ---------------------------------------------------------------- q163
+
+  test("q163 cascades the purge transitively and keeps exact survivors") {
+    import queries.Warehouse.{DEL_MOD, DEL_RES}
+    val t = graft.model.Tables(s, sfDir)
+    val out = queries.Warehouse.queries("q163_delete_propagation")(s, sfDir)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+
+    val delC = t.customer.select("c_custkey").collect().map(_.getLong(0))
+      .filter(k => k % DEL_MOD == DEL_RES).toSet
+    assert(delC.nonEmpty, "the request batch must bind at sf0.001")
+    val orders = t.orders.select("o_orderkey", "o_custkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val delO = orders.filter(o => delC(o._2)).map(_._1).toSet
+    val li = t.lineitem.select("l_orderkey").collect().map(_.getLong(0))
+    val delL = li.count(delO)
+
+    assert(out("customer")._2 === delC.size.toLong)
+    assert(out("orders")._2 === delO.size.toLong)
+    assert(out("lineitem")._2 === delL.toLong)
+    // totals and keeps are consistent
+    for ((_, (total, purged, kept)) <- out) assert(total === purged + kept)
+    assert(out("lineitem")._1 === li.length.toLong)
+  }
 }
