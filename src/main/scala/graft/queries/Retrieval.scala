@@ -468,7 +468,43 @@ object Retrieval {
           (max("dc").cast("double") / 100).as("max_difficulty"))
         .orderBy("stage")
     }),
+
+    // Positional phrase search — the exact-match retrieval primitive
+    // BM25's bag-of-words postings (q120) cannot answer: find documents
+    // containing the query terms CONSECUTIVELY. Classic positional-
+    // index evaluation chains term i to term i+1 at pos+1; this form
+    // NORMALIZES every posting to its candidate phrase START
+    // (start = pos − i), which turns the whole chain into equi-joins
+    // on the single key (doc_id, start) — one shuffle partitioning
+    // serves every term, and Catalyst pushes the per-term predicate
+    // into the posting scan so only the query terms' postings flow
+    // (three selective scans of the same exploded frame, not |vocab|).
+    // Per-term position sets are duplicate-free by construction, so
+    // the join chain IS set intersection — no dedup step.
+    "q164_phrase_search" -> ((s, dir) =>
+      phraseSearch(docs(s, dir), PHRASE)),
   )
+
+  /** q164: the shipped query phrase — two mid-frequency corpus terms,
+    * selective but binding at every sf (20/36/296 matches at
+    * sf0.001/0.01/0.1). The implementation chains ANY length. */
+  private[graft] val PHRASE = Seq("table", "value")
+
+  /** q164 core: consecutive-term match via start-normalized postings. */
+  private[graft] def phraseSearch(docs: DataFrame,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    val p = docs.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+    val parts = phrase.zipWithIndex.map { case (t, i) =>
+      p.where(col("term") === t)
+        .select(col("doc_id"), (col("pos") - i).cast("long").as("start"))
+    }
+    parts.reduce((a, b) => a.join(b, Seq("doc_id", "start")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matches"), min("start").as("first_pos"))
+      .orderBy("doc_id")
+  }
 
   def oracles: Map[String, String] = Map(
 
@@ -631,5 +667,21 @@ object Retrieval {
         | CAST(MIN(d.dc) AS DOUBLE) / 100 AS min_difficulty,
         | CAST(MAX(d.dc) AS DOUBLE) / 100 AS max_difficulty
         |FROM d JOIN stg USING (dc) GROUP BY 1 ORDER BY stage""".stripMargin,
+
+    // generated from the SAME PHRASE constant as the Spark side
+    "q164_phrase_search" -> {
+      val from = PHRASE.zipWithIndex.map { case (t, i) =>
+        val sub = s"(SELECT doc_id, pos - $i AS start FROM p WHERE term = '$t') t$i"
+        if (i == 0) sub else s"JOIN $sub USING (doc_id, start)"
+      }.mkString("\n  ")
+      s"""WITH p AS (
+         | SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         |  generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+         | FROM documents)
+         |SELECT doc_id, COUNT(*) AS n_matches,
+         | CAST(MIN(start) AS BIGINT) AS first_pos
+         |FROM $from
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
   )
 }
