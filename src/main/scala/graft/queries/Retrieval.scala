@@ -483,7 +483,58 @@ object Retrieval {
     // the join chain IS set intersection — no dedup step.
     "q164_phrase_search" -> ((s, dir) =>
       phraseSearch(docs(s, dir), PHRASE)),
+
+    // Collocation mining — the top adjacent word pairs by count, with
+    // pointwise mutual information: the statistic that separates real
+    // collocations ("data table" beyond chance) from pairs that merely
+    // ride two frequent words. Pair EXTRACTION is zero-shuffle: the
+    // token array transforms to its adjacent-pair array per row
+    // (transform over sequence — pure map-side, no posting self-join,
+    // no window); the only corpus-sized shuffles are the two partial
+    // aggregates (bigram and unigram counts). Unigram table and the
+    // scalar totals are vocab-sized → broadcast back onto the bigram
+    // frame. Ranking key is (count DESC, pair) — pure integers, no
+    // float in the ordering; PMI rides along as
+    // round(ln(c_ab·M²/(N·c_a·c_b)), 6) under the q82/q107 libm
+    // precedent (the ratio is an exact integer quotient of exact
+    // counts before the one ln call).
+    "q165_collocations" -> ((s, dir) => {
+      val toks = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("arr"))
+      // size ≥ 2 guard: Spark's sequence(0, -1) would DESCEND (step
+      // defaults to -1 when start > stop), minting bogus null pairs
+      // from single-token docs — the SQL self-join form has no such
+      // row, so the engines would silently diverge.
+      val pairs = toks.where(size(col("arr")) >= 2).select(explode(expr(
+        """transform(sequence(0, size(arr) - 2),
+          |  i -> struct(arr[i] AS a, arr[i + 1] AS b))""".stripMargin))
+          .as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+      val uni = toks.select(explode(col("arr")).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("c1"))
+      val tot = uni.agg(sum("c1").as("m"))
+      val ntot = pairs.groupBy().agg(count(lit(1)).as("n"))
+      val big = pairs.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+      val w = Window.orderBy(col("c_ab").desc, col("a"), col("b"))
+      big
+        .join(broadcast(uni.select(col("t").as("a"), col("c1").as("c_a"))), "a")
+        .join(broadcast(uni.select(col("t").as("b"), col("c1").as("c_b"))), "b")
+        .crossJoin(broadcast(tot)).crossJoin(broadcast(ntot))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= COLLOC_K)
+        .select(col("rank"), col("a"), col("b"), col("c_ab"),
+          col("c_a"), col("c_b"),
+          round(log(col("c_ab").cast("double") * col("m") * col("m") /
+            (col("n").cast("double") * col("c_a") * col("c_b"))), 6)
+            .as("pmi"))
+        .orderBy("rank")
+    }),
   )
+
+  /** q165: collocations kept (count-desc, pair-asc row_number). The
+    * global top-K window runs on the BIGRAM frame (vocab²-bounded and
+    * count-≥1-filtered — never corpus-sized); K is output-sized. */
+  private[graft] val COLLOC_K = 20L
 
   /** q164: the shipped query phrase — two mid-frequency corpus terms,
     * selective but binding at every sf (20/36/296 matches at
@@ -683,5 +734,31 @@ object Retrieval {
          |FROM $from
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
+
+    "q165_collocations" ->
+      s"""WITH p AS (
+         | SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         |  generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+         | FROM documents),
+         |pr AS (
+         | SELECT x.term AS a, y.term AS b
+         | FROM p x JOIN p y ON y.doc_id = x.doc_id AND y.pos = x.pos + 1),
+         |uni AS (SELECT term AS t, COUNT(*) AS c1 FROM p GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS m FROM uni),
+         |nt AS (SELECT COUNT(*) AS n FROM pr),
+         |big AS (SELECT a, b, COUNT(*) AS c_ab FROM pr GROUP BY 1, 2),
+         |rk AS (
+         | SELECT a, b, c_ab,
+         |  ROW_NUMBER() OVER (ORDER BY c_ab DESC, a, b) AS rank
+         | FROM big)
+         |SELECT rank, rk.a, rk.b, c_ab, ua.c1 AS c_a, ub.c1 AS c_b,
+         | ROUND(ln(CAST(c_ab AS DOUBLE) * m * m /
+         |   (CAST(n AS DOUBLE) * ua.c1 * ub.c1)), 6) AS pmi
+         |FROM rk
+         |JOIN uni ua ON ua.t = rk.a
+         |JOIN uni ub ON ub.t = rk.b
+         |CROSS JOIN tot CROSS JOIN nt
+         |WHERE rank <= $COLLOC_K
+         |ORDER BY rank""".stripMargin,
   )
 }
