@@ -20,9 +20,19 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     val names = args.lift(1).map(_.split(",").toSeq)
       .getOrElse(SparkEntry.queries.keys.toSeq.sorted)
+    // "exec" third arg: run the query first, then print the FINAL
+    // adaptive plan — the only place AQE's runtime rewrites
+    // (ReusedExchange dedup, broadcast demotion, skew splits) are
+    // visible; the static plan duplicates common subtrees that
+    // execution actually shares.
+    val exec = args.lift(2).contains("exec")
     names.foreach { n =>
       println(s"\n========== $n ==========")
-      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      if (exec) {
+        df.collect()
+        println(df.queryExecution.executedPlan.toString)
+      } else df.explain("formatted")
     }
     spark.stop()
   }

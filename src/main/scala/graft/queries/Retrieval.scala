@@ -489,7 +489,7 @@ object Retrieval {
     // collocations ("data table" beyond chance) from pairs that merely
     // ride two frequent words. Pair EXTRACTION is zero-shuffle: the
     // token array transforms to its adjacent-pair array per row
-    // (transform over sequence — pure map-side, no posting self-join,
+    // (arrays_zip over two slices — pure map-side, no posting self-join,
     // no window); the only corpus-sized shuffles are the two partial
     // aggregates (bigram and unigram counts). Unigram table and the
     // scalar totals are vocab-sized → broadcast back onto the bigram
@@ -501,20 +501,39 @@ object Retrieval {
     "q165_collocations" -> ((s, dir) => {
       val toks = docs(s, dir)
         .select(col("doc_id"), split(col("text"), " ").as("arr"))
-      // size ≥ 2 guard: Spark's sequence(0, -1) would DESCEND (step
-      // defaults to -1 when start > stop), minting bogus null pairs
-      // from single-token docs — the SQL self-join form has no such
-      // row, so the engines would silently diverge.
-      val pairs = toks.where(size(col("arr")) >= 2).select(explode(expr(
-        """transform(sequence(0, size(arr) - 2),
-          |  i -> struct(arr[i] AS a, arr[i + 1] AS b))""".stripMargin))
+      // size ≥ 2 guard: slice(arr, 1, size − 1) throws on the negative
+      // length an EMPTY doc would produce, and single-token docs must
+      // contribute a unigram but no pair row (spec-pinned).
+      // arrays_zip(tokens[0..n-2], tokens[1..n-1]) — lambda-free on
+      // purpose: the equivalent transform(sequence, i -> …) form
+      // carries NamedLambdaVariable ids that defeat plan
+      // canonicalization, so the N-total below could NOT reuse the
+      // bigram exchange and paid a third corpus scan (verified on the
+      // executed AQE plan via `graft.Explain … exec`).
+      val pairs = toks.where(size(col("arr")) >= 2).select(explode(
+        arrays_zip(
+          slice(col("arr"), lit(1), size(col("arr")) - 1).as("a"),
+          slice(col("arr"), lit(2), size(col("arr")) - 1).as("b")))
           .as("p"))
         .select(col("p.a").as("a"), col("p.b").as("b"))
+        // Inert by construction (split() tokens are never null and the
+        // two slices have equal length), but load-bearing for the plan:
+        // the unigram joins push exactly these IsNotNulls below the
+        // bigram PARTIAL aggregate on their side, so without the same
+        // filter here the N-total's exchange canonicalizes differently
+        // and AQE re-scans the corpus instead of reusing the shuffle
+        // (verified both ways on the executed plan).
+        .where(col("a").isNotNull && col("b").isNotNull)
       val uni = toks.select(explode(col("arr")).as("t"))
         .groupBy("t").agg(count(lit(1)).as("c1"))
-      val tot = uni.agg(sum("c1").as("m"))
-      val ntot = pairs.groupBy().agg(count(lit(1)).as("n"))
       val big = pairs.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+      // Totals fold the ALREADY-AGGREGATED frames (M = Σc1 over the
+      // vocab, N = Σc_ab over the bigram table — identical integers to
+      // counting the corpus again), so the corpus is scanned exactly
+      // twice (token explode, pair explode); the naive count(*) forms
+      // cost two more full scans that AQE cannot reuse.
+      val tot = uni.agg(sum("c1").as("m"))
+      val ntot = big.agg(sum("c_ab").as("n"))
       val w = Window.orderBy(col("c_ab").desc, col("a"), col("b"))
       big
         .join(broadcast(uni.select(col("t").as("a"), col("c1").as("c_a"))), "a")

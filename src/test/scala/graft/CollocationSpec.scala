@@ -18,9 +18,9 @@ class CollocationSpec extends AnyFunSuite {
   test("pair counts, ranking, ties, and PMI match the paper model") {
     import s.implicits._
     // doc1 "x y x y": pairs (x,y),(y,x),(x,y); doc2 "x y z": (x,y),(y,z)
-    // doc3 "q": single token → a unigram but NO pair (the guard case —
-    // without the size≥2 filter Spark's sequence(0,-1) descends and
-    // mints null pairs here)
+    // doc3 "q": single token → a unigram but NO pair (the guard case:
+    // the size≥2 filter must drop it before the slice/zip pair
+    // extraction touches it)
     val d = Files.createTempDirectory("graft_colloc").toString
     Seq((1L, "x y x y"), (2L, "x y z"), (3L, "q"))
       .toDF("doc_id", "text")
