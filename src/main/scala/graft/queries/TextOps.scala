@@ -1120,7 +1120,52 @@ object TextOps {
     "q161_degree_assortativity" -> ((s, dir) =>
       degreeAssortativity(jaccardPairs(s, dir)
         .select(col("da").as("u"), col("db").as("v")))),
+
+    // Local clustering coefficient — the PER-NODE closure ratio
+    // cc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) that q161's one global
+    // number cannot give: it labels each individual document "inside a
+    // clique" (cc→1, boilerplate copy) vs "bridge between clusters"
+    // (cc→0, template hub) — the per-doc routing signal a curation pass
+    // acts on. Triangle counts come from the same degree-ordered
+    // orientation as q148 (wedge fan-out bounded O(√m) — the hot-node
+    // argument in Components.triangleCounts); the degree table is one
+    // extra aggregate over the SAME checkpointed pair list, so the
+    // jaccard subtree is evaluated once for both consumers. cc is an
+    // exact small-integer ratio converted at the boundary via the
+    // string route (Exact.asD) and IEEE-divided — bit-identical in both
+    // engines. Nodes with deg < 2 are excluded (cc undefined), matching
+    // the standard convention (Watts–Strogatz local coefficient).
+    "q167_clustering_coeff" -> ((s, dir) =>
+      clusteringCoeff(jaccardPairs(s, dir)
+        .select(col("da").as("u"), col("db").as("v")))),
   )
+
+  /** q167 core over an undirected pair list — per-node Watts–Strogatz
+    * local coefficient; see the catalog entry's scaladoc. The input
+    * pairs are checkpointed ONCE here because two consumers read them
+    * (triangle census + degree aggregate) and the caller's subtree may
+    * be expensive (the q65 lesson). Edges are normalized/deduped here
+    * (not just in the census) because the DEGREE aggregate counts the
+    * same list — a reversed duplicate must not inflate deg while the
+    * census ignores it. */
+  private[graft] def clusteringCoeff(pairs0: DataFrame): DataFrame = {
+    val pairs = Fixpoint.checkpointFresh(pairs0
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct())
+    val tri = Components.triangleCounts(pairs)
+    val deg = pairs.select(col("u").as("doc_id"))
+      .unionByName(pairs.select(col("v").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("deg"))
+    deg.where(col("deg") >= 2)
+      .join(tri, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        (Exact.asD(coalesce(col("n_tri"), lit(0L)) * lit(2)) /
+          Exact.asD(col("deg") * (col("deg") - lit(1)))).as("cc"))
+      .orderBy("doc_id")
+  }
 
   /** q161 core over an undirected pair list — see the catalog entry's
     * scaladoc for the no-sqrt argument on symmetrized edges. */
@@ -2210,6 +2255,34 @@ object TextOps {
          |  / CAST(CAST(CAST(m AS HUGEINT) * sxx - sx * sx AS VARCHAR)
          |   AS DOUBLE) AS assortativity
          |FROM sums""".stripMargin,
+
+    // q148's naive triangle census + a degree CTE; cc through the same
+    // string-route boundary as the Spark side (Exact.asD twin)
+    "q167_clustering_coeff" ->
+      s"""WITH $JPAIRS_CTES,
+         |e AS (SELECT da AS u, db AS v FROM jpairs),
+         |deg AS (SELECT u AS doc_id, COUNT(*) AS deg FROM (
+         |  SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e) und
+         | GROUP BY u),
+         |tri AS (
+         | SELECT e1.u AS a, e1.v AS b, e2.v AS c
+         | FROM e e1
+         | JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+         | JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+         |corners AS (
+         | SELECT a AS doc_id FROM tri
+         | UNION ALL SELECT b FROM tri
+         | UNION ALL SELECT c FROM tri),
+         |ntri AS (
+         | SELECT doc_id, COUNT(*) AS n_tri FROM corners GROUP BY doc_id)
+         |SELECT d.doc_id, d.deg, COALESCE(n.n_tri, 0) AS n_tri,
+         | CAST(CAST(CAST(COALESCE(n.n_tri, 0) * 2 AS DECIMAL(38,6))
+         |   AS VARCHAR) AS DOUBLE)
+         |  / CAST(CAST(CAST(d.deg * (d.deg - 1) AS DECIMAL(38,6))
+         |   AS VARCHAR) AS DOUBLE) AS cc
+         |FROM deg d LEFT JOIN ntri n USING (doc_id)
+         |WHERE d.deg >= 2
+         |ORDER BY d.doc_id""".stripMargin,
 
     // identical md5-uniform draw, ln-key, and rounded rank order
     "q107_weighted_sample" ->
