@@ -83,11 +83,88 @@ object Curation {
           PHONE_RE, "<PHONE>")).as("red_hash"))
   }
 
+  /** q166 sorted-neighborhood constants — interpolated into the oracle so
+    * the two sides cannot drift. The distance runs on the ASCII-normalized
+    * comparison field ONLY: Spark's levenshtein counts CHARACTERS while
+    * DuckDB's counts BYTES, so the operator is defined on Latin-script
+    * docs (the ASCII gate below) where the two coincide. */
+  private val FUZZY_T    = 12        // edit-distance accept threshold
+  private val FUZZY_W    = 3         // SNM window lookahead (rows)
+  private val FUZZY_CAP  = 200       // comparison-field width (chars)
+  private val FUZZY_PFX  = 4         // blocking-key width (chars)
+  private val FUZZY_MOD  = 7L        // twin planting rate (1 in 7 docs)
+  private val FUZZY_BASE = 10000000L // planted-twin doc_id offset
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- PII detection + redaction (see piiRedaction above) ------------
     "q87_pii_redaction" -> ((s, dir) =>
       piiRedaction(docs(s, dir)).orderBy("doc_id")),
+
+    // ---- Edit-distance near-dup via the Sorted Neighborhood Method -----
+    // The record-linkage dedup family the catalog's five set-similarity
+    // dedups (exact / MinHash / SimHash / n-gram Jaccard / embedding)
+    // cannot express: CHARACTER-level mutations — an inserted word, a
+    // version suffix — that leave most shingles intact but no shingle
+    // oracle pins as "the same edit". Classic SNM (Hernández & Stolfo,
+    // SIGMOD 1995): block on (lang, 4-char normalized prefix), sort each
+    // block by the normalized comparison field, compare each row to its
+    // next W neighbors only, accept at levenshtein ≤ T. The corpus has
+    // no natural character-level twins, so the query PLANTS them (the
+    // q87 pattern: synthesize, then genuinely detect) — a 'zz' splice at
+    // a doc-dependent position + a ' v<k>' version suffix, twin id =
+    // doc_id + 10⁷.
+    //
+    // Scale shape — the reason SNM beats blocked all-pairs at 100 TB:
+    // ONE shuffle (hash on the block key) + one per-block sort, then W
+    // comparisons per ROW — work linear in block size where a within-
+    // block self-join is quadratic. Each comparison is bounded O(cap·T),
+    // not O(cap²): Spark's 3-arg levenshtein abandons a row's DP band
+    // the moment it exceeds T (returns −1). Recall tradeoffs are the
+    // textbook ones, stated not hidden: pairs differing inside the
+    // 4-char blocking prefix are out of scope by design, and a skewed
+    // block serializes one sort task — the declared swap at 100 TB is
+    // range-repartition on the sort key with a W-row boundary overlap
+    // (the q145 slab pattern), which this corpus never needs.
+    //
+    // Cross-engine exactness: both sides normalize to [a-z0-9 ] and gate
+    // on ≥50 % of chars surviving (Latin-script gate), so the ASCII
+    // comparison field makes Spark's char-counting and DuckDB's
+    // byte-counting levenshtein identical, and binary string sort orders
+    // agree. Output: accepted pairs (lang, a_id, b_id, dist).
+    "q166_fuzzy_dedup" -> ((s, dir) => {
+      val base = docs(s, dir).select("doc_id", "lang", "text")
+      val twins = base.where(col("doc_id") % FUZZY_MOD === 0)
+        .select((col("doc_id") + lit(FUZZY_BASE)).as("doc_id"), col("lang"),
+          expr("concat(substring(text, 1, CAST(30 + doc_id % 40 AS INT))," +
+            " 'zz', substring(text, CAST(31 + doc_id % 40 AS INT))," +
+            " ' v', CAST(doc_id % 10 AS STRING))").as("text"))
+      val n = base.unionByName(twins)
+        .withColumn("nf", regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""))
+        .where(length(col("nf")) * 2 >= length(col("text")))
+        .select(col("doc_id"), col("lang"),
+          substring(col("nf"), 1, FUZZY_CAP).as("norm"),
+          substring(col("nf"), 1, FUZZY_PFX).as("blk"))
+      val win = Window.partitionBy("lang", "blk").orderBy("norm", "doc_id")
+      // two projections: window expressions may not sit under a generator
+      // in the same select
+      val cand = n
+        .select(col("lang"), col("doc_id"), col("norm"),
+          array((1 to FUZZY_W).map(k =>
+            struct(lead(col("doc_id"), k).over(win).as("nbr"),
+              lead(col("norm"), k).over(win).as("nnorm"))): _*).as("cs"))
+        .select(col("lang"), col("doc_id"), col("norm"),
+          explode(col("cs")).as("c"))
+        .where(col("c.nbr").isNotNull)
+      cand
+        .select(col("lang"),
+          least(col("doc_id"), col("c.nbr")).as("a_id"),
+          greatest(col("doc_id"), col("c.nbr")).as("b_id"),
+          levenshtein(col("norm"), col("c.nnorm"), FUZZY_T)
+            .cast("long").as("dist"))
+        .where(col("dist") >= 0)
+        .orderBy("lang", "a_id", "b_id")
+    }),
 
     // ---- Exact-substring (chunk-level) dedup ---------------------------
     // Non-overlapping CHUNK-token spans hashed corpus-wide; a span seen in
@@ -236,6 +313,48 @@ object Curation {
   )
 
   def oracles: Map[String, String] = Map(
+
+    // same planting, normalization, blocking, SNM window, and threshold;
+    // DuckDB's byte-based levenshtein coincides with Spark's char-based
+    // one on the ASCII comparison field (the WHERE gate)
+    "q166_fuzzy_dedup" ->
+      s"""WITH twins AS (
+         | SELECT doc_id + $FUZZY_BASE AS doc_id, lang,
+         |  substring(text, 1, CAST(30 + doc_id % 40 AS INT)) || 'zz' ||
+         |  substring(text, CAST(31 + doc_id % 40 AS INT)) ||
+         |  ' v' || CAST(doc_id % 10 AS VARCHAR) AS text
+         | FROM documents WHERE doc_id % $FUZZY_MOD = 0),
+         |corpus AS (
+         | SELECT doc_id, lang, text FROM documents
+         | UNION ALL SELECT doc_id, lang, text FROM twins),
+         |n AS (
+         | SELECT doc_id, lang,
+         |  substring(nf, 1, $FUZZY_CAP) AS norm,
+         |  substring(nf, 1, $FUZZY_PFX) AS blk
+         | FROM (SELECT doc_id, lang, text,
+         |        regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g') AS nf
+         |       FROM corpus)
+         | WHERE len(nf) * 2 >= len(text)),
+         |w AS (
+         | SELECT lang, doc_id, norm,
+         |  lead(doc_id, 1) OVER win AS id1, lead(norm, 1) OVER win AS n1,
+         |  lead(doc_id, 2) OVER win AS id2, lead(norm, 2) OVER win AS n2,
+         |  lead(doc_id, 3) OVER win AS id3, lead(norm, 3) OVER win AS n3
+         | FROM n
+         | WINDOW win AS (PARTITION BY lang, blk ORDER BY norm, doc_id)),
+         |cand AS (
+         | SELECT lang, doc_id, norm, id1 AS nbr, n1 AS nnorm FROM w
+         |  WHERE id1 IS NOT NULL
+         | UNION ALL
+         | SELECT lang, doc_id, norm, id2, n2 FROM w WHERE id2 IS NOT NULL
+         | UNION ALL
+         | SELECT lang, doc_id, norm, id3, n3 FROM w WHERE id3 IS NOT NULL)
+         |SELECT lang, least(doc_id, nbr) AS a_id,
+         | greatest(doc_id, nbr) AS b_id,
+         | levenshtein(norm, nnorm) AS dist
+         |FROM cand
+         |WHERE levenshtein(norm, nnorm) <= $FUZZY_T
+         |ORDER BY lang, a_id, b_id""".stripMargin,
 
     "q87_pii_redaction" ->
       """WITH aug AS (
