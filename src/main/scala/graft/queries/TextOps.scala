@@ -123,6 +123,64 @@ object TextOps {
   private[queries] val DECILE_BUCKET_SQL =
     "LEAST(9, CAST(FLOOR((n - mn) * 10 / (mx - mn + 1)) AS INT))"
 
+  /** q31's quality feature/score projection, shared with q168's AUC
+    * eval so the scored field can never drift between the scorer and
+    * its evaluator (the h48/splitOf drift-guard convention). Keeps
+    * every input column plus the six features and the composite score
+    * (rounded to 6 decimals — the exactness q168 leans on). */
+  private[graft] def qualityScored(d: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nTok = size(toks)
+    val stopRatio = round(
+      size(array_intersect(toks, array(EN_STOP.map(lit): _*)))
+        .cast("double") / nTok, 6)
+    val digitRatio = round(
+      (length(col("text"))
+        - length(regexp_replace(col("text"), "[0-9]", ""))).cast("double")
+        / length(col("text")), 6)
+    val avgTokLen = round(
+      (length(col("text")) - nTok + 1).cast("double") / nTok, 6)
+    // the source table carries its own n_chars — drop it so the
+    // recomputed feature (length(text), identical by construction)
+    // is unambiguous
+    d.drop("n_chars")
+      .select(col("*"), nTok.cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars"),
+        avgTokLen.as("avg_token_len"),
+        stopRatio.as("stopword_ratio"), digitRatio.as("digit_ratio"))
+      .withColumn("score", round(
+        least(col("n_tokens").cast("double") / 50, lit(1.0)) * 0.5
+          + (lit(1.0) - col("digit_ratio")) * 0.3
+          + least(col("stopword_ratio") * 10, lit(1.0)) * 0.2, 6))
+  }
+
+  /** q168 core: exact midrank AUC per group over (lang, su, pos) rows —
+    * su an integer score, pos ∈ {0,1}. See the catalog entry's scaladoc
+    * for the integer-midrank construction and the histogram scale
+    * argument. */
+  private[graft] def aucByGroup(scored: DataFrame): DataFrame = {
+    val D = "decimal(38,0)"
+    val hist = scored.groupBy("lang", "su")
+      .agg(count(lit(1)).as("cnt"), sum("pos").as("npos"))
+    val w = Window.partitionBy("lang").orderBy("su")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mid = hist
+      .withColumn("cum", sum("cnt").over(w))
+      .withColumn("mid2",
+        lit(2) * (col("cum") - col("cnt") + 1) + col("cnt") - 1)
+    mid.groupBy("lang")
+      .agg(sum("npos").as("n_pos"),
+        sum(col("cnt") - col("npos")).as("n_neg"),
+        sum(col("npos").cast(D) * col("mid2")).as("s2"))
+      .select(col("lang"), col("n_pos"), col("n_neg"),
+        (col("s2") - col("n_pos").cast(D) * (col("n_pos") + 1))
+          .cast("long").as("u2"),
+        (Exact.asD(col("s2") - col("n_pos").cast(D) * (col("n_pos") + 1)) /
+          Exact.asD(lit(2) * col("n_pos").cast(D) * col("n_neg")))
+          .as("auc"))
+      .orderBy("lang")
+  }
+
   /** q29 core (shared with q65): exact shingle-Jaccard pairs over the
     * df-capped posting lists — pairs sharing ≥2 shingles, similarity
     * ≥ 0.05, columns (da, db, jaccard). The df cap rides the same sh-hash
@@ -776,29 +834,42 @@ object TextOps {
 
     // Quality scoring: per-doc length/token/stopword/digit features and a
     // composite score — the filter stage of a training-data pipeline.
-    "q31_quality" -> ((s, dir) => {
-      val toks = split(col("text"), " ")
-      val nTok = size(toks)
-      val stopRatio = round(
-        size(array_intersect(toks, array(EN_STOP.map(lit): _*)))
-          .cast("double") / nTok, 6)
-      val digitRatio = round(
-        (length(col("text"))
-          - length(regexp_replace(col("text"), "[0-9]", ""))).cast("double")
-          / length(col("text")), 6)
-      val avgTokLen = round(
-        (length(col("text")) - nTok + 1).cast("double") / nTok, 6)
-      docs(s, dir)
-        .select(col("doc_id"), nTok.cast("long").as("n_tokens"),
-          length(col("text")).cast("long").as("n_chars"),
-          avgTokLen.as("avg_token_len"),
-          stopRatio.as("stopword_ratio"), digitRatio.as("digit_ratio"))
-        .withColumn("score", round(
-          least(col("n_tokens").cast("double") / 50, lit(1.0)) * 0.5
-            + (lit(1.0) - col("digit_ratio")) * 0.3
-            + least(col("stopword_ratio") * 10, lit(1.0)) * 0.2, 6))
-        .orderBy("doc_id")
-    }),
+    "q31_quality" -> ((s, dir) =>
+      qualityScored(docs(s, dir))
+        .select("doc_id", "n_tokens", "n_chars", "avg_token_len",
+          "stopword_ratio", "digit_ratio", "score")
+        .orderBy("doc_id")),
+
+    // Exact AUC of the q31 quality score against a source label — the
+    // ranking-metric eval a quality FILTER needs before it gates a
+    // corpus (q125's NDCG/MRR grade retrieval; nothing graded the
+    // scorer itself). Label: source index < 10 = "curated" (synthetic
+    // but deterministic — the q87/q166 plant-then-measure pattern; the
+    // corpus carries no natural quality labels). AUC is the normalized
+    // Mann–Whitney U with the standard midrank tie correction, computed
+    // ENTIRELY in integers: scores become exact micro-units su =
+    // round(score·10⁶) (q31 rounds to 6 decimals, so su is exact and
+    // integer ORDER replaces double order — no cross-engine float
+    // comparisons anywhere), and midranks live in 2× units (2·mid =
+    // 2·rank_start + tiecount − 1, always integral). AUC =
+    // (Σ₊2·mid − n₊(n₊+1)) / (2·n₊·n₋), divided once at the boundary
+    // via the exact string route.
+    //
+    // Scale shape: ranks are NOT a per-row window over the corpus — su
+    // has ≤ 10⁶+1 distinct values by construction, so the corpus-sized
+    // step is ONE groupBy(lang, su) histogram; the running-rank window
+    // then runs over the BOUNDED distinct-score table and the result
+    // folds to one row per lang. The oracle deliberately uses the naive
+    // per-row RANK() formulation instead — an independent construction
+    // of the same statistic (the q148 oracle convention). The s2 sum is
+    // decimal(38,0) internally (2n² exceeds int64 near 10⁹ rows per
+    // lang); the BIGINT output casts document the gate-scale bound.
+    "q168_quality_auc" -> ((s, dir) =>
+      aucByGroup(qualityScored(docs(s, dir))
+        .select(col("lang"),
+          round(col("score") * 1e6).cast("long").as("su"),
+          when(substring(col("source"), 4, 10).cast("int") < 10, 1L)
+            .otherwise(0L).as("pos")))),
 
     // Content fingerprint: md5 of the sorted distinct token bag — dedup
     // that ignores word order. n_docs_sharing > 1 marks bag-level dups.
@@ -1978,6 +2049,46 @@ object TextOps {
         |     + (1.0 - digit_ratio)*0.3
         |     + LEAST(stopword_ratio*10, 1.0)*0.2, 6) AS score
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    // deliberately the NAIVE per-row RANK() midrank formulation — an
+    // independent construction of the same U statistic (the Spark side
+    // ranks off the bounded distinct-score histogram instead)
+    "q168_quality_auc" ->
+      """WITH f AS (
+        | SELECT lang, source,
+        |  len(string_split(text,' ')) AS n_tokens,
+        |  ROUND(CAST(len(list_intersect(string_split(text,' '),
+        |         ['the','a','and','of','to','in','is'])) AS DOUBLE)
+        |        / len(string_split(text,' ')), 6) AS stopword_ratio,
+        |  ROUND(CAST(length(text) - length(regexp_replace(text,'[0-9]','','g'))
+        |        AS DOUBLE) / length(text), 6) AS digit_ratio
+        | FROM documents),
+        |sc AS (
+        | SELECT lang,
+        |  CAST(ROUND(ROUND(LEAST(CAST(n_tokens AS DOUBLE)/50, 1.0)*0.5
+        |      + (1.0 - digit_ratio)*0.3
+        |      + LEAST(stopword_ratio*10, 1.0)*0.2, 6) * 1000000) AS BIGINT)
+        |    AS su,
+        |  CASE WHEN CAST(substring(source, 4) AS INT) < 10
+        |   THEN 1 ELSE 0 END AS pos
+        | FROM f),
+        |r AS (
+        | SELECT lang, su, pos,
+        |  RANK() OVER (PARTITION BY lang ORDER BY su) AS rk,
+        |  COUNT(*) OVER (PARTITION BY lang, su) AS c
+        | FROM sc),
+        |a AS (
+        | SELECT lang, SUM(pos) AS n_pos, SUM(1 - pos) AS n_neg,
+        |  SUM(CAST(pos AS HUGEINT) * (2*rk + c - 1)) AS s2
+        | FROM r GROUP BY lang)
+        |SELECT lang, CAST(n_pos AS BIGINT) AS n_pos,
+        | CAST(n_neg AS BIGINT) AS n_neg,
+        | CAST(s2 - CAST(n_pos AS HUGEINT)*(n_pos+1) AS BIGINT) AS u2,
+        | CAST(CAST(CAST(s2 - CAST(n_pos AS HUGEINT)*(n_pos+1)
+        |    AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE)
+        |  / CAST(CAST(CAST(2 * CAST(n_pos AS HUGEINT) * n_neg
+        |    AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS auc
+        |FROM a ORDER BY lang""".stripMargin,
 
     "q32_fingerprint" ->
       """SELECT doc_id,
