@@ -123,35 +123,54 @@ object TextOps {
   private[queries] val DECILE_BUCKET_SQL =
     "LEAST(9, CAST(FLOOR((n - mn) * 10 / (mx - mn + 1)) AS INT))"
 
-  /** q31's quality feature/score projection, shared with q168's AUC
-    * eval so the scored field can never drift between the scorer and
-    * its evaluator (the h48/splitOf drift-guard convention). Keeps
-    * every input column plus the six features and the composite score
-    * (rounded to 6 decimals — the exactness q168 leans on). */
+  /** q31's quality feature/score projection, shared with q168/q169 so
+    * the scored field can never drift between the scorer and its
+    * evaluators (the h48/splitOf drift-guard convention). Keeps every
+    * input column plus the feature counts, each ratio in EXACT INTEGER
+    * MICRO-UNITS (`*_u`, value = u/10⁶), their double views, and the
+    * composite score (`score_u` + `score`).
+    *
+    * Why integers: the original round(double, 6) form hash-matched at
+    * sf0.01/sf0.1 and diverged at sf1 — one doc's score landed an ulp
+    * from a .5 rounding tie that Spark and DuckDB resolve differently
+    * (0.81143 vs 0.811431), the identical class as the round-9 q104
+    * finding, caught the identical way (sf1 oracle before shipping).
+    * Ratios are therefore HALF-UP of the exact rational in micro-units
+    * — (num·2·10⁶ + den) div (2·den), positive operands so Spark's
+    * truncating div ≡ DuckDB's flooring // — and the composite is
+    * folded in nano-units before one final half-up to micro. Floor
+    * division of exact integers has no ties to disagree on. The double
+    * views are single int→double casts (exact below 2⁵³) and ONE IEEE
+    * division by 10⁶ — bit-identical in both engines. */
   private[graft] def qualityScored(d: DataFrame): DataFrame = {
     val toks = split(col("text"), " ")
-    val nTok = size(toks)
-    val stopRatio = round(
-      size(array_intersect(toks, array(EN_STOP.map(lit): _*)))
-        .cast("double") / nTok, 6)
-    val digitRatio = round(
-      (length(col("text"))
-        - length(regexp_replace(col("text"), "[0-9]", ""))).cast("double")
-        / length(col("text")), 6)
-    val avgTokLen = round(
-      (length(col("text")) - nTok + 1).cast("double") / nTok, 6)
     // the source table carries its own n_chars — drop it so the
     // recomputed feature (length(text), identical by construction)
     // is unambiguous
     d.drop("n_chars")
-      .select(col("*"), nTok.cast("long").as("n_tokens"),
+      .select(col("*"), size(toks).cast("long").as("n_tokens"),
         length(col("text")).cast("long").as("n_chars"),
-        avgTokLen.as("avg_token_len"),
-        stopRatio.as("stopword_ratio"), digitRatio.as("digit_ratio"))
-      .withColumn("score", round(
-        least(col("n_tokens").cast("double") / 50, lit(1.0)) * 0.5
-          + (lit(1.0) - col("digit_ratio")) * 0.3
-          + least(col("stopword_ratio") * 10, lit(1.0)) * 0.2, 6))
+        size(array_intersect(toks, array(EN_STOP.map(lit): _*)))
+          .cast("long").as("n_stop"),
+        (length(col("text"))
+          - length(regexp_replace(col("text"), "[0-9]", "")))
+          .cast("long").as("n_dig"))
+      .select(col("*"),
+        expr("(n_stop * 2000000 + n_tokens) div (2 * n_tokens)").as("sw_u"),
+        expr("(n_dig * 2000000 + n_chars) div (2 * n_chars)").as("dg_u"),
+        expr("((n_chars - n_tokens + 1) * 2000000 + n_tokens)" +
+          " div (2 * n_tokens)").as("atl_u"))
+      .select(col("*"),
+        expr("((CASE WHEN n_tokens >= 50 THEN 500000000" +
+          "       ELSE n_tokens * 10000000 END" +
+          "   + (1000000 - dg_u) * 300" +
+          "   + LEAST(sw_u * 10, 1000000) * 200) + 500) div 1000")
+          .as("score_u"))
+      .select(col("*"),
+        (col("atl_u").cast("double") / lit(1e6)).as("avg_token_len"),
+        (col("sw_u").cast("double") / lit(1e6)).as("stopword_ratio"),
+        (col("dg_u").cast("double") / lit(1e6)).as("digit_ratio"),
+        (col("score_u").cast("double") / lit(1e6)).as("score"))
   }
 
   /** q168 core: exact midrank AUC per group over (lang, su, pos) rows —
@@ -847,13 +866,19 @@ object TextOps {
     // but deterministic — the q87/q166 plant-then-measure pattern; the
     // corpus carries no natural quality labels). AUC is the normalized
     // Mann–Whitney U with the standard midrank tie correction, computed
-    // ENTIRELY in integers: scores become exact micro-units su =
-    // round(score·10⁶) (q31 rounds to 6 decimals, so su is exact and
-    // integer ORDER replaces double order — no cross-engine float
-    // comparisons anywhere), and midranks live in 2× units (2·mid =
-    // 2·rank_start + tiecount − 1, always integral). AUC =
+    // ENTIRELY in integers: the score IS an integer micro-unit
+    // (qualityScored.score_u — integer ORDER replaces double order, no
+    // cross-engine float comparisons anywhere), and midranks live in
+    // 2× units (2·mid = 2·rank_start + tiecount − 1, always
+    // integral). AUC =
     // (Σ₊2·mid − n₊(n₊+1)) / (2·n₊·n₋), divided once at the boundary
-    // via the exact string route.
+    // via the exact string route. The label is a REGEX match
+    // (^src[0-9]$ = the single-digit sources), not a numeric parse of
+    // the suffix: the sf1 corpus plants a 'boilerplate' source the
+    // small SFs never show, and CAST(substring(source,4) AS INT) died
+    // on it — the same sf-dependent-assumption class as the round-9
+    // 53-bit cast finding, caught the same way (running the oracle at
+    // sf1 before shipping).
     //
     // Scale shape: ranks are NOT a per-row window over the corpus — su
     // has ≤ 10⁶+1 distinct values by construction, so the corpus-sized
@@ -866,10 +891,37 @@ object TextOps {
     // lang); the BIGINT output casts document the gate-scale bound.
     "q168_quality_auc" -> ((s, dir) =>
       aucByGroup(qualityScored(docs(s, dir))
-        .select(col("lang"),
-          round(col("score") * 1e6).cast("long").as("su"),
-          when(substring(col("source"), 4, 10).cast("int") < 10, 1L)
+        .select(col("lang"), col("score_u").as("su"),
+          when(col("source").rlike("^src[0-9]$"), 1L)
             .otherwise(0L).as("pos")))),
+
+    // Reliability curve for the q31 scorer — q168's AUC says the score
+    // RANKS well; calibration says whether the score's VALUE means what
+    // it claims (a 0.8-scored slice should be ~80 % curated if the score
+    // is a probability). Ten fixed-width bins over [0,1] in exact
+    // micro-units (bin = su div 10⁵, capped at 9 for su = 10⁶), per
+    // (lang, bin): counts, observed positive rate, and mean score — all
+    // integer sums divided once at the string boundary. ONE corpus-sized
+    // partial-aggregated shuffle on (lang, bin); nothing else scales
+    // with the corpus. Same regex label as q168 (shared rationale: the
+    // sf1 'boilerplate' source).
+    "q169_score_calibration" -> ((s, dir) => {
+      val D = "decimal(38,0)"
+      qualityScored(docs(s, dir))
+        .select(col("lang"), col("score_u").as("su"),
+          when(col("source").rlike("^src[0-9]$"), 1L)
+            .otherwise(0L).as("pos"))
+        .groupBy(col("lang"),
+          least(expr("su div 100000"), lit(9L)).as("bin"))
+        .agg(count(lit(1)).as("n"),
+          sum("pos").as("n_pos"),
+          sum(col("su").cast(D)).as("ssu"))
+        .select(col("lang"), col("bin"), col("n"), col("n_pos"),
+          (Exact.asD(col("n_pos")) / Exact.asD(col("n"))).as("pos_rate"),
+          (Exact.asD(col("ssu")) /
+            Exact.asD(col("n").cast(D) * lit(1000000L))).as("mean_score"))
+        .orderBy("lang", "bin")
+    }),
 
     // Content fingerprint: md5 of the sorted distinct token bag — dedup
     // that ignores word order. n_docs_sharing > 1 marks bag-level dups.
@@ -1542,6 +1594,36 @@ object TextOps {
        | SELECT DISTINCT least(doc_id, other) AS da,
        |  greatest(doc_id, other) AS db FROM top8)""".stripMargin
 
+  /** The qualityScored twin in DuckDB — ends in
+    * `qscore(doc_id, lang, source, n_tokens, n_chars, n_stop, n_dig,
+    * sw_u, dg_u, atl_u, score_u)`. ONE definition shared by the
+    * q31/q168/q169 oracles, mirroring the ONE Spark helper; `//` is
+    * DuckDB's flooring integer division ≡ Spark's truncating `div` on
+    * these positive operands. */
+  private val QUALITY_U_CTES =
+    """qbase AS (
+      | SELECT doc_id, lang, source,
+      |  len(string_split(text,' ')) AS n_tokens,
+      |  length(text) AS n_chars,
+      |  len(list_intersect(string_split(text,' '),
+      |      ['the','a','and','of','to','in','is'])) AS n_stop,
+      |  length(text) - length(regexp_replace(text,'[0-9]','','g')) AS n_dig
+      | FROM documents),
+      |qu AS (
+      | SELECT *,
+      |  (n_stop * 2000000 + n_tokens) // (2 * n_tokens) AS sw_u,
+      |  (n_dig * 2000000 + n_chars) // (2 * n_chars) AS dg_u,
+      |  ((n_chars - n_tokens + 1) * 2000000 + n_tokens) // (2 * n_tokens)
+      |    AS atl_u
+      | FROM qbase),
+      |qscore AS (
+      | SELECT *,
+      |  ((CASE WHEN n_tokens >= 50 THEN 500000000
+      |         ELSE n_tokens * 10000000 END
+      |    + (1000000 - dg_u) * 300
+      |    + LEAST(sw_u * 10, 1000000) * 200) + 500) // 1000 AS score_u
+      | FROM qu)""".stripMargin
+
   private val JPAIRS_CTES =
     """raw AS (
       | SELECT DISTINCT doc_id, sh FROM (
@@ -2032,46 +2114,24 @@ object TextOps {
         |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin,
 
     "q31_quality" ->
-      """WITH f AS (
-        | SELECT doc_id,
-        |  len(string_split(text,' ')) AS n_tokens,
-        |  length(text) AS n_chars,
-        |  ROUND(CAST(length(text) - len(string_split(text,' ')) + 1 AS DOUBLE)
-        |        / len(string_split(text,' ')), 6) AS avg_token_len,
-        |  ROUND(CAST(len(list_intersect(string_split(text,' '),
-        |         ['the','a','and','of','to','in','is'])) AS DOUBLE)
-        |        / len(string_split(text,' ')), 6) AS stopword_ratio,
-        |  ROUND(CAST(length(text) - length(regexp_replace(text,'[0-9]','','g'))
-        |        AS DOUBLE) / length(text), 6) AS digit_ratio
-        | FROM documents)
-        |SELECT f.*,
-        | ROUND(LEAST(CAST(n_tokens AS DOUBLE)/50, 1.0)*0.5
-        |     + (1.0 - digit_ratio)*0.3
-        |     + LEAST(stopword_ratio*10, 1.0)*0.2, 6) AS score
-        |FROM f ORDER BY doc_id""".stripMargin,
+      s"""WITH $QUALITY_U_CTES
+         |SELECT doc_id, n_tokens, n_chars,
+         | CAST(atl_u AS DOUBLE) / 1000000.0 AS avg_token_len,
+         | CAST(sw_u AS DOUBLE) / 1000000.0 AS stopword_ratio,
+         | CAST(dg_u AS DOUBLE) / 1000000.0 AS digit_ratio,
+         | CAST(score_u AS DOUBLE) / 1000000.0 AS score
+         |FROM qscore ORDER BY doc_id""".stripMargin,
 
     // deliberately the NAIVE per-row RANK() midrank formulation — an
     // independent construction of the same U statistic (the Spark side
     // ranks off the bounded distinct-score histogram instead)
     "q168_quality_auc" ->
-      """WITH f AS (
-        | SELECT lang, source,
-        |  len(string_split(text,' ')) AS n_tokens,
-        |  ROUND(CAST(len(list_intersect(string_split(text,' '),
-        |         ['the','a','and','of','to','in','is'])) AS DOUBLE)
-        |        / len(string_split(text,' ')), 6) AS stopword_ratio,
-        |  ROUND(CAST(length(text) - length(regexp_replace(text,'[0-9]','','g'))
-        |        AS DOUBLE) / length(text), 6) AS digit_ratio
-        | FROM documents),
+      s"""WITH $QUALITY_U_CTES,
         |sc AS (
-        | SELECT lang,
-        |  CAST(ROUND(ROUND(LEAST(CAST(n_tokens AS DOUBLE)/50, 1.0)*0.5
-        |      + (1.0 - digit_ratio)*0.3
-        |      + LEAST(stopword_ratio*10, 1.0)*0.2, 6) * 1000000) AS BIGINT)
-        |    AS su,
-        |  CASE WHEN CAST(substring(source, 4) AS INT) < 10
+        | SELECT lang, score_u AS su,
+        |  CASE WHEN regexp_matches(source, '^src[0-9]$$')
         |   THEN 1 ELSE 0 END AS pos
-        | FROM f),
+        | FROM qscore),
         |r AS (
         | SELECT lang, su, pos,
         |  RANK() OVER (PARTITION BY lang ORDER BY su) AS rk,
@@ -2089,6 +2149,26 @@ object TextOps {
         |  / CAST(CAST(CAST(2 * CAST(n_pos AS HUGEINT) * n_neg
         |    AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS auc
         |FROM a ORDER BY lang""".stripMargin,
+
+    // same su micro-units and regex label as q168; bin by integer floor
+    // division on both engines (// here, div on the Spark side)
+    "q169_score_calibration" ->
+      s"""WITH $QUALITY_U_CTES,
+        |sc AS (
+        | SELECT lang, score_u AS su,
+        |  CASE WHEN regexp_matches(source, '^src[0-9]$$')
+        |   THEN 1 ELSE 0 END AS pos
+        | FROM qscore)
+        |SELECT lang, LEAST(su // 100000, 9) AS bin,
+        | COUNT(*) AS n, CAST(SUM(pos) AS BIGINT) AS n_pos,
+        | CAST(CAST(CAST(SUM(pos) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE)
+        |  / CAST(CAST(CAST(COUNT(*) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE)
+        |  AS pos_rate,
+        | CAST(CAST(CAST(SUM(CAST(su AS HUGEINT)) AS DECIMAL(38,6))
+        |    AS VARCHAR) AS DOUBLE)
+        |  / CAST(CAST(CAST(CAST(COUNT(*) AS HUGEINT) * 1000000
+        |    AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS mean_score
+        |FROM sc GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
 
     "q32_fingerprint" ->
       """SELECT doc_id,

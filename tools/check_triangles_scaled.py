@@ -77,6 +77,32 @@ def main():
         sys.exit(1)
     print(f"PASS q148_triangle_count ({len(got)} rows, 2 cols)")
 
+    # q167_clustering_coeff rides the same adjacency: deg from the edge
+    # list, n_tri from the census above, cc = (2*n_tri)/(deg*(deg-1)) as
+    # one float division of exactly-representable integers — identical
+    # to both engines' string-route-then-divide boundary.
+    cc_files = sorted(glob.glob(f"{out_dir}/q167_clustering_coeff/*.parquet"))
+    if cc_files:
+        want_cc = sorted(
+            (u, len(nb), ntri.get(u, 0),
+             (2.0 * ntri.get(u, 0)) / (len(nb) * (len(nb) - 1)))
+            for u, nb in adj.items() if len(nb) >= 2)
+        got_cc = con.execute(
+            f"SELECT doc_id, deg, n_tri, cc FROM read_parquet({cc_files!r}) "
+            f"ORDER BY doc_id").fetchall()
+        got_cc = [(int(a), int(b), int(c), float(d)) for a, b, c, d in got_cc]
+        if got_cc != want_cc:
+            extra = set(got_cc) - set(want_cc)
+            missing = set(want_cc) - set(got_cc)
+            print(f"FAIL q167_clustering_coeff: {len(got_cc)} vs "
+                  f"{len(want_cc)} rows; {len(extra)} unexpected, "
+                  f"{len(missing)} missing (samples: {sorted(extra)[:2]} / "
+                  f"{sorted(missing)[:2]})")
+            sys.exit(1)
+        print(f"PASS q167_clustering_coeff ({len(got_cc)} rows, 4 cols)")
+    else:
+        print("[tri] no q167_clustering_coeff output present — skipped")
+
 
 if __name__ == "__main__":
     main()
