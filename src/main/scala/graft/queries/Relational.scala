@@ -360,6 +360,49 @@ object Relational {
             col("n_childless_parents"))
       }.reduce(_ unionByName _).orderBy("fk")
     }),
+
+    // Per-segment trend detection: exact OLS of monthly gross revenue
+    // per nation — the "is this segment growing" regression the global
+    // q06 aggregate can't answer. All regression sums are exact
+    // integers (revenue in cents via the DECIMAL money path, month
+    // index x = year·12 + month), accumulated in DECIMAL(38,0);
+    // slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) and intercept =
+    // (ΣyΣx² − ΣxΣxy)/same den are each ONE division of exact digit
+    // strings at the boundary (the q161 discipline — OLS needs no
+    // sqrt, so nothing else leaves integer space). Plan: the only
+    // fact-sized work is orders ⋈ broadcast(customer⋈nation) folding
+    // straight into a partial-aggregated groupBy(nation, month); the
+    // regression runs on the months-per-nation frame (≤ ~80 rows ×
+    // 25 nations at ANY corpus size). den = 0 (a nation with ONE
+    // active month) yields NULL slope, not a fabricated 0.
+    "q171_revenue_trend" -> ((s, dir) => {
+      val D = "decimal(38,0)"
+      val t = Tables(s, dir)
+      val mo = t.orders
+        .join(broadcast(t.customer
+          .select(col("c_custkey"), col("c_nationkey"))
+          .join(broadcast(t.nation
+            .select(col("n_nationkey"), col("n_name"))),
+            col("c_nationkey") === col("n_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("n_name").as("nation"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+            .cast("long").as("x"))
+        .agg(sum((dPrice(col("o_totalprice")) * 100).cast(D)).as("y"))
+      val sums = mo.groupBy("nation").agg(
+        count(lit(1)).as("n_months"),
+        sum(col("x").cast(D)).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x").cast(D) * col("y")).as("sxy"),
+        sum(col("x").cast(D) * col("x")).as("sxx"))
+      val den = col("n_months").cast(D) * col("sxx") - col("sx") * col("sx")
+      sums.select(col("nation"), col("n_months"),
+          when(den > 0, asD(col("n_months").cast(D) * col("sxy")
+              - col("sx") * col("sy")) / asD(den)).as("slope_cents"),
+          when(den > 0, asD(col("sy") * col("sxx")
+              - col("sx") * col("sxy")) / asD(den)).as("intercept_cents"))
+        .orderBy("nation")
+    }),
   )
 
   /** q152: the star's FK edges — (edge label, child table, child key,
@@ -580,5 +623,37 @@ object Relational {
         |                    FROM lineitem l2
         |                    WHERE l2.l_partkey = p_partkey)
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    // same cents/month-index construction; HUGEINT sums, string-route
+    // divisions, NULL on the degenerate one-month den
+    "q171_revenue_trend" ->
+      """WITH mo AS (
+        | SELECT n.n_name AS nation,
+        |  CAST(year(o.o_orderdate)*12 + month(o.o_orderdate) AS BIGINT)
+        |    AS x,
+        |  SUM(CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100
+        |      AS HUGEINT)) AS y
+        | FROM orders o
+        | JOIN customer c ON o.o_custkey = c.c_custkey
+        | JOIN nation n ON c.c_nationkey = n.n_nationkey
+        | GROUP BY 1, 2),
+        |s AS (
+        | SELECT nation, COUNT(*) AS n_months,
+        |  SUM(CAST(x AS HUGEINT)) AS sx, SUM(y) AS sy,
+        |  SUM(CAST(x AS HUGEINT) * y) AS sxy,
+        |  SUM(CAST(x AS HUGEINT) * x) AS sxx
+        | FROM mo GROUP BY 1)
+        |SELECT nation, n_months,
+        | CASE WHEN n_months*sxx - sx*sx > 0 THEN
+        |  CAST(CAST(CAST(n_months*sxy - sx*sy AS DECIMAL(38,6))
+        |    AS VARCHAR) AS DOUBLE)
+        |  / CAST(CAST(CAST(n_months*sxx - sx*sx AS DECIMAL(38,6))
+        |    AS VARCHAR) AS DOUBLE) END AS slope_cents,
+        | CASE WHEN n_months*sxx - sx*sx > 0 THEN
+        |  CAST(CAST(CAST(sy*sxx - sx*sxy AS DECIMAL(38,6))
+        |    AS VARCHAR) AS DOUBLE)
+        |  / CAST(CAST(CAST(n_months*sxx - sx*sx AS DECIMAL(38,6))
+        |    AS VARCHAR) AS DOUBLE) END AS intercept_cents
+        |FROM s ORDER BY nation""".stripMargin,
   )
 }

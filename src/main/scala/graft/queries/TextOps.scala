@@ -173,6 +173,63 @@ object TextOps {
         (col("score_u").cast("double") / lit(1e6)).as("score"))
   }
 
+  /** q30's detector + confusion matrix, shared with q170's metrics so
+    * detector and eval cannot drift. The stopword-ratio gate is a pure
+    * integer multiply-compare: the original `round(hits/n, 6) ≥ 0.02`
+    * carried the same cross-engine .5-tie class the sf1 campaign caught
+    * in q31; half-up-micro(hits·10⁶/n) ≥ 20000 ⟺ floor((hits·2·10⁶ +
+    * n) / 2n) ≥ 20000 ⟺ hits·2·10⁶ ≥ 39999·n — no division, no round,
+    * no ties. */
+  private[graft] def langidConfusion(d: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val enHits = size(array_intersect(toks, array(EN_STOP.map(lit): _*)))
+    val pred = when(col("text").rlike("[\\u4e00-\\u9fff]"), "zh")
+      .when(enHits.cast("long") * 2000000L >= lit(39999L) * size(toks),
+        "en")
+      .otherwise("unknown")
+    d.select(col("lang"), pred.as("predicted"))
+      .groupBy("lang", "predicted")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** q170 core: per-class tp/fp/fn and precision/recall/F1 from a
+    * confusion matrix (lang, predicted, n). The matrix is checkpointed
+    * once for its four class-sized consumers; metric divisions are
+    * single casts of exact integers (< 2⁵³). */
+  private[graft] def langidMetricsFrom(cm0: DataFrame): DataFrame = {
+    val cm = Fixpoint.checkpointFresh(cm0)
+    val classes = cm.select(col("lang").as("cls"))
+      .unionByName(cm.select(col("predicted").as("cls"))).distinct()
+    val byTrue = cm.groupBy(col("lang").as("cls"))
+      .agg(sum("n").as("n_true"))
+    val byPred = cm.groupBy(col("predicted").as("cls"))
+      .agg(sum("n").as("n_pred"))
+    val diag = cm.where(col("lang") === col("predicted"))
+      .select(col("lang").as("cls"), col("n").as("tp"))
+    classes
+      .join(byTrue, Seq("cls"), "left")
+      .join(byPred, Seq("cls"), "left")
+      .join(diag, Seq("cls"), "left")
+      .select(col("cls"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        (coalesce(col("n_pred"), lit(0L)) - coalesce(col("tp"), lit(0L)))
+          .as("fp"),
+        (coalesce(col("n_true"), lit(0L)) - coalesce(col("tp"), lit(0L)))
+          .as("fn"))
+      .select(col("cls"), col("tp"), col("fp"), col("fn"),
+        when(col("tp") + col("fp") > 0,
+          col("tp").cast("double") / (col("tp") + col("fp"))
+            .cast("double")).as("precision"),
+        when(col("tp") + col("fn") > 0,
+          col("tp").cast("double") / (col("tp") + col("fn"))
+            .cast("double")).as("recall"),
+        when(col("tp") * 2 + col("fp") + col("fn") > 0,
+          (col("tp") * 2).cast("double") /
+            (col("tp") * 2 + col("fp") + col("fn")).cast("double"))
+          .as("f1"))
+      .orderBy("cls")
+  }
+
   /** q168 core: exact midrank AUC per group over (lang, su, pos) rows —
     * su an integer score, pos ∈ {0,1}. See the catalog entry's scaladoc
     * for the integer-midrank construction and the histogram scale
@@ -837,19 +894,21 @@ object TextOps {
 
     // Language-ID heuristic (deterministic scorer): stopword hit ratio +
     // CJK detection. groupBy(lang, predicted) keeps the output bounded.
-    "q30_langid" -> ((s, dir) => {
-      val toks = split(col("text"), " ")
-      val enHits = size(array_intersect(toks,
-        array(EN_STOP.map(lit): _*)))
-      val pred = when(col("text").rlike("[\\u4e00-\\u9fff]"), "zh")
-        .when(round(enHits.cast("double") / size(toks), 6) >= 0.02, "en")
-        .otherwise("unknown")
-      docs(s, dir)
-        .select(col("lang"), pred.as("predicted"))
-        .groupBy("lang", "predicted")
-        .agg(count(lit(1)).as("n"))
-        .orderBy("lang", "predicted")
-    }),
+    "q30_langid" -> ((s, dir) =>
+      langidConfusion(docs(s, dir)).orderBy("lang", "predicted")),
+
+    // Per-class precision / recall / F1 of the q30 detector — the
+    // classification-eval family rounding out the eval tier (q168 AUC
+    // grades a ranker, q169 its calibration; this grades a CLASSIFIER
+    // against the labeled lang). All counts fold off the SAME confusion
+    // matrix q30 ships (one corpus-sized aggregate, checkpointed once
+    // for its four class-sized consumers); tp/fp/fn are exact integers
+    // and each metric is one division of exactly-converted integers at
+    // the output row. Classes never predicted keep precision NULL
+    // (0/0), never-true classes keep recall NULL — the honest report,
+    // not a 0 that reads as "measured and failed".
+    "q170_langid_metrics" -> ((s, dir) =>
+      langidMetricsFrom(langidConfusion(docs(s, dir)))),
 
     // Quality scoring: per-doc length/token/stopword/digit features and a
     // composite score — the filter stage of a training-data pipeline.
@@ -1594,6 +1653,21 @@ object TextOps {
        | SELECT DISTINCT least(doc_id, other) AS da,
        |  greatest(doc_id, other) AS db FROM top8)""".stripMargin
 
+  /** The langidConfusion twin in DuckDB — ends in
+    * `langcm(lang, predicted, n)`. Shared by the q30/q170 oracles; the
+    * stopword gate is the same tie-free integer multiply-compare as the
+    * Spark helper. */
+  private val LANGID_CM_CTE =
+    """langcm AS (
+      | SELECT lang,
+      |  CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+      |       WHEN len(list_intersect(string_split(text,' '),
+      |              ['the','a','and','of','to','in','is'])) * 2000000
+      |            >= 39999 * len(string_split(text,' ')) THEN 'en'
+      |       ELSE 'unknown' END AS predicted,
+      |  COUNT(*) AS n
+      | FROM documents GROUP BY 1, 2)""".stripMargin
+
   /** The qualityScored twin in DuckDB — ends in
     * `qscore(doc_id, lang, source, n_tokens, n_chars, n_stop, n_dig,
     * sw_u, dg_u, atl_u, score_u)`. ONE definition shared by the
@@ -2102,16 +2176,42 @@ object TextOps {
         |ORDER BY lang, doc_id""".stripMargin,
 
     "q30_langid" ->
-      """WITH scored AS (
-        | SELECT lang,
-        |  CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
-        |       WHEN ROUND(CAST(len(list_intersect(string_split(text,' '),
-        |              ['the','a','and','of','to','in','is'])) AS DOUBLE)
-        |            / len(string_split(text,' ')), 6) >= 0.02 THEN 'en'
-        |       ELSE 'unknown' END AS predicted
-        | FROM documents)
-        |SELECT lang, predicted, COUNT(*) AS n FROM scored
-        |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin,
+      s"""WITH $LANGID_CM_CTE
+         |SELECT lang, predicted, n FROM langcm
+         |ORDER BY lang, predicted""".stripMargin,
+
+    // derived entirely from the same confusion CTE as q30; metric
+    // divisions are single casts of exact integers (< 2^53) — no
+    // string route needed
+    "q170_langid_metrics" ->
+      s"""WITH $LANGID_CM_CTE,
+         |classes AS (
+         | SELECT DISTINCT lang AS cls FROM langcm
+         | UNION SELECT DISTINCT predicted FROM langcm),
+         |bt AS (SELECT lang AS cls, SUM(n) AS n_true FROM langcm
+         |       GROUP BY 1),
+         |bp AS (SELECT predicted AS cls, SUM(n) AS n_pred FROM langcm
+         |       GROUP BY 1),
+         |dg AS (SELECT lang AS cls, n AS tp FROM langcm
+         |       WHERE lang = predicted),
+         |j AS (
+         | SELECT c.cls,
+         |  CAST(COALESCE(tp, 0) AS BIGINT) AS tp,
+         |  CAST(COALESCE(n_pred, 0) - COALESCE(tp, 0) AS BIGINT) AS fp,
+         |  CAST(COALESCE(n_true, 0) - COALESCE(tp, 0) AS BIGINT) AS fn
+         | FROM classes c LEFT JOIN bt USING (cls)
+         |  LEFT JOIN bp USING (cls) LEFT JOIN dg USING (cls))
+         |SELECT cls, tp, fp, fn,
+         | CASE WHEN tp + fp > 0
+         |  THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END
+         |  AS precision,
+         | CASE WHEN tp + fn > 0
+         |  THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END
+         |  AS recall,
+         | CASE WHEN 2*tp + fp + fn > 0
+         |  THEN CAST(2*tp AS DOUBLE) / CAST(2*tp + fp + fn AS DOUBLE) END
+         |  AS f1
+         |FROM j ORDER BY cls""".stripMargin,
 
     "q31_quality" ->
       s"""WITH $QUALITY_U_CTES

@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.TextOps
+
+/** q170's classification metrics on a hand-built corpus where every
+  * confusion cell is known, plus the exact 2 %-gate boundary the
+  * integer multiply-compare must hit (the tie case the old
+  * round(double, 6) form could flip cross-engine). */
+class LangidMetricsSpec extends AnyFunSuite {
+  private val s = TestSpark.spark
+
+  test("detector boundary: exactly 2% stopwords is 'en', just under is not") {
+    import s.implicits._
+    // 1 stopword in 50 tokens = exactly 0.02 → en; 1 in 51 → unknown
+    val at = ("the " + Seq.fill(49)("zz").mkString(" "))
+    val under = ("the " + Seq.fill(50)("zz").mkString(" "))
+    val got = TextOps.langidConfusion(
+      Seq(("en", at), ("en", under)).toDF("lang", "text"))
+      .collect().map(r => (r.getString(1), r.getLong(2))).toMap
+    assert(got === Map("en" -> 1L, "unknown" -> 1L))
+  }
+
+  test("per-class precision/recall/F1 match the hand-computed matrix") {
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    // en hit, en miss (no stopwords), zh hit (CJK char), es miss →
+    // classes en/zh/es/unknown with every metric derivable by hand
+    val docs = Seq(
+      ("en", "the cat sat"),
+      ("en", "zzz qqq www"),
+      ("zh", "中文 text here"),
+      ("es", "hola mundo aqui")).toDF("lang", "text")
+    val got = TextOps.langidMetricsFrom(TextOps.langidConfusion(docs))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Double]),
+        Option(r.get(5)).map(_.asInstanceOf[Double]),
+        Option(r.get(6)).map(_.asInstanceOf[Double]))))
+      .toMap
+    assert(got("en") === ((1L, 0L, 1L, Some(1.0), Some(0.5), Some(2.0 / 3.0))))
+    assert(got("zh") === ((1L, 0L, 0L, Some(1.0), Some(1.0), Some(1.0))))
+    assert(got("es") === ((0L, 0L, 1L, None, Some(0.0), Some(0.0))))
+    assert(got("unknown") === ((0L, 2L, 0L, Some(0.0), None, Some(0.0))))
+  }
+}
