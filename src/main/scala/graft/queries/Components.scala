@@ -280,6 +280,59 @@ object Components {
       .groupBy(col("u").as("doc_id")).agg(count(lit(1)).as("core_deg"))
   }
 
+  /** BFS hop-distance layers from a seed set (q172) — the expansion-wave
+    * primitive of seed-anchored curation: hop distance to the nearest
+    * trusted doc as a provenance-proximity signal, sitting between q65
+    * (reachable at all?) and q158 (PPR mass — decays with BOTH distance
+    * and branching). Seeds: graph nodes with doc_id ≡ 0 (mod seedMod),
+    * distance 0; round k labels every unlabeled neighbor of the round
+    * k−1 frontier with distance k.
+    *
+    * Plan per round: frontier ⋈ undirected edges (shuffle keyed on the
+    * source id) → distinct neighbor set → LEFT ANTI against the
+    * accumulated labels — every frame FRONTIER-sized, never graph-sized
+    * except the edge probe, and the frontier is monotonically consumed
+    * (total work across all rounds = O(m + n), the textbook BFS bound,
+    * just bucketed by rounds). Round count = eccentricity of the seed
+    * set ≤ graph diameter; the cap fails loudly. Carried labels ride
+    * [[Fixpoint.checkpointRound]] so plan stats stay bounded at any
+    * depth. Convergence = empty new frontier — on a grow-only label set
+    * that is a proof, not a heuristic. Output: (doc_id, dist) for
+    * REACHABLE nodes only (unreachable-from-seeds is q65's membership
+    * question, not a distance). */
+  private[graft] def bfsLayers(pairs: DataFrame, seedMod: Long,
+      cap: Int): DataFrame = {
+    val edges = Fixpoint.checkpointFresh(pairs
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct())
+    val und = undirected(edges).localCheckpoint(false)
+    var labels = und.select(col("u").as("doc_id")).distinct()
+      .where(pmod(col("doc_id"), lit(seedMod)) === 0)
+      .select(col("doc_id"), lit(0L).as("dist"))
+      .localCheckpoint(false)
+    var frontier = labels
+    var round = 0
+    var done = frontier.isEmpty
+    while (!done) {
+      round += 1
+      require(round <= cap, s"bfsLayers: still expanding after $cap rounds")
+      val fresh = Fixpoint.checkpointRound(
+        frontier.select(col("doc_id").as("u"))
+          .join(und, Seq("u"))
+          .select(col("v").as("doc_id")).distinct()
+          .join(labels, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), lit(round.toLong).as("dist")), round)
+      if (fresh.isEmpty) done = true
+      else {
+        labels = Fixpoint.checkpointRound(labels.unionByName(fresh), round)
+        frontier = fresh
+      }
+    }
+    labels
+  }
+
   /** Foil / property-test twin: naive min-label propagation. Rounds =
     * max graph distance to a component minimum; FAILS LOUDLY when the
     * cap exits before the fixpoint (the r4 form silently returned the

@@ -1320,6 +1320,20 @@ object TextOps {
     "q167_clustering_coeff" -> ((s, dir) =>
       clusteringCoeff(jaccardPairs(s, dir)
         .select(col("da").as("u"), col("db").as("v")))),
+
+    // BFS hop layers from the q158 seed set — exact hop distance to the
+    // nearest trusted doc, the third answer in the seed-proximity
+    // family (q65: reachable at all; q158: walk mass, decaying with
+    // distance AND branching; q172: pure distance). Frontier-sized
+    // rounds, grow-only convergence proof, fail-loud cap — see
+    // Components.bfsLayers. The oracle walks the same graph as a
+    // recursive CTE deduped on (node, dist) pairs and takes MIN(dist)
+    // — a formulation with no frontier in it, so a frontier-bookkeeping
+    // bug cannot be mirrored.
+    "q172_bfs_layers" -> ((s, dir) =>
+      Components.bfsLayers(jaccardPairs(s, dir)
+          .select(col("da").as("u"), col("db").as("v")),
+        PPR_SEED_MOD, BFS_CAP).orderBy("doc_id")),
   )
 
   /** q167 core over an undirected pair list — per-node Watts–Strogatz
@@ -1401,6 +1415,12 @@ object TextOps {
     * still converges fine. */
   private[graft] val PPR_SEED_MOD = 10L
   private[graft] val PPR_CAP      = 80
+
+  /** q172: fail-loud BFS round ceiling — also the oracle CTE's
+    * recursion bound, so Spark can never expand deeper than the oracle
+    * walks. Observed eccentricity on the sf graphs: 2–4 (near-dup
+    * components are cliques and short chains). */
+  private[graft] val BFS_CAP = 30
   private val WSAMPLE_K  = 5
 
   /** q149: the k of the shipped k-core (2 = dissolve chains, keep
@@ -2221,6 +2241,23 @@ object TextOps {
          | CAST(dg_u AS DOUBLE) / 1000000.0 AS digit_ratio,
          | CAST(score_u AS DOUBLE) / 1000000.0 AS score
          |FROM qscore ORDER BY doc_id""".stripMargin,
+
+    // recursive walk deduped on (node, dist) pairs; MIN(dist) GROUP BY
+    // — no frontier bookkeeping to mirror a frontier bug
+    "q172_bfs_layers" ->
+      s"""WITH RECURSIVE $JPAIRS_CTES,
+         |e AS (SELECT da AS u, db AS v FROM jpairs),
+         |und AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+         |nodes AS (SELECT DISTINCT u AS doc_id FROM und),
+         |bfs AS (
+         | SELECT doc_id, 0 AS dist FROM nodes
+         | WHERE doc_id % $PPR_SEED_MOD = 0
+         | UNION
+         | SELECT und.v AS doc_id, bfs.dist + 1 AS dist
+         | FROM bfs JOIN und ON und.u = bfs.doc_id
+         | WHERE bfs.dist < $BFS_CAP)
+         |SELECT doc_id, CAST(MIN(dist) AS BIGINT) AS dist
+         |FROM bfs GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // deliberately the NAIVE per-row RANK() midrank formulation — an
     // independent construction of the same U statistic (the Spark side

@@ -103,6 +103,37 @@ def main():
     else:
         print("[tri] no q167_clustering_coeff output present — skipped")
 
+    # q172_bfs_layers rides the same adjacency: textbook queue BFS from
+    # the seed set (node % 10 == 0) — no frontier frames, no SQL
+    # recursion, a third independent formulation.
+    bfs_files = sorted(glob.glob(f"{out_dir}/q172_bfs_layers/*.parquet"))
+    if bfs_files:
+        from collections import deque
+        dist = {u: 0 for u in adj if u % 10 == 0}
+        dq = deque(sorted(dist))
+        while dq:
+            u = dq.popleft()
+            for w in adj[u]:
+                if w not in dist:
+                    dist[w] = dist[u] + 1
+                    dq.append(w)
+        want_bfs = sorted(dist.items())
+        got_bfs = con.execute(
+            f"SELECT doc_id, dist FROM read_parquet({bfs_files!r}) "
+            f"ORDER BY doc_id").fetchall()
+        got_bfs = [(int(a), int(b)) for a, b in got_bfs]
+        if got_bfs != want_bfs:
+            extra = set(got_bfs) - set(want_bfs)
+            missing = set(want_bfs) - set(got_bfs)
+            print(f"FAIL q172_bfs_layers: {len(got_bfs)} vs "
+                  f"{len(want_bfs)} rows; {len(extra)} unexpected, "
+                  f"{len(missing)} missing (samples: {sorted(extra)[:3]} / "
+                  f"{sorted(missing)[:3]})")
+            sys.exit(1)
+        print(f"PASS q172_bfs_layers ({len(got_bfs)} rows, 2 cols)")
+    else:
+        print("[tri] no q172_bfs_layers output present — skipped")
+
 
 if __name__ == "__main__":
     main()
