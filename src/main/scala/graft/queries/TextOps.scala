@@ -192,6 +192,65 @@ object TextOps {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** q173 core over (doc_id, toks: array) rows: global stream positions
+    * via the two-level slab prefix sum, first occurrences via
+    * array_position over distinct elements, vocab counts at ladder
+    * points. `slab` is a pure parallelism knob — VocabGrowthSpec pins
+    * width-invariance the way SaltingSpec does for q145's slabs. */
+  private[graft] def vocabGrowth(s: SparkSession, d0: DataFrame,
+      slab: Long, ladderPts: Seq[Long]): DataFrame = {
+    import s.implicits._
+    val perDoc = d0.select(col("doc_id"),
+      size(col("toks")).cast("long").as("n"),
+      expr(s"doc_id div $slab").as("slab"))
+    val slabOff = perDoc.groupBy("slab").agg(sum("n").as("sn"))
+      .withColumn("soff", coalesce(sum("sn").over(
+        Window.orderBy("slab")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val docOff = perDoc.join(slabOff.select("slab", "soff"), Seq("slab"))
+      .withColumn("doff", col("soff") + coalesce(sum("n").over(
+        Window.partitionBy("slab").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("doc_id", "doff")
+    // the merge hint is load-bearing: the exploded-shingle side's size
+    // ESTIMATE is inherited from d0 (Spark does not model explode
+    // fan-out), so the planner would happily broadcast a relation that
+    // is really corpus × shingles — it OOM'd the sf1 run. Sort-merge on
+    // doc_id co-partitions both sides at any scale (docOff is
+    // doc-count-sized, also not broadcastable at 100 TB).
+    val firstPos = d0
+      .select(col("doc_id"), col("toks"),
+        explode(array_distinct(col("toks"))).as("tok"))
+      .join(docOff.hint("merge"), Seq("doc_id"))
+      .select(col("tok"),
+        (col("doff") + array_position(col("toks"), col("tok")) - 1)
+          .as("gp"))
+      .groupBy("tok").agg(min("gp").as("fp"))
+    val total = perDoc.agg(sum("n").as("t"))
+    val ladder = ladderPts.toDF("n_prefix")
+      .crossJoin(broadcast(total))
+      .where(col("n_prefix") <= col("t"))
+    // vocab(N) = |{fp < N}| WITHOUT a ladder × vocab theta join — that
+    // form plans as a BroadcastNestedLoopJoin whose broadcast side is
+    // the VOCABULARY, and it OOM'd the sf1 run (caught by the campaign,
+    // round-10 session 2). Instead each first occurrence maps to the
+    // smallest ladder point above it (a 20-branch CASE — map-side), the
+    // counts collapse to ≤|ladder| rows, and the curve is a running sum
+    // over the tiny ladder frame.
+    val bucket = ladderPts.reverse.foldLeft(lit(null).cast("long")) {
+      (acc, n) => when(col("fp") < n, lit(n)).otherwise(acc)
+    }
+    val perBucket = firstPos.select(bucket.as("n_prefix"))
+      .where(col("n_prefix").isNotNull)
+      .groupBy("n_prefix").agg(count(lit(1)).as("c"))
+    ladder.join(perBucket, Seq("n_prefix"), "left")
+      .withColumn("vocab", sum(coalesce(col("c"), lit(0L))).over(
+        Window.orderBy("n_prefix")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("n_prefix", "vocab")
+      .orderBy("n_prefix")
+  }
+
   /** q170 core: per-class tp/fp/fn and precision/recall/F1 from a
     * confusion matrix (lang, predicted, n). The matrix is checkpointed
     * once for its four class-sized consumers; metric divisions are
@@ -1334,6 +1393,39 @@ object TextOps {
       Components.bfsLayers(jaccardPairs(s, dir)
           .select(col("da").as("u"), col("db").as("v")),
         PPR_SEED_MOD, BFS_CAP).orderBy("doc_id")),
+
+    // Heaps-law vocabulary-growth curve — distinct SHINGLE (3-gram)
+    // vocabulary after the first N shingles of the canonical corpus
+    // order, at geometric ladder points: the "how much NEW vocabulary
+    // does more data buy" diagnostic that flags corpus saturation
+    // before a scaling run (the shingle space is where this corpus
+    // actually grows — its unigram vocabulary is a closed 31-word set,
+    // saturated inside the first ladder point; measured, which is WHY
+    // the curve runs on shingles). The interesting operator underneath
+    // is the GLOBAL stream position, assigned scale-safely as a
+    // TWO-LEVEL exclusive prefix sum: per-doc counts roll up to
+    // 1000-doc slabs; the only full-order window runs over the SLAB
+    // SUMMARY (corpus/1000 rows), and the within-slab running sum is a
+    // window over ≤1000-row partitions — no single-reducer pass over
+    // docs or shingles anywhere. First occurrence needs no positional
+    // explode either: per doc only DISTINCT shingles are emitted, and
+    // the in-doc offset is array_position (both engines 1-based, first
+    // match). Corpus-sized work: one distinct-shingle explode joined
+    // co-partitioned on doc_id, one groupBy(sh) min. The ladder join
+    // runs ladder × vocab (bounded); points beyond the corpus total
+    // are cut.
+    "q173_vocab_growth" -> ((s, dir) => {
+      import s.implicits._
+      val d0 = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), when(size(col("toks")) >= 3,
+          transform(sequence(lit(1), size(col("toks")) - 2),
+            i => concat_ws(" ", element_at(col("toks"), i),
+              element_at(col("toks"), i + 1),
+              element_at(col("toks"), i + 2))))
+          .otherwise(array().cast("array<string>")).as("toks"))
+      vocabGrowth(s, d0, VG_SLAB, VG_LADDER)
+    }),
   )
 
   /** q167 core over an undirected pair list — per-node Watts–Strogatz
@@ -1421,6 +1513,14 @@ object TextOps {
     * walks. Observed eccentricity on the sf graphs: 2–4 (near-dup
     * components are cliques and short chains). */
   private[graft] val BFS_CAP = 30
+
+  /** q173: slab width of the two-level prefix sum (the only full-order
+    * window runs over corpus/VG_SLAB slab rows) and the geometric
+    * ladder of prefix sizes — doubling from 500 tokens to ~2.6·10⁸,
+    * enough for any SF this repo ships; points past the corpus total
+    * are cut. Both interpolated into the oracle. */
+  private[graft] val VG_SLAB = 1000L
+  private[graft] val VG_LADDER: Seq[Long] = (0 until 20).map(500L << _)
   private val WSAMPLE_K  = 5
 
   /** q149: the k of the shipped k-core (2 = dissolve chains, keep
@@ -2258,6 +2358,39 @@ object TextOps {
          | WHERE bfs.dist < $BFS_CAP)
          |SELECT doc_id, CAST(MIN(dist) AS BIGINT) AS dist
          |FROM bfs GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // independent single-level formulation: DuckDB pays the one global
+    // window the Spark side's two-level slab construction exists to
+    // avoid — a slab-offset bug cannot be mirrored here
+    "q173_vocab_growth" ->
+      s"""WITH d0 AS (
+         | SELECT doc_id,
+         |  list_transform(
+         |    range(1, greatest(len(string_split(text,' ')) - 2, 0) + 1),
+         |    i -> string_split(text,' ')[i] || ' ' ||
+         |         string_split(text,' ')[i+1] || ' ' ||
+         |         string_split(text,' ')[i+2]) AS toks
+         | FROM documents),
+         |pd AS (SELECT doc_id, len(toks) AS n FROM d0),
+         |off AS (
+         | SELECT doc_id, COALESCE(SUM(n) OVER (ORDER BY doc_id
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS doff
+         | FROM pd),
+         |fp AS (
+         | SELECT tok, MIN(doff + list_position(toks, tok) - 1) AS fp
+         | FROM (SELECT doc_id, toks, unnest(list_distinct(toks)) AS tok
+         |       FROM d0) u
+         | JOIN off USING (doc_id)
+         | GROUP BY tok),
+         |lad AS (
+         | SELECT n_prefix FROM
+         |  (SELECT unnest([${VG_LADDER.mkString(",")}]) AS n_prefix),
+         |  (SELECT SUM(n) AS t FROM pd)
+         | WHERE n_prefix <= t)
+         |SELECT CAST(l.n_prefix AS BIGINT) AS n_prefix,
+         | COUNT(f.tok) AS vocab
+         |FROM lad l LEFT JOIN fp f ON f.fp < l.n_prefix
+         |GROUP BY l.n_prefix ORDER BY l.n_prefix""".stripMargin,
 
     // deliberately the NAIVE per-row RANK() midrank formulation — an
     // independent construction of the same U statistic (the Spark side
