@@ -423,7 +423,8 @@ object TextOps {
   }
 
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map[String, (SparkSession, String) => DataFrame](
 
     // String family + token counting: per-(lang, source) corpus statistics.
     "q24_text_stats" -> ((s, dir) => {
@@ -1133,19 +1134,72 @@ object TextOps {
     // training loop. Each round is 3 bounded shuffles on the wid key +
     // a 1-row argmax broadcast; rounds are driver-paced with lazy
     // localCheckpoint (the q104/Components discipline).
-    "q143_bpe_train" -> ((s, dir) => {
-      val wWin = Window.partitionBy("wid").orderBy("pos")
-      val words = docs(s, dir)
-        .select(explode(split(col("text"), " ")).as("w"))
-        .where(length(col("w")) >= 2)
-        .groupBy("w").agg(count(lit(1)).as("wf"))
-      // Lazy checkpoints + amortized stats reset (Fixpoint
-      // .checkpointRound on the carried toks, VERDICT r9 #2): each
-      // round's best.head(1) is the single materializing action; the
-      // periodic reset bounds the per-round toks⋈m⋈m join estimates
-      // without paying checkpointFresh's re-shuffle every round.
-      // best/m are intra-round frames — plain lazy checkpoints.
-      var toks = Fixpoint.checkpointFresh(words
+    "q143_bpe_train" -> ((s, dir) =>
+      bpeTrain(docs(s, dir))._1.orderBy("round")),
+
+    // BPE ENCODE — the apply half of the q143 train symmetry: run the
+    // SAME training loop (the final per-word symbol state IS the
+    // encoding of every distinct word under the learned merge table),
+    // then weight each word's symbol count by its per-lang frequency.
+    // The per-lang report (words, chars, symbols, chars/symbol) is the
+    // compression dashboard a tokenizer ships with its merge table.
+    // Words too short to train (length < 2) encode as one symbol.
+    // Scale: everything after the training loop is vocabulary-sized —
+    // the (lang, word) table joins the per-word symbol counts
+    // co-partitioned on the word key; no corpus-sized second pass.
+    "q174_bpe_encode" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val nsym = bpeTrain(d)._2
+        .groupBy(col("wid").as("w")).agg(count(lit(1)).as("ns"))
+      val lw = d.select(col("lang"),
+          explode(split(col("text"), " ")).as("w"))
+        .groupBy("lang", "w").agg(count(lit(1)).as("c"))
+      lw.join(nsym, Seq("w"), "left")
+        .groupBy("lang")
+        .agg(sum("c").as("n_words"),
+          sum(col("c") * length(col("w"))).as("n_chars"),
+          sum(col("c") * coalesce(col("ns"), lit(1L))).as("n_syms"))
+        .select(col("lang"), col("n_words"), col("n_chars"), col("n_syms"),
+          (col("n_chars").cast("double") / col("n_syms").cast("double"))
+            .as("chars_per_sym"))
+        .orderBy("lang")
+    }),
+    // Rolling-hash document fingerprint (Rabin-Karp polynomial hash over
+    // the character stream, mod 1e9+7): order-SENSITIVE dedup complement
+    // to q32's order-free token-bag fingerprint. Integer-only arithmetic
+    // → bit-identical cross-engine (DuckDB list_reduce seeds with the
+    // first element, which equals a zero-seeded fold since c₀ < p).
+    "q58_rolling_hash" -> ((s, dir) => {
+      val rhash = when(length(col("text")) === 0, lit(0L)).otherwise(
+        aggregate(split(col("text"), ""), lit(0L),
+          (acc, c) => (acc * 31 + ascii(c).cast("long")) % 1000000007L))
+      val wF = Window.partitionBy("rhash")
+      docs(s, dir)
+        .select(col("doc_id"), rhash.as("rhash"))
+        .withColumn("n_docs_sharing", count(lit(1)).over(wF))
+        .orderBy("doc_id")
+    }),
+  ) ++ textOpsQueries2
+
+  /** q143/q174 core: the full BPE training loop. Returns (merge table,
+    * final per-word symbol state) — the latter IS every distinct word's
+    * encoding under the learned merges, which q174 weights by per-lang
+    * word frequency. See the q143 catalog scaladoc for the
+    * gaps-and-islands greedy-merge recast and the vocabulary-bounded
+    * scale argument. */
+  private[graft] def bpeTrain(d: DataFrame): (DataFrame, DataFrame) = {
+    val wWin = Window.partitionBy("wid").orderBy("pos")
+    val words = d
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("wf"))
+    // Lazy checkpoints + amortized stats reset (Fixpoint
+    // .checkpointRound on the carried toks, VERDICT r9 #2): each
+    // round's best.head(1) is the single materializing action; the
+    // periodic reset bounds the per-round toks⋈m⋈m join estimates
+    // without paying checkpointFresh's re-shuffle every round.
+    // best/m are intra-round frames — plain lazy checkpoints.
+    var toks = Fixpoint.checkpointFresh(words
         .select(col("w").as("wid"), col("wf"),
           posexplode(split(col("w"), "")).as(Seq("pos", "sym")))
         .select(col("wid"), col("pos").cast("long").as("pos"),
@@ -1199,24 +1253,14 @@ object TextOps {
           col("a").as("left_sym"), col("b").as("right_sym"),
           col("pair_count"))
       }
-      merges.result().reduce(_ unionByName _).orderBy("round")
-    }),
+      (merges.result().reduce(_ unionByName _), toks)
+  }
 
-    // Rolling-hash document fingerprint (Rabin-Karp polynomial hash over
-    // the character stream, mod 1e9+7): order-SENSITIVE dedup complement
-    // to q32's order-free token-bag fingerprint. Integer-only arithmetic
-    // → bit-identical cross-engine (DuckDB list_reduce seeds with the
-    // first element, which equals a zero-seeded fold since c₀ < p).
-    "q58_rolling_hash" -> ((s, dir) => {
-      val rhash = when(length(col("text")) === 0, lit(0L)).otherwise(
-        aggregate(split(col("text"), ""), lit(0L),
-          (acc, c) => (acc * 31 + ascii(c).cast("long")) % 1000000007L))
-      val wF = Window.partitionBy("rhash")
-      docs(s, dir)
-        .select(col("doc_id"), rhash.as("rhash"))
-        .withColumn("n_docs_sharing", count(lit(1)).over(wF))
-        .orderBy("doc_id")
-    }),
+  /** Second half of the catalog Map — split only because the bpeTrain
+    * helper sits between the two literal blocks; `queries` is their
+    * concatenation. */
+  private def textOpsQueries2
+      : Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // tf-idf with per-doc top-3 terms. Ranking uses the ROUNDED score so
     // cross-engine float noise cannot flip the order; ties break on term.
@@ -1772,6 +1816,59 @@ object TextOps {
        |pairs AS (
        | SELECT DISTINCT least(doc_id, other) AS da,
        |  greatest(doc_id, other) AS db FROM top8)""".stripMargin
+
+  /** q143/q174 shared oracle CTE block: the word-frequency t0 plus
+    * BPE_ROUNDS unrolled merge rounds — ends in t$BPE_ROUNDS (the final
+    * per-word symbol state, q174's encoding) and best1..bestN (the
+    * merge-table rows q143 unions). */
+  private val BPE_CTES: String = {
+    val roundCtes = (1 to BPE_ROUNDS).map { r =>
+      val p = r - 1
+      s"""p$r AS MATERIALIZED (
+         | SELECT wid, pos, sym, wf,
+         |  LEAD(sym) OVER (PARTITION BY wid ORDER BY pos) AS nxt
+         | FROM t$p),
+         |best$r AS MATERIALIZED (
+         | SELECT sym AS a, nxt AS b, CAST(SUM(wf) AS BIGINT) AS cnt
+         | FROM p$r WHERE nxt IS NOT NULL
+         | GROUP BY 1, 2 ORDER BY cnt DESC, a, b LIMIT 1),
+         |k$r AS MATERIALIZED (
+         | SELECT wid, pos FROM (
+         |  SELECT wid, pos,
+         |   pos - MIN(pos) OVER (PARTITION BY wid, grp) AS off
+         |  FROM (
+         |   SELECT m.wid, m.pos,
+         |    m.pos - ROW_NUMBER() OVER (PARTITION BY m.wid
+         |                               ORDER BY m.pos) AS grp
+         |   FROM p$r m JOIN best$r b ON m.sym = b.a AND m.nxt = b.b))
+         | WHERE off % 2 = 0),
+         |t$r AS MATERIALIZED (
+         | SELECT wid,
+         |  ROW_NUMBER() OVER (PARTITION BY wid ORDER BY opos) - 1 AS pos,
+         |  sym, wf
+         | FROM (
+         |  SELECT t.wid, t.pos AS opos,
+         |   CASE WHEN k.pos IS NOT NULL
+         |        THEN (SELECT a || b FROM best$r) ELSE t.sym END AS sym,
+         |   t.wf
+         |  FROM t$p t
+         |  LEFT JOIN k$r k ON t.wid = k.wid AND t.pos = k.pos
+         |  LEFT JOIN k$r kp ON t.wid = kp.wid AND t.pos = kp.pos + 1
+         |  WHERE kp.pos IS NULL))"""
+    }.mkString(",\n")
+    s"""toksw AS (
+       | SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+       |wfreq AS MATERIALIZED (
+       | SELECT w, COUNT(*) AS wf FROM toksw
+       | WHERE length(w) >= 2 GROUP BY w),
+       |t0 AS MATERIALIZED (
+       | SELECT w AS wid, CAST(i - 1 AS BIGINT) AS pos,
+       |  substr(w, CAST(i AS INT), 1) AS sym, wf
+       | FROM (SELECT w, wf,
+       |        unnest(generate_series(1, length(w))) AS i
+       |       FROM wfreq)),
+       |$roundCtes""".stripMargin
+  }
 
   /** The langidConfusion twin in DuckDB — ends in
     * `langcm(lang, predicted, n)`. Shared by the q30/q170 oracles; the
@@ -2485,61 +2582,35 @@ object TextOps {
     // round re-derives pairs (lead window), the 1-row argmax, the greedy
     // merge keep-set (islands + even offsets), and the recompacted token
     // table. Identical window algebra to the Spark loop.
-    "q143_bpe_train" -> {
-      val roundCtes = (1 to BPE_ROUNDS).map { r =>
-        val p = r - 1
-        s"""p$r AS MATERIALIZED (
-           | SELECT wid, pos, sym, wf,
-           |  LEAD(sym) OVER (PARTITION BY wid ORDER BY pos) AS nxt
-           | FROM t$p),
-           |best$r AS MATERIALIZED (
-           | SELECT sym AS a, nxt AS b, CAST(SUM(wf) AS BIGINT) AS cnt
-           | FROM p$r WHERE nxt IS NOT NULL
-           | GROUP BY 1, 2 ORDER BY cnt DESC, a, b LIMIT 1),
-           |k$r AS MATERIALIZED (
-           | SELECT wid, pos FROM (
-           |  SELECT wid, pos,
-           |   pos - MIN(pos) OVER (PARTITION BY wid, grp) AS off
-           |  FROM (
-           |   SELECT m.wid, m.pos,
-           |    m.pos - ROW_NUMBER() OVER (PARTITION BY m.wid
-           |                               ORDER BY m.pos) AS grp
-           |   FROM p$r m JOIN best$r b ON m.sym = b.a AND m.nxt = b.b))
-           | WHERE off % 2 = 0),
-           |t$r AS MATERIALIZED (
-           | SELECT wid,
-           |  ROW_NUMBER() OVER (PARTITION BY wid ORDER BY opos) - 1 AS pos,
-           |  sym, wf
-           | FROM (
-           |  SELECT t.wid, t.pos AS opos,
-           |   CASE WHEN k.pos IS NOT NULL
-           |        THEN (SELECT a || b FROM best$r) ELSE t.sym END AS sym,
-           |   t.wf
-           |  FROM t$p t
-           |  LEFT JOIN k$r k ON t.wid = k.wid AND t.pos = k.pos
-           |  LEFT JOIN k$r kp ON t.wid = kp.wid AND t.pos = kp.pos + 1
-           |  WHERE kp.pos IS NULL))"""
-      }.mkString(",\n")
-      val mergeRows = (1 to BPE_ROUNDS).map(r =>
-        s"SELECT CAST($r AS BIGINT) AS round, a AS left_sym," +
-          s" b AS right_sym, cnt AS pair_count FROM best$r")
-        .mkString("\n UNION ALL ")
-      s"""WITH toksw AS (
-         | SELECT unnest(string_split(text, ' ')) AS w FROM documents),
-         |wfreq AS MATERIALIZED (
-         | SELECT w, COUNT(*) AS wf FROM toksw
-         | WHERE length(w) >= 2 GROUP BY w),
-         |t0 AS MATERIALIZED (
-         | SELECT w AS wid, CAST(i - 1 AS BIGINT) AS pos,
-         |  substr(w, CAST(i AS INT), 1) AS sym, wf
-         | FROM (SELECT w, wf,
-         |        unnest(generate_series(1, length(w))) AS i
-         |       FROM wfreq)),
-         |$roundCtes
+    "q143_bpe_train" ->
+      s"""WITH $BPE_CTES
          |SELECT round, left_sym, right_sym, pair_count FROM (
-         | $mergeRows)
-         |ORDER BY round""".stripMargin
-    },
+         | ${(1 to BPE_ROUNDS).map(r =>
+            s"SELECT CAST($r AS BIGINT) AS round, a AS left_sym," +
+              s" b AS right_sym, cnt AS pair_count FROM best$r")
+            .mkString("\n UNION ALL ")})
+         |ORDER BY round""".stripMargin,
+
+    // same unrolled training CTEs; the final round's symbol state IS
+    // every trained word's encoding — weight by per-lang frequency
+    "q174_bpe_encode" ->
+      s"""WITH $BPE_CTES,
+         |nsym AS (
+         | SELECT wid AS w, COUNT(*) AS ns FROM t$BPE_ROUNDS GROUP BY wid),
+         |lw AS (
+         | SELECT lang, w, COUNT(*) AS c FROM
+         |  (SELECT lang, unnest(string_split(text,' ')) AS w
+         |   FROM documents)
+         | GROUP BY 1, 2)
+         |SELECT lang,
+         | CAST(SUM(c) AS BIGINT) AS n_words,
+         | CAST(SUM(c * length(w)) AS BIGINT) AS n_chars,
+         | CAST(SUM(c * COALESCE(ns, 1)) AS BIGINT) AS n_syms,
+         | CAST(CAST(SUM(c * length(w)) AS BIGINT) AS DOUBLE)
+         |  / CAST(CAST(SUM(c * COALESCE(ns, 1)) AS BIGINT) AS DOUBLE)
+         |  AS chars_per_sym
+         |FROM lw LEFT JOIN nsym USING (w)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q58_rolling_hash" ->
       """WITH h AS (
