@@ -1371,7 +1371,7 @@ object TextOps {
     // the whole corpus by proximity to a trusted seed corpus and take
     // the high-PPR unlabeled docs as candidates. Same integer-quanta
     // discipline as q104 (floor division has no cross-engine ties), same
-    // carried-prev one-job-per-round convergence loop, same amortized
+    // carried-prev two-rounds-per-job convergence loop, same amortized
     // checkpoint stats reset; what changes is the teleport vector (all
     // mass to seeds, so non-seeds hold exactly 0 until wave k reaches
     // them — the left-join + COALESCE handles the zero-contribution
@@ -1595,17 +1595,22 @@ object TextOps {
     * second job per round (VERDICT r8 #2). The extra join is on the
     * already-shuffled doc_id key against the previous round's
     * checkpoint, so it rides the same exchange. */
-  private def prStep(pr: DataFrame, edges: DataFrame,
-      degn: DataFrame, round: Int, carryPrev: Boolean = false): DataFrame = {
+  private def prStepBody(pr: DataFrame, edges: DataFrame,
+      degn: DataFrame): DataFrame = {
     val contrib = pr
       .select(col("doc_id").as("src_id"), col("q"), col("deg"))
       .join(edges, col("src_id") === edges("src"))
       .select(edges("dst").as("doc_id"), expr("q div deg").as("c"))
       .groupBy("doc_id").agg(sum("c").as("sc"))
-    val stepped = degn.join(contrib, "doc_id")
+    degn.join(contrib, "doc_id")
       .select(col("doc_id"), col("deg"), col("n"),
         (expr(s"$PR_TELEPORT_Q div n")
           + expr("(17 * sc) div 20")).as("q"))
+  }
+
+  private def prStep(pr: DataFrame, edges: DataFrame,
+      degn: DataFrame, round: Int, carryPrev: Boolean = false): DataFrame = {
+    val stepped = prStepBody(pr, edges, degn)
     val out =
       if (!carryPrev) stepped
       else stepped.join(
@@ -1668,28 +1673,65 @@ object TextOps {
       cap: Int = PR_CAP): DataFrame = {
     val (edges, degn) = prGraph(pairs)
     val nRow = degn.select(col("n")).head(1)
-    var pr = prInit(degn)
+    val pr = prInit(degn)
     if (nRow.isEmpty) return pr // empty graph: nothing to iterate
     val tolQ = math.max(1L, PR_TOL_NUM_Q / nRow(0).getLong(0))
+    converge2(pr, prStepBody(_, edges, degn), tolQ, cap, "pr")
+  }
+
+  /** The convergence driver, TWO iterations per job (round-10 session 2,
+    * after the closing profile put q104+q158 at ~40 s of a 216 s total
+    * — nearly all of it sequential-round latency, not data): one job
+    * materializes rounds k+1 AND k+2 (the intermediate state is a lazy
+    * localCheckpoint inside the same DAG — its RDD computes once and
+    * both step-2 consumers read the persisted partitions), and one
+    * action reads BOTH deltas off the carried q0/q1 columns. Stop
+    * semantics are IDENTICAL to the one-round loop — and therefore to
+    * the oracle's first-round-under-tolerance selection: d1 is checked
+    * BEFORE d2, so convergence at an odd round returns the odd iterate
+    * (its column is carried precisely for that), and the fail-loud cap
+    * still triggers exactly where the single-step loop would have
+    * thrown, even when the speculative round k+2 happens to converge
+    * (round cap+1 was REQUESTED — that is the failure, the q104
+    * discipline). Iterates are bit-identical (same integer-quanta step
+    * body, merely composed), so the unroll is invisible to every
+    * oracle. */
+  private def converge2(init: DataFrame, stepBody: DataFrame => DataFrame,
+      tolQ: Long, cap: Int, tag: String): DataFrame = {
     val dbg = sys.env.contains("GRAFT_PR_DEBUG")
+    var pr = init
     var k = 0
     var delta = Long.MaxValue
     while (delta > tolQ) {
-      k += 1
-      if (k > cap) throw new IllegalStateException(
-        s"pagerank failed to converge within $cap iterations " +
-          s"(delta=$delta quanta, tol=$tolQ) — raise PR_CAP or loosen " +
+      if (k + 1 > cap) throw new IllegalStateException(
+        s"$tag failed to converge within $cap iterations " +
+          s"(delta=$delta quanta, tol=$tolQ) — raise the cap or loosen " +
           "the tolerance")
       val t0 = System.nanoTime
-      // One action per round: the delta aggregate is the first action on
-      // the lazily-checkpointed step output, so it both materializes the
-      // round AND reads max|Δ| off the carried prev column — no separate
-      // next⋈prev job (VERDICT r8 #2; was ~2 job latencies per round).
-      val next = prStep(pr, edges, degn, k, carryPrev = true)
-      delta = next.agg(max(abs(col("q") - col("prev")))).head().getLong(0)
-      if (dbg) println(f"[pr] round $k: delta=$delta tol=$tolQ " +
-        f"${(System.nanoTime - t0) / 1e9}%.1f s")
-      pr = next.drop("prev")
+      val s1 = stepBody(pr).localCheckpoint(false)
+      val out = Fixpoint.checkpointRound(stepBody(s1)
+        .join(s1.select(col("doc_id").as("p1"), col("q").as("q1")),
+          col("doc_id") === col("p1")).drop("p1")
+        .join(pr.select(col("doc_id").as("p0"), col("q").as("q0")),
+          col("doc_id") === col("p0")).drop("p0"), k + 2)
+      val row = out.agg(max(abs(col("q1") - col("q0"))),
+        max(abs(col("q") - col("q1")))).head()
+      val d1 = row.getLong(0)
+      val d2 = row.getLong(1)
+      if (dbg) println(f"[$tag] rounds ${k + 1},${k + 2}: d1=$d1 d2=$d2 " +
+        f"tol=$tolQ ${(System.nanoTime - t0) / 1e9}%.1f s")
+      if (d1 <= tolQ) {
+        delta = d1; k += 1
+        pr = out.withColumn("q", col("q1")).drop("q1", "q0")
+      } else if (k + 2 > cap) {
+        throw new IllegalStateException(
+          s"$tag failed to converge within $cap iterations " +
+            s"(delta=$d1 quanta, tol=$tolQ) — raise the cap or loosen " +
+            "the tolerance")
+      } else {
+        delta = d2; k += 2
+        pr = out.drop("q1", "q0")
+      }
     }
     pr
   }
@@ -1714,24 +1756,17 @@ object TextOps {
     * (pre-convergence, nodes beyond wave k have q = 0 and a node whose
     * whole neighborhood is still at 0 receives no contribution rows —
     * q104's uniform init never has this frontier). */
-  private def pprStep(pr: DataFrame, edges: DataFrame,
-      degns: DataFrame, round: Int, carryPrev: Boolean = false): DataFrame = {
+  private def pprStepBody(pr: DataFrame, edges: DataFrame,
+      degns: DataFrame): DataFrame = {
     val contrib = pr
       .select(col("doc_id").as("src_id"), col("q"), col("deg"))
       .join(edges, col("src_id") === edges("src"))
       .select(edges("dst").as("doc_id"), expr("q div deg").as("c"))
       .groupBy("doc_id").agg(sum("c").as("sc"))
-    val stepped = degns.join(contrib, Seq("doc_id"), "left")
+    degns.join(contrib, Seq("doc_id"), "left")
       .select(col("doc_id"), col("deg"), col("n"), col("seed"), col("ns"),
         (expr(s"CASE WHEN seed = 1 THEN $PR_TELEPORT_Q div ns ELSE 0 END")
           + expr("(17 * coalesce(sc, 0L)) div 20")).as("q"))
-    val out =
-      if (!carryPrev) stepped
-      else stepped.join(
-          pr.select(col("doc_id").as("pdoc"), col("q").as("prev")),
-          col("doc_id") === col("pdoc"))
-        .drop("pdoc")
-    Fixpoint.checkpointRound(out, round)
   }
 
   /** Convergence-based PPR — q104's loop discipline verbatim (carried
@@ -1741,7 +1776,7 @@ object TextOps {
       cap: Int = PPR_CAP): DataFrame = {
     val (edges, degns) = pprGraph(pairs)
     val head = degns.select(col("n"), col("ns")).head(1)
-    var pr = degns.select(col("doc_id"), col("deg"), col("n"),
+    val pr = degns.select(col("doc_id"), col("deg"), col("n"),
       col("seed"), col("ns"),
       expr(s"CASE WHEN seed = 1 THEN $PR_Q div ns ELSE 0L END").as("q"))
     if (head.isEmpty) return pr // empty graph: nothing to iterate
@@ -1758,23 +1793,7 @@ object TextOps {
     // 1/|S|-relative keeps both the relative precision AND the round
     // count scale-stable (mixing-bound, like q104's).
     val tolQ = math.max(1L, PR_TOL_NUM_Q / head(0).getLong(1))
-    val dbg = sys.env.contains("GRAFT_PR_DEBUG")
-    var k = 0
-    var delta = Long.MaxValue
-    while (delta > tolQ) {
-      k += 1
-      if (k > cap) throw new IllegalStateException(
-        s"personalized pagerank failed to converge within $cap iterations " +
-          s"(delta=$delta quanta, tol=$tolQ) — raise PPR_CAP or loosen " +
-          "the tolerance")
-      val t0 = System.nanoTime
-      val next = pprStep(pr, edges, degns, k, carryPrev = true)
-      delta = next.agg(max(abs(col("q") - col("prev")))).head().getLong(0)
-      if (dbg) println(f"[ppr] round $k: delta=$delta tol=$tolQ " +
-        f"${(System.nanoTime - t0) / 1e9}%.1f s")
-      pr = next.drop("prev")
-    }
-    pr
+    converge2(pr, pprStepBody(_, edges, degns), tolQ, cap, "ppr")
   }
 
   /** q29/q65 shared CTE chain: df-capped exact-Jaccard pairs, ending in
