@@ -289,6 +289,28 @@ object TextOps {
       .orderBy("cls")
   }
 
+  /** q175 core: exact-integer Cohen's κ from a confusion matrix
+    * (lang, predicted, n) — see the catalog entry for the identity. */
+  private[graft] def kappaFrom(cm0: DataFrame): DataFrame = {
+    val D = "decimal(38,0)"
+    val cm = Fixpoint.checkpointFresh(cm0)
+    val tot = cm.agg(sum("n").as("nn"),
+      sum(when(col("lang") === col("predicted"), col("n"))
+        .otherwise(lit(0L))).as("agree"))
+    val margins = cm.groupBy(col("lang").as("cls"))
+      .agg(sum("n").as("rt"))
+      .join(cm.groupBy(col("predicted").as("cls"))
+        .agg(sum("n").as("ct")), Seq("cls"), "full")
+      .agg(sum(coalesce(col("rt"), lit(0L)).cast(D) *
+        coalesce(col("ct"), lit(0L))).as("pe_num"))
+    val den = col("nn").cast(D) * col("nn") - col("pe_num")
+    tot.crossJoin(margins)
+      .select(col("nn").as("n_docs"), col("agree"),
+        when(den > 0,
+          Exact.asD(col("agree").cast(D) * col("nn") - col("pe_num")) /
+            Exact.asD(den)).as("kappa"))
+  }
+
   /** q168 core: exact midrank AUC per group over (lang, su, pos) rows —
     * su an integer score, pos ∈ {0,1}. See the catalog entry's scaladoc
     * for the integer-midrank construction and the histogram scale
@@ -969,6 +991,19 @@ object TextOps {
     // not a 0 that reads as "measured and failed".
     "q170_langid_metrics" -> ((s, dir) =>
       langidMetricsFrom(langidConfusion(docs(s, dir)))),
+
+    // Cohen's kappa of the q30 detector — the chance-corrected
+    // agreement number that exposes accuracy inflation under class
+    // imbalance (a detector predicting the majority class scores high
+    // accuracy and κ ≈ 0; q170's per-class P/R/F1 shows WHERE it
+    // fails, κ says whether it beats chance AT ALL). Exact integer
+    // identity: κ = (po − pe)/(1 − pe) = (agree·N − Σ row_c·col_c) /
+    // (N² − Σ row_c·col_c) — marginal products in DECIMAL(38,0) (N²
+    // outgrows int64 near 10⁹ docs), ONE string-route division at the
+    // output row. Same confusion aggregate as q30/q170; everything
+    // after it is class-count-sized.
+    "q175_langid_kappa" -> ((s, dir) =>
+      kappaFrom(langidConfusion(docs(s, dir)))),
 
     // Quality scoring: per-doc length/token/stopword/digit features and a
     // composite score — the filter stage of a training-data pipeline.
@@ -2415,6 +2450,31 @@ object TextOps {
       s"""WITH $LANGID_CM_CTE
          |SELECT lang, predicted, n FROM langcm
          |ORDER BY lang, predicted""".stripMargin,
+
+    // same confusion CTE; the marginal-product chance term in HUGEINT,
+    // one string-route division (the Spark side's DECIMAL(38,0) twin)
+    "q175_langid_kappa" ->
+      s"""WITH $LANGID_CM_CTE,
+         |tot AS (
+         | SELECT CAST(SUM(n) AS BIGINT) AS nn,
+         |  CAST(SUM(CASE WHEN lang = predicted THEN n ELSE 0 END)
+         |    AS BIGINT) AS agree
+         | FROM langcm),
+         |mar AS (
+         | SELECT CAST(SUM(COALESCE(rt, 0) * COALESCE(CAST(ct AS HUGEINT), 0))
+         |   AS HUGEINT) AS pe_num
+         | FROM (SELECT lang AS cls, SUM(n) AS rt FROM langcm GROUP BY 1) r
+         | FULL JOIN
+         |  (SELECT predicted AS cls, SUM(n) AS ct FROM langcm GROUP BY 1) c
+         | USING (cls))
+         |SELECT nn AS n_docs, agree,
+         | CASE WHEN CAST(nn AS HUGEINT) * nn - pe_num > 0 THEN
+         |  CAST(CAST(CAST(CAST(agree AS HUGEINT) * nn - pe_num
+         |     AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE)
+         |  / CAST(CAST(CAST(CAST(nn AS HUGEINT) * nn - pe_num
+         |     AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE)
+         | END AS kappa
+         |FROM tot, mar""".stripMargin,
 
     // derived entirely from the same confusion CTE as q30; metric
     // divisions are single casts of exact integers (< 2^53) — no

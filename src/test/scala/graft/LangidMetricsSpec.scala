@@ -43,4 +43,21 @@ class LangidMetricsSpec extends AnyFunSuite {
     assert(got("es") === ((0L, 0L, 1L, None, Some(0.0), Some(0.0))))
     assert(got("unknown") === ((0L, 2L, 0L, Some(0.0), None, Some(0.0))))
   }
+
+  test("kappa matches the hand-computed chance-corrected agreement") {
+    import s.implicits._
+    // binary 2x2: tp(a,a)=4, (a,b)=1, (b,a)=1, (b,b)=4 → N=10, agree=8,
+    // margins 5/5 each → pe_num = 5·5 + 5·5 = 50;
+    // κ = (8·10 − 50)/(100 − 50) = 30/50 = 0.6
+    val cm = Seq(("a", "a", 4L), ("a", "b", 1L), ("b", "a", 1L),
+      ("b", "b", 4L)).toDF("lang", "predicted", "n")
+    val r = TextOps.kappaFrom(cm).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2)) === ((10L, 8L, 0.6)))
+    // chance-level detector: predicts 'a' always on a 50/50 truth →
+    // po = pe → κ = 0 exactly
+    val cm0 = Seq(("a", "a", 5L), ("b", "a", 5L))
+      .toDF("lang", "predicted", "n")
+    val r0 = TextOps.kappaFrom(cm0).collect().head
+    assert(r0.getDouble(2) === 0.0)
+  }
 }
