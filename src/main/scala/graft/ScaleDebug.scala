@@ -59,6 +59,22 @@ object ScaleDebug {
         r.write.format("noop").mode("overwrite").save())
       spark.stop(); return
     }
+    if (args.lift(1).contains("rrffixed")) {
+      // VERDICT r10 #3: q131's sweep growth (16.9x at 10x data) was
+      // asserted to be query-set-driven by analogy with q120, never
+      // measured. Same mold as bm25fixed: qmod 1000 at sf1 selects a
+      // ~50-doc query set comparable to qmod 100 at sf0.1, so the
+      // fixed-workload growth at 10x data is the fusion plan's real
+      // corpus scaling.
+      val qmod = if (dir.contains("sf1")) 1000 else 100
+      val r = graft.queries.Retrieval.rrfFusion(spark, dir, qmod)
+      println("  queries=" + r.select("qid").distinct().count())
+      time(s"rrfFusion qmod=$qmod")(
+        r.write.format("noop").mode("overwrite").save())
+      time(s"rrfFusion qmod=$qmod (2nd)")(
+        r.write.format("noop").mode("overwrite").save())
+      spark.stop(); return
+    }
     if (args.lift(1).contains("synthfix")) {
       // VERDICT r9 #8: the fixpoint loops one more scale notch up —
       // a SYNTHETIC edge set ~100x sf1's pair multiplicity (default

@@ -93,7 +93,18 @@ object Curation {
   private val FUZZY_CAP  = 200       // comparison-field width (chars)
   private val FUZZY_PFX  = 4         // blocking-key width (chars)
   private val FUZZY_MOD  = 7L        // twin planting rate (1 in 7 docs)
-  private val FUZZY_BASE = 10000000L // planted-twin doc_id offset
+  /** Planted-twin doc_id offset DERIVED from the corpus (ADVICE r10 #1):
+    * the old constant 10⁷ collided with real doc_ids once the corpus
+    * exceeded 10⁷ docs — silently and IDENTICALLY in both engines, so
+    * the cross-engine hash could never catch it. max(doc_id) rounded up
+    * to the NEXT multiple of 400 (strictly greater even when max is
+    * itself a multiple) is disjoint from every real id at any corpus
+    * size, and — being ≡ 0 (mod 40) and (mod 10) — keeps the twin text's
+    * doc_id%40 splice position and %10 version suffix invariant whether
+    * an engine resolves the select-list `doc_id` to the base column or
+    * the shifted alias. Integer mod/add only: no division, no ties. */
+  private val FUZZY_OFF_SQL =
+    "(SELECT MAX(doc_id) - (MAX(doc_id) % 400) + 400 FROM documents)"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -134,8 +145,14 @@ object Curation {
     // agree. Output: accepted pairs (lang, a_id, b_id, dist).
     "q166_fuzzy_dedup" -> ((s, dir) => {
       val base = docs(s, dir).select("doc_id", "lang", "text")
+      // corpus-derived twin offset (see FUZZY_OFF_SQL scaladoc): one-row
+      // agg broadcast onto the planted rows — the J2 rejoin shape, no
+      // driver round-trip.
+      val off = base.agg((max("doc_id") - (max("doc_id") % 400) + 400)
+        .as("tw_off"))
       val twins = base.where(col("doc_id") % FUZZY_MOD === 0)
-        .select((col("doc_id") + lit(FUZZY_BASE)).as("doc_id"), col("lang"),
+        .crossJoin(broadcast(off))
+        .select((col("doc_id") + col("tw_off")).as("doc_id"), col("lang"),
           expr("concat(substring(text, 1, CAST(30 + doc_id % 40 AS INT))," +
             " 'zz', substring(text, CAST(31 + doc_id % 40 AS INT))," +
             " ' v', CAST(doc_id % 10 AS STRING))").as("text"))
@@ -317,9 +334,13 @@ object Curation {
     // same planting, normalization, blocking, SNM window, and threshold;
     // DuckDB's byte-based levenshtein coincides with Spark's char-based
     // one on the ASCII comparison field (the WHERE gate)
+    // The w/cand blocks are GENERATED from (1 to FUZZY_W) exactly like
+    // the Spark side's lead array (ADVICE r10 #2) — FUZZY_W is now
+    // genuinely shared, so changing the window width cannot desynchronize
+    // the two sides.
     "q166_fuzzy_dedup" ->
       s"""WITH twins AS (
-         | SELECT doc_id + $FUZZY_BASE AS doc_id, lang,
+         | SELECT doc_id + $FUZZY_OFF_SQL AS doc_id, lang,
          |  substring(text, 1, CAST(30 + doc_id % 40 AS INT)) || 'zz' ||
          |  substring(text, CAST(31 + doc_id % 40 AS INT)) ||
          |  ' v' || CAST(doc_id % 10 AS VARCHAR) AS text
@@ -337,18 +358,16 @@ object Curation {
          | WHERE len(nf) * 2 >= len(text)),
          |w AS (
          | SELECT lang, doc_id, norm,
-         |  lead(doc_id, 1) OVER win AS id1, lead(norm, 1) OVER win AS n1,
-         |  lead(doc_id, 2) OVER win AS id2, lead(norm, 2) OVER win AS n2,
-         |  lead(doc_id, 3) OVER win AS id3, lead(norm, 3) OVER win AS n3
+         |  ${(1 to FUZZY_W).map(k =>
+             s"lead(doc_id, $k) OVER win AS id$k, " +
+               s"lead(norm, $k) OVER win AS n$k").mkString(",\n |  ")}
          | FROM n
          | WINDOW win AS (PARTITION BY lang, blk ORDER BY norm, doc_id)),
          |cand AS (
-         | SELECT lang, doc_id, norm, id1 AS nbr, n1 AS nnorm FROM w
-         |  WHERE id1 IS NOT NULL
-         | UNION ALL
-         | SELECT lang, doc_id, norm, id2, n2 FROM w WHERE id2 IS NOT NULL
-         | UNION ALL
-         | SELECT lang, doc_id, norm, id3, n3 FROM w WHERE id3 IS NOT NULL)
+         | ${(1 to FUZZY_W).map(k =>
+             s"SELECT lang, doc_id, norm, id$k AS nbr, n$k AS nnorm " +
+               s"FROM w WHERE id$k IS NOT NULL")
+             .mkString("\n | UNION ALL\n | ")})
          |SELECT lang, least(doc_id, nbr) AS a_id,
          | greatest(doc_id, nbr) AS b_id,
          | levenshtein(norm, nnorm) AS dist

@@ -157,6 +157,46 @@ object Retrieval {
         .orderBy(col("bm25").desc, col("doc_id"))))
       .where(col("rnk") <= BM25_TOPK)
   }
+
+  /** q131 core, qmod-parameterized like [[bm25TopK]] (VERDICT r10 #3) so
+    * ScaleDebug's `rrffixed` leg can hold the QUERY SET fixed across
+    * sf0.1/sf1 and measure the corpus term of the scaling alone — the
+    * sweep's 16.9× conflates a 10× query set with the 10× corpus, same
+    * confound q120's `bm25fixed` leg resolved. The catalog entry calls
+    * this with the default QMOD, so the driver-visible plan and hash are
+    * unchanged. */
+  private[graft] def rrfFusion(s: SparkSession, dir: String,
+      qmod: Int = QMOD): DataFrame = {
+      val a = bm25TopK(s, dir, qmod).select(col("qid"), col("doc_id"),
+        col("rnk").as("ra"))
+      val (dt, qset) = tfAndQt(s, dir, qmod)
+      val nd = dt.groupBy("doc_id").agg(count(lit(1)).as("nd"))
+      val inter = dt.join(broadcast(qset), "tok")
+        .where(col("doc_id") =!= col("qid"))
+        .groupBy("qid", "doc_id").agg(count(lit(1)).as("ni"))
+      val b = inter
+        .join(nd, "doc_id")
+        .join(broadcast(nd.select(col("doc_id").as("qid"),
+          col("nd").as("nq"))), "qid")
+        .select(col("qid"), col("doc_id"),
+          round(col("ni").cast("double") /
+            (col("nq") + col("nd") - col("ni")), 6).as("jacc"))
+        .withColumn("rb", row_number().over(Window.partitionBy("qid")
+          .orderBy(col("jacc").desc, col("doc_id"))))
+        .where(col("rb") <= BM25_TOPK)
+        .select(col("qid"), col("doc_id"), col("rb"))
+      a.join(b, Seq("qid", "doc_id"), "full_outer")
+        .select(col("qid"), col("doc_id"),
+          round(coalesce(lit(1.0) / (lit(RRF_K) + col("ra")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(RRF_K) + col("rb")), lit(0.0)), 6)
+            .as("rrf"))
+        .withColumn("rnk", row_number().over(Window.partitionBy("qid")
+          .orderBy(col("rrf").desc, col("doc_id"))))
+        .where(col("rnk") <= BM25_TOPK)
+        .select(col("qid"), col("rnk").cast("long").as("rnk"),
+          col("doc_id"), col("rrf"))
+        .orderBy("qid", "rnk")
+  }
   /** Query-doc selector: doc_id % QMOD == 0 — a bounded, corpus-derived
     * query set (5 queries at sf0.01, 50 at sf0.1). */
   private[graft] val QMOD = 100
@@ -253,37 +293,7 @@ object Retrieval {
     // truncation IS the scale lever: the fusion join touches
     // O(queries × 2k) rows no matter the corpus size. Rank arithmetic
     // 1/(60+r) is exact double on both engines; ties break on doc_id.
-    "q131_rrf_fusion" -> ((s, dir) => {
-      val a = bm25TopK(s, dir).select(col("qid"), col("doc_id"),
-        col("rnk").as("ra"))
-      val (dt, qset) = tfAndQt(s, dir)
-      val nd = dt.groupBy("doc_id").agg(count(lit(1)).as("nd"))
-      val inter = dt.join(broadcast(qset), "tok")
-        .where(col("doc_id") =!= col("qid"))
-        .groupBy("qid", "doc_id").agg(count(lit(1)).as("ni"))
-      val b = inter
-        .join(nd, "doc_id")
-        .join(broadcast(nd.select(col("doc_id").as("qid"),
-          col("nd").as("nq"))), "qid")
-        .select(col("qid"), col("doc_id"),
-          round(col("ni").cast("double") /
-            (col("nq") + col("nd") - col("ni")), 6).as("jacc"))
-        .withColumn("rb", row_number().over(Window.partitionBy("qid")
-          .orderBy(col("jacc").desc, col("doc_id"))))
-        .where(col("rb") <= BM25_TOPK)
-        .select(col("qid"), col("doc_id"), col("rb"))
-      a.join(b, Seq("qid", "doc_id"), "full_outer")
-        .select(col("qid"), col("doc_id"),
-          round(coalesce(lit(1.0) / (lit(RRF_K) + col("ra")), lit(0.0)) +
-            coalesce(lit(1.0) / (lit(RRF_K) + col("rb")), lit(0.0)), 6)
-            .as("rrf"))
-        .withColumn("rnk", row_number().over(Window.partitionBy("qid")
-          .orderBy(col("rrf").desc, col("doc_id"))))
-        .where(col("rnk") <= BM25_TOPK)
-        .select(col("qid"), col("rnk").cast("long").as("rnk"),
-          col("doc_id"), col("rrf"))
-        .orderBy("qid", "rnk")
-    }),
+    "q131_rrf_fusion" -> ((s, dir) => rrfFusion(s, dir)),
 
     // Interval-overlap join — session intervals (q38's 30-min-gap
     // sessionization) × incident windows (hours with ≥ ERR_MIN error
