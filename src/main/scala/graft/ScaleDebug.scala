@@ -111,6 +111,34 @@ object ScaleDebug {
       time("pr count")(println("  pr nodes=" + pr.count()))
       spark.stop(); return
     }
+    if (args.lift(1).contains("synthppr")) {
+      // VERDICT r10 #5: the 100x synthetic notch only ever drove q104's
+      // uniform-teleport step; q158's SEED-RESTART walk (left-join
+      // frontier, per-seed teleport, 1/|S|-relative tolerance) shares
+      // converge2 but not its step body or stop scale. Same edge set as
+      // synthfix (520k 11-cliques + one 2047-chain = 28.6M edges); seeds
+      // are doc_id % 10 == 0, ~10% of nodes, exactly the shipped rule.
+      // Set GRAFT_PR_DEBUG=1 for per-round deltas; the claim under test
+      // is round count ≪ PPR_CAP=80 (mixing-bound, graph-size-free) and
+      // flat per-round cost.
+      val nc = args.lift(2).map(_.toInt).getOrElse(520000)
+      val k = 11
+      val ij = spark.range(k).select(col("id").as("i"))
+        .crossJoin(spark.range(k).select(col("id").as("j")))
+        .where(col("i") < col("j"))
+      val cliques = spark.range(nc).select((col("id") * k).as("b"))
+        .crossJoin(ij)
+        .select((col("b") + col("i")).as("u"), (col("b") + col("j")).as("v"))
+      val base = nc.toLong * k
+      val chain = spark.range(2047)
+        .select((col("id") + base).as("u"), (col("id") + base + 1).as("v"))
+      val edges = cliques.unionByName(chain).localCheckpoint()
+      println("  edges=" + edges.count())
+      val pr = time("pprConverged @100x")(
+        graft.queries.TextOps.pprConverged(edges))
+      time("ppr count")(println("  ppr nodes=" + pr.count()))
+      spark.stop(); return
+    }
     if (args.lift(1).contains("pagerank")) {
       // One full q104 run (set GRAFT_PR_DEBUG=1 for per-round deltas):
       // confirms the convergence loop lands under PR_CAP at this scale
