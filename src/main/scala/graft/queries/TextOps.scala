@@ -1567,8 +1567,20 @@ object TextOps {
     * scaladoc for the no-sqrt argument on symmetrized edges. */
   private[graft] def degreeAssortativity(pairs: DataFrame): DataFrame = {
     val D = "decimal(38,0)"
-    val edges = pairs.select(col("u").as("src"), col("v").as("dst"))
-      .unionByName(pairs.select(col("v").as("src"), col("u").as("dst")))
+    // Checkpoint the PAIR LIST before fanning out (r11, caught by the
+    // sf1 tier bench): the symmetrizing union references pairs twice and
+    // the degree table re-references the edges, so without a checkpoint
+    // the whole upstream jaccardPairs build ran ~4x — 44.6 s at sf1 vs
+    // q29's 18.2 s for ONE build of the same pairs. The q65
+    // labels-recompute class (SCALE.md #2). EAGER localCheckpoint, not
+    // lazy: both union branches sit in the same stage of the one final
+    // job, so a lazy persist lets their tasks race-compute the same
+    // source partitions (measured: lazy 24.6 s / eager ~15 s at sf1) —
+    // the loop bodies keep the lazy form because their first action
+    // lands before any second consumer exists.
+    val p = pairs.localCheckpoint()
+    val edges = p.select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(p.select(col("v").as("src"), col("u").as("dst")))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val sums = edges
       .join(deg.select(col("src").as("s1"), col("deg").as("x")),
