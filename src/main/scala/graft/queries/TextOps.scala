@@ -1214,7 +1214,106 @@ object TextOps {
         .withColumn("n_docs_sharing", count(lit(1)).over(wF))
         .orderBy("doc_id")
     }),
+
+    // WINNOWING document fingerprints (Schleimer, Wilkerson & Aiken,
+    // SIGMOD 2003 — the MOSS algorithm): the LOCAL fingerprint selection
+    // the catalog's dedup family lacks. MinHash (q27) answers "are these
+    // DOCS similar?"; winnowing selects, per doc, a position-anchored
+    // subset of k-gram hashes with a worst-case GUARANTEE: any shared
+    // token run of length ≥ W + K − 1 (here 6) contributes at least one
+    // IDENTICAL fingerprint to both docs — the primitive plagiarism /
+    // license-contamination detectors are built on, and q122's span
+    // detector with a detection floor instead of a df heuristic.
+    //
+    // Selection rule, recast relationally: slide a W-wide window over
+    // the positional k-gram hash sequence and keep each window's MINIMUM
+    // (hash, pos) — encoded as ONE integer key = h32 · 2³⁰ + pos, so the
+    // window min is a plain MIN over longs with NO ties to break (pos is
+    // unique within a doc; h32 < 2³² and pos < 2³⁰ keep the key under
+    // 2⁶² — exact in both engines' signed-64; any real document is
+    // orders of magnitude under 2³⁰ tokens, and both engines would
+    // overflow IDENTICALLY at the boundary rather than drift). Distinct
+    // selected keys are the fingerprint set; expected density 2/(W+1).
+    //
+    // Scale: ONE window pass partitioned by doc_id (state O(W) per
+    // stream, no corpus-wide sort) + one fingerprint-hash groupBy for
+    // document frequency (the q88 chunk-dedup shape) — never all-pairs.
+    // Docs with fewer than W k-grams emit no full window and report 0
+    // fingerprints (documented contract, the q88 short-doc convention).
+    // Output per doc: k-gram count, positional fingerprint count, and
+    // how many of those fingerprints also occur in ≥1 other doc.
+    "q176_winnowing_fingerprints" -> ((s, dir) => {
+      val d = docs(s, dir)
+      // ONE eager checkpoint of the positional-hash pass — it feeds the
+      // k-gram count, the window chain's own count, and the window scan
+      // (the q161 fan-out lesson, applied at construction).
+      val sh = posShingleHashes(d).localCheckpoint()
+      val fph = winnowCore(sh)
+      val nsh = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+      val df = fph.groupBy("fp").agg(countDistinct("doc_id").as("nd"))
+      val perdoc = fph.join(df, "fp")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_fps"),
+          sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_shared_fps"))
+      d.select("doc_id", "lang")
+        .join(nsh, Seq("doc_id"), "left")
+        .join(perdoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"),
+          coalesce(col("nsh"), lit(0L)).as("n_kgrams"),
+          coalesce(col("n_fps"), lit(0L)).as("n_fps"),
+          coalesce(col("n_shared_fps"), lit(0L)).as("n_shared_fps"))
+        .orderBy("doc_id")
+    }),
   ) ++ textOpsQueries2
+
+  /** q176 winnowing constants: word-3-gram k-grams (the corpus shingle
+    * grain) and a W=4 window ⇒ guarantee floor W + K − 1 = 6 shared
+    * tokens. W − 1 is interpolated into BOTH the Spark frame and the
+    * oracle's ROWS BETWEEN / start filter (the FUZZY_W lesson: one
+    * constant, two engines). */
+  private[graft] val WINNOW_W = 4
+  /** The key-packing shift: fp = key div 2³⁰, pos = key mod 2³⁰. */
+  private val WINNOW_SHIFT = 1073741824L
+
+  /** Positional word-3-gram hashes: (doc_id, pos [1-based], key) with
+    * key = h32(shingle) · 2³⁰ + pos. NOT deduplicated (unlike
+    * [[shingles]]) — winnowing is positional. */
+  private def posShingleHashes(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      // guard: sequence(1, 0) DESCENDS in Spark — short docs must yield
+      // an empty array (cf. shingles).
+      .select(col("doc_id"), explode(when(size(col("toks")) >= 3,
+        transform(sequence(lit(1), size(col("toks")) - 2),
+          i => struct(i.cast("long").as("pos"), concat_ws(" ",
+            element_at(col("toks"), i), element_at(col("toks"), i + 1),
+            element_at(col("toks"), i + 2)).as("sh"))))
+        .otherwise(array().cast("array<struct<pos:bigint,sh:string>>")))
+        .as("ps"))
+      .select(col("doc_id"), col("ps.pos").as("pos"),
+        (conv(substring(md5(col("ps.sh")), 1, 8), 16, 10).cast("long")
+          * lit(WINNOW_SHIFT) + col("ps.pos")).as("key"))
+
+  /** q176 selection over a precomputed (and checkpointed) positional
+    * hash frame: distinct W-window min keys, decoded to (doc_id, fp,
+    * fp_pos). */
+  private def winnowCore(sh: DataFrame): DataFrame = {
+    val nsh = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    val wMin = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.currentRow, WINNOW_W - 1)
+    sh.withColumn("mk", min("key").over(wMin))
+      .join(nsh, "doc_id")
+      .where(col("pos") + (WINNOW_W - 1) <= col("nsh"))
+      .select(col("doc_id"), col("mk")).distinct()
+      .select(col("doc_id"), expr(s"mk div $WINNOW_SHIFT").as("fp"),
+        expr(s"mk % $WINNOW_SHIFT").as("fp_pos"))
+  }
+
+  /** q176 core: the distinct selected fingerprints (doc_id, fp, fp_pos)
+    * of a document frame — each W-window's min (hash, pos) key, decoded.
+    * Factored for the spec, which pins the winnowing guarantee and the
+    * min-of-window property. */
+  private[graft] def winnowFps(d: DataFrame): DataFrame =
+    winnowCore(posShingleHashes(d).localCheckpoint())
 
   /** q174's persisted tokenizer state (VERDICT r10 #2): the final
     * per-word symbol table bpeTrain produces, written ONCE per (session,
@@ -2072,6 +2171,51 @@ object TextOps {
       | FROM votes GROUP BY doc_id)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // q176: positional (NOT deduplicated) k-gram hashes, the same
+    // h32·2³⁰+pos key packing, window min over ROWS BETWEEN CURRENT ROW
+    // AND ${WINNOW_W − 1} FOLLOWING, full windows only. W and the shift
+    // are interpolated from the shared constants.
+    "q176_winnowing_fingerprints" ->
+      s"""WITH toks AS (
+         | SELECT doc_id, lang, string_split(text, ' ') AS t
+         | FROM documents),
+         |ps AS (
+         | SELECT doc_id, i AS pos,
+         |  t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+         | FROM (SELECT doc_id, t,
+         |        unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS i
+         |       FROM toks)),
+         |h AS (
+         | SELECT doc_id, pos,
+         |  CAST('0x' || substr(md5(sh), 1, 8) AS BIGINT)
+         |    * $WINNOW_SHIFT + pos AS key
+         | FROM ps),
+         |n AS (SELECT doc_id, COUNT(*) AS nsh FROM h GROUP BY doc_id),
+         |w AS (
+         | SELECT doc_id, pos,
+         |  MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+         |    ROWS BETWEEN CURRENT ROW AND ${WINNOW_W - 1} FOLLOWING) AS mk
+         | FROM h),
+         |fps AS (
+         | SELECT DISTINCT w.doc_id, mk FROM w JOIN n USING (doc_id)
+         | WHERE w.pos + ${WINNOW_W - 1} <= n.nsh),
+         |fph AS (SELECT doc_id, mk // $WINNOW_SHIFT AS fp FROM fps),
+         |df AS (SELECT fp, COUNT(DISTINCT doc_id) AS nd
+         |       FROM fph GROUP BY fp),
+         |perdoc AS (
+         | SELECT doc_id, COUNT(*) AS n_fps,
+         |  CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_shared_fps
+         | FROM fph JOIN df USING (fp) GROUP BY doc_id)
+         |SELECT d.doc_id, d.lang,
+         | COALESCE(n.nsh, 0) AS n_kgrams,
+         | COALESCE(p.n_fps, 0) AS n_fps,
+         | COALESCE(p.n_shared_fps, 0) AS n_shared_fps
+         |FROM documents d
+         |LEFT JOIN n ON d.doc_id = n.doc_id
+         |LEFT JOIN perdoc p ON d.doc_id = p.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
     "q114_incremental_dedup" ->
       s"""WITH $SIMHASH_FP_CTES,
          |cb AS (
