@@ -175,7 +175,57 @@ object EventOps {
       |    ORDER BY ts, event_id) AS BIGINT) AS session_id
       | FROM flagged)""".stripMargin
 
+  /** q177 alarm threshold: cumulative excess beyond CUSUM_H mean days
+    * raises the drift flag. Interpolated into the oracle. */
+  private[graft] val CUSUM_H = 2L
+
+  /** q177 core over a (event_type, day, c) daily-count frame — factored
+    * so CusumSpec can drive hand series and pin the prefix-min identity
+    * against the textbook max(0, S+d) recursion. */
+  private[graft] def cusumOver(daily: DataFrame): DataFrame = {
+    val cal = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("nd"), sum("c").as("total"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.join(broadcast(cal), "event_type")
+      .withColumn("p", sum(col("c") * col("nd") - col("total")).over(w))
+      .withColumn("cusum_scaled",
+        col("p") - least(lit(0L), min("p").over(w)))
+      .select(col("event_type"), col("day"), col("c"), col("cusum_scaled"),
+        (col("cusum_scaled") > lit(CUSUM_H) * col("total"))
+          .as("drift_alarm"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // CUSUM changepoint detection (Page 1954, Biometrika) — SUSTAINED
+    // drift, the complement of q157's per-cell 3σ POINT-anomaly screen
+    // (a +20% shift that never clears one hour's 3σ band accumulates
+    // here within days). Per event type, the daily count series against
+    // its own calibration mean; alarm when cumulative excess exceeds
+    // CUSUM_H mean days.
+    //
+    // The textbook recursion S_k = max(0, S_{k-1} + d_k) is not a window
+    // aggregate — but its closed form IS: S_k = P_k − min(0, min_{j≤k}
+    // P_j) with P the running sum of deviations (the prefix-min
+    // identity; proven against the recursion in CusumSpec). Deviations
+    // are kept EXACT by scaling: d_i = c_i·nd − total (both integers; μ
+    // never materializes as a ratio), so every value the hash sees is a
+    // long both engines compute bit-identically — no rounding, no ties.
+    // Bound: |P| ≤ nd·max(c)·nd < 2⁶² for any feasible event table
+    // (nd ≤ 10⁵ days needs max daily count < 2³²·10 — far above any
+    // per-type day).
+    //
+    // Scale: ONE corpus-sized shuffle (the (etype, day) partial-agg
+    // rollup); everything after runs on the days×types frame (~10³
+    // rows at any SF). The per-type calibration is a broadcast rejoin
+    // (J2); windows partition by etype over day-counted frames.
+    "q177_cusum_drift" -> ((s, dir) =>
+      cusumOver(Tables(s, dir).events
+        .groupBy(col("event_type"),
+          date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("c")))
+        .orderBy("event_type", "day")),
 
     // W4 sessionization: lag-gap flag + running sum builds session ids;
     // 30-minute inactivity closes a session. Output is one row per
@@ -801,6 +851,35 @@ object EventOps {
   )
 
   def oracles: Map[String, String] = Map(
+    // q177: same scaled-integer deviations (c·nd − total), same
+    // prefix-min identity, CUSUM_H interpolated. Window sums of BIGINT
+    // are HUGEINT in DuckDB — cast back so the hash sees int64 on both
+    // sides (the q161 discipline).
+    "q177_cusum_drift" ->
+      s"""WITH daily AS (
+         | SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP)
+         |   AS day, COUNT(*) AS c
+         | FROM events GROUP BY 1, 2),
+         |cal AS (
+         | SELECT event_type, COUNT(*) AS nd, SUM(c) AS total
+         | FROM daily GROUP BY 1),
+         |pp AS (
+         | SELECT d.event_type, d.day, d.c, cal.total,
+         |  CAST(SUM(d.c * cal.nd - cal.total) OVER (
+         |    PARTITION BY d.event_type ORDER BY d.day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |   AS BIGINT) AS p
+         | FROM daily d JOIN cal USING (event_type)),
+         |s AS (
+         | SELECT event_type, day, c, total,
+         |  p - least(0, MIN(p) OVER (PARTITION BY event_type ORDER BY day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |    AS cusum_scaled
+         | FROM pp)
+         |SELECT event_type, day, c, cusum_scaled,
+         | cusum_scaled > $CUSUM_H * total AS drift_alarm
+         |FROM s ORDER BY event_type, day""".stripMargin,
+
     "q38_sessionize" ->
       s"""WITH $SESSION_SQL
         |SELECT user_id, session_id,
