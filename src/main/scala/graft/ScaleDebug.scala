@@ -111,6 +111,86 @@ object ScaleDebug {
       time("pr count")(println("  pr nodes=" + pr.count()))
       spark.stop(); return
     }
+    if (args.lift(1).contains("bm25idx")) {
+      // q178 probe decomposition at an arbitrary SF dir.
+      import org.apache.spark.sql.functions.{broadcast, count => cnt}
+      val (p, dpath) = graft.queries.Retrieval.bm25IndexDebug(spark, dir)
+      val tf = spark.read.parquet(p).select("doc_id", "tok", "tf")
+      println("  postings partitions=" + tf.rdd.getNumPartitions)
+      time("scan postings")(
+        tf.write.format("noop").mode("overwrite").save())
+      val qt = tf.where(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("qid"), col("tok"))
+      time("qt scan")(qt.write.format("noop").mode("overwrite").save())
+      val tfq = tf.join(broadcast(qt.select("tok").distinct()), "tok")
+      time("tfq semi")(tfq.write.format("noop").mode("overwrite").save())
+      val pairs = tfq.join(broadcast(qt), "tok")
+        .where(col("doc_id") =!= col("qid"))
+      println("  pair rows=" + time("pair count")(pairs.count()))
+      if (args.lift(2).contains("bisect")) {
+        import graft.queries.Retrieval
+        val tfP = tf
+        val tfC = Retrieval.tfAndQtDebug(spark, dir)
+        def qtOf(t: org.apache.spark.sql.DataFrame) =
+          t.where(col("doc_id") % 100 === 0)
+            .select(col("doc_id").as("qid"), col("tok"))
+        def dlOf(t: org.apache.spark.sql.DataFrame) =
+          t.groupBy("doc_id").agg(sum("tf").as("dl"))
+        val dlP = spark.read.parquet(dpath)
+        time("A tfP qtP dlP")(Retrieval.bm25Score(tfP, qtOf(tfP), dlP)
+          .write.format("noop").mode("overwrite").save())
+        time("B tfC qtC dlC")(Retrieval.bm25Score(tfC, qtOf(tfC), dlOf(tfC))
+          .write.format("noop").mode("overwrite").save())
+        time("C tfP qtC dlC")(Retrieval.bm25Score(tfP, qtOf(tfC), dlOf(tfC))
+          .write.format("noop").mode("overwrite").save())
+        time("D tfC qtP dlP")(Retrieval.bm25Score(tfC, qtOf(tfP), dlP)
+          .write.format("noop").mode("overwrite").save())
+        time("E tfP qtP dlC")(Retrieval.bm25Score(tfP, qtOf(tfP), dlOf(tfC))
+          .write.format("noop").mode("overwrite").save())
+        time("F tfP qtC dlP")(Retrieval.bm25Score(tfP, qtOf(tfC), dlP)
+          .write.format("noop").mode("overwrite").save())
+        spark.stop(); return
+      }
+      val lsn = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          println(f"  [stage ${si.stageId}%4d] tasks=${si.numTasks}%4d " +
+            f"run=${si.taskMetrics.executorRunTime / 1000.0}%8.1fs " +
+            f"cpu=${si.taskMetrics.executorCpuTime / 1e9}%8.1fs " +
+            f"gc=${si.taskMetrics.jvmGCTime / 1000.0}%6.1fs " +
+            si.name.take(60))
+        }
+      }
+      spark.sparkContext.addSparkListener(lsn)
+      val q178df = graft.queries.Retrieval.queries("q178_bm25_prebuilt")(spark, dir)
+      time("q178 full probe")(
+        q178df.write.format("noop").mode("overwrite").save())
+      Thread.sleep(2000)
+      println("  ======== q120 ========")
+      val q120df = graft.queries.Retrieval.queries("q120_bm25_retrieval")(spark, dir)
+      time("q120 full")(
+        q120df.write.format("noop").mode("overwrite").save())
+      Thread.sleep(2000)
+      def dumpMetrics(tag: String, df: org.apache.spark.sql.DataFrame): Unit = {
+        val sb = new StringBuilder
+        val root = df.queryExecution.executedPlan match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            a.executedPlan
+          case p => p
+        }
+        root.foreach { n =>
+          val ms = n.metrics.map { case (k, m) => s"$k=${m.value}" }
+            .mkString(", ")
+          sb.append(n.nodeName).append(" :: ").append(ms).append("\n")
+        }
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"/tmp/${tag}_metrics.txt"), sb.toString)
+      }
+      dumpMetrics("q178", q178df)
+      dumpMetrics("q120", q120df)
+      spark.stop(); return
+    }
     if (args.lift(1).contains("synthppr")) {
       // VERDICT r10 #5: the 100x synthetic notch only ever drove q104's
       // uniform-teleport step; q158's SEED-RESTART walk (left-join

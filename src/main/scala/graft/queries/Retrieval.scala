@@ -130,7 +130,15 @@ object Retrieval {
   private[graft] def bm25TopK(s: SparkSession, dir: String,
       qmod: Int = QMOD): DataFrame = {
     val (tf, qt) = tfAndQt(s, dir, qmod)
-    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    bm25Score(tf, qt, tf.groupBy("doc_id").agg(sum("tf").as("dl")))
+  }
+
+  /** The BM25 scoring tail over an ARBITRARY (tf, qt, dl) triple —
+    * factored (round 11) so q178's prebuilt-index probe runs the
+    * IDENTICAL arithmetic over persisted relations that q120 runs over
+    * freshly-built ones; the two can't drift. */
+  private[graft] def bm25Score(tf: DataFrame, qt: DataFrame,
+      dl: DataFrame): DataFrame = {
     val scal = dl.agg(count(lit(1)).as("n_docs"),
       (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
     val tfq = tf.join(broadcast(qt.select("tok").distinct()), "tok")
@@ -142,20 +150,111 @@ object Retrieval {
       (col("tf").cast("double") + lit(BM25_K1) *
         (lit(1.0 - BM25_B) +
           lit(BM25_B) * col("dl").cast("double") / col("avgdl")))
-    val scored = tfq
+    // The contribution c = idf·tfn depends ONLY on the posting (term,
+    // doc) — NOT on which query matched it — so it is computed here, on
+    // the POSTING relation (and the dl/scal joins ride posting-sized
+    // rows too), BEFORE the broadcast(qt) fan-out multiplies rows by
+    // matching queries (~86x at sf1: 5.9M postings → 507M pairs). The
+    // r11 q178 A/B caught the cost the old per-pair placement hid:
+    // Catalyst does not hoist arithmetic through joins, and the join
+    // order was estimate-dependent (the parquet-fed probe ran the dl
+    // join and the decimal math per PAIR — ~2.2x the whole query). Sum
+    // order is irrelevant to the hash: c is exact DECIMAL(28,12).
+    // The dim side folds the two corpus scalars onto the per-doc length
+    // table (52k rows + 2 columns — the cross join runs inside the
+    // broadcast build), and joins LEFT: semantically identical (dl
+    // covers every posting's doc_id by construction), but a LEFT join
+    // is a ReorderJoin BARRIER where an inner join is not. Without it,
+    // whenever dl's true size is KNOWN (q178 reads it from parquet),
+    // the reorderer moved the dim join — and the c projection that
+    // needs it — BELOW the qt fan-out, re-running the lookup and the
+    // decimal math per PAIR (507M rows at sf1) instead of per POSTING
+    // (5.9M): measured 153 s vs 30 s for the identical query
+    // (ScaleDebug bm25idx bisect, variant F vs E). The barrier pins
+    // per-posting scoring at ANY estimate quality.
+    val dim = dl.crossJoin(scal)
+    val posting = tfq
       .join(broadcast(dfq), "tok")
+      .join(broadcast(dim), Seq("doc_id"), "left")
+      .select(col("tok"), col("doc_id"),
+        (idf * tfn).cast("decimal(28,12)").as("c"))
+      // CLUSTER the scored postings by doc BEFORE the query fan-out:
+      // the fan-out emits, per posting, one row per matching query, and
+      // the (qid, doc_id) partial aggregate's working set for a
+      // doc-clustered stream is ONE doc's ~|queries| groups, reused
+      // across all its postings — cache-hot. In term/scan order every
+      // pair probes a ~27M-entry map at random: the A/B (ScaleDebug
+      // bm25idx bisect) measured the identical query at 1350-1460 s of
+      // stage CPU unclustered vs ~475 s when a chance doc_id sort-merge
+      // join had clustered it. One 5.9M-row exchange + local sort buys
+      // the 507M-row stage its locality, deterministically.
+      .repartition(col("doc_id"))
+      .sortWithinPartitions("doc_id")
+    val scored = posting
       .join(broadcast(qt), "tok")
       .where(col("doc_id") =!= col("qid"))
-      .join(dl, "doc_id")
-      .crossJoin(broadcast(scal))
-      .select(col("qid"), col("doc_id"),
-        (idf * tfn).cast("decimal(28,12)").as("c"))
       .groupBy("qid", "doc_id")
       .agg(round(sum("c").cast("double"), 6).as("bm25"))
     scored
       .withColumn("rnk", row_number().over(Window.partitionBy("qid")
         .orderBy(col("bm25").desc, col("doc_id"))))
       .where(col("rnk") <= BM25_TOPK)
+  }
+
+  /** Build-once registry for the q178 sparse-retrieval serving index —
+    * the q78 ivfIndexMemo discipline verbatim (identity session key,
+    * stopped-session pruning, runToken + per-build id paths): per
+    * (session, sfDir), the postings relation (doc_id, tok, tf)
+    * PARTITIONED BY a 64-way term-hash bucket plus the per-doc length
+    * table, both parquet. The first call pays tokenize + both
+    * aggregations ONCE; every later call probes the columnar artifact —
+    * Bench's 2nd..nth q178 samples time the probe alone. The bucket
+    * layout is the 100 TB lever: a query-time vocabulary maps to a
+    * bucket set and the scan prunes to those partitions (this corpus's
+    * ~50-doc query set covers all 64 buckets, so the pruning is
+    * structural here, not measured — stated per the no-silent-caps
+    * discipline). */
+  private val bm25IdxMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (String, String)]
+  private val bm25IdxBuildId = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** ScaleDebug-only accessor for the probe decomposition. */
+  private[graft] def bm25IndexDebug(s: SparkSession, dir: String)
+      : (String, String) = bm25Index(s, dir)
+
+  /** ScaleDebug-only: the computed tf relation, for A/B against the
+    * parquet-read one. */
+  private[graft] def tfAndQtDebug(s: SparkSession, dir: String): DataFrame =
+    tfAndQt(s, dir)._1
+
+  private def bm25Index(s: SparkSession, dir: String): (String, String) = {
+    bm25IdxMemo.keysIterator
+      .filter(_._1.sparkContext.isStopped)
+      .foreach(bm25IdxMemo.remove)
+    bm25IdxMemo.getOrElseUpdate((s, dir), {
+      val stem = Sinks.runPath("graft_bm25_index") + "_" +
+        java.lang.Integer.toHexString(dir.hashCode) + "_" +
+        bm25IdxBuildId.incrementAndGet()
+      // one eager checkpoint: the tokenize+count pass feeds BOTH the
+      // postings write and the dl aggregation (the q161 fan-out lesson)
+      val tf = tfAndQt(s, dir)._1.localCheckpoint()
+      // repartition ON the bucket key before the partitioned write: each
+      // task then owns whole buckets and writes ONE file per bucket (64
+      // total) instead of every task spraying a file into every bucket
+      // (32 x 64 ~ 2k small files - measured 196 s probe at sf1 from
+      // the multi-scan plan re-opening them; 64 clustered files probe in
+      // seconds). Sort within partitions by term so row groups are
+      // term-local (zone-map pruning on the probe's term semi-join).
+      tf.withColumn("bkt",
+          pmod(TextOps.h48("bm25bkt:", col("tok")), lit(64L)).cast("int"))
+        .repartition(col("bkt"))
+        .sortWithinPartitions("tok")
+        .write.mode("overwrite").partitionBy("bkt").parquet(s"$stem/postings")
+      tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+        .coalesce(8)
+        .write.mode("overwrite").parquet(s"$stem/dl")
+      (s"$stem/postings", s"$stem/dl")
+    })
   }
 
   /** q131 core, qmod-parameterized like [[bm25TopK]] (VERDICT r10 #3) so
@@ -171,7 +270,14 @@ object Retrieval {
         col("rnk").as("ra"))
       val (dt, qset) = tfAndQt(s, dir, qmod)
       val nd = dt.groupBy("doc_id").agg(count(lit(1)).as("nd"))
-      val inter = dt.join(broadcast(qset), "tok")
+      // doc-cluster before the query fan-out — the bm25Score locality
+      // fix applied to the Jaccard arm's identical shape (fan-out on
+      // tok, aggregate on (qid, doc_id)): the partial agg's working set
+      // per doc-run is one doc's ~|queries| groups instead of random
+      // probes into the full intersection map.
+      val inter = dt.repartition(col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .join(broadcast(qset), "tok")
         .where(col("doc_id") =!= col("qid"))
         .groupBy("qid", "doc_id").agg(count(lit(1)).as("ni"))
       val b = inter
@@ -281,6 +387,29 @@ object Retrieval {
         .select(col("qid"), col("rnk").cast("long").as("rnk"),
           col("doc_id"), col("bm25"))
         .orderBy("qid", "rnk")),
+
+    // BM25 over a PREBUILT postings index — the sparse-retrieval twin
+    // of q78's build-once/probe-many IVF serving shape (q120 is the
+    // build-every-time form: it re-tokenizes the corpus and re-counts
+    // (doc, term) frequencies on every invocation — the right shape for
+    // a one-shot batch job, the wrong one for a query service). The
+    // index build (tokenize + tf groupBy + dl aggregate) runs once per
+    // (session, corpus) and lands as term-bucket-partitioned parquet;
+    // the probe reads the columnar postings, derives the query set by
+    // the SAME doc_id % QMOD rule, and runs the identical factored
+    // scoring tail — so the output, and therefore the ORACLE, is q120's
+    // verbatim (the q145/q62 shared-oracle pattern: serving-shape
+    // equivalence is hash-checked every round).
+    "q178_bm25_prebuilt" -> ((s, dir) => {
+      val (pPath, dPath) = bm25Index(s, dir)
+      val tf = s.read.parquet(pPath).select("doc_id", "tok", "tf")
+      val qt = tf.where(col("doc_id") % QMOD === 0)
+        .select(col("doc_id").as("qid"), col("tok"))
+      bm25Score(tf, qt, s.read.parquet(dPath))
+        .select(col("qid"), col("rnk").cast("long").as("rnk"),
+          col("doc_id"), col("bm25"))
+        .orderBy("qid", "rnk")
+    }),
 
     // Hybrid retrieval via RECIPROCAL RANK FUSION (Cormack et al.
     // SIGIR'09) — the standard way a RAG stack merges rankers whose raw
@@ -589,6 +718,15 @@ object Retrieval {
   def oracles: Map[String, String] = Map(
 
     "q120_bm25_retrieval" ->
+      s"""WITH $BM25_RANKED_CTES
+        |SELECT qid, rnk, doc_id, bm25 FROM ranked
+        |WHERE rnk <= $BM25_TOPK ORDER BY qid, rnk""".stripMargin,
+
+    // q178 ≡ q120 by construction (same query rule, same factored
+    // scoring tail, different storage): the oracle is q120's VERBATIM,
+    // so prebuilt-index serving is hash-checked against the
+    // build-every-time form every round.
+    "q178_bm25_prebuilt" ->
       s"""WITH $BM25_RANKED_CTES
         |SELECT qid, rnk, doc_id, bm25 FROM ranked
         |WHERE rnk <= $BM25_TOPK ORDER BY qid, rnk""".stripMargin,
