@@ -191,6 +191,150 @@ object ScaleDebug {
       dumpMetrics("q120", q120df)
       spark.stop(); return
     }
+    if (args.lift(1).contains("fanoutaudit")) {
+      // VERDICT r11 #2: audit the SCALE.md #10 shape (fan-out join →
+      // aggregate on a key other than the stream order) beyond the BM25
+      // family. For each candidate the A/B is: the SHIPPED aggregate
+      // over the join's natural (join-key-bucketed) stream vs the same
+      // aggregate over an agg-key-clustered stream. Unlike BM25 — where
+      // clustering was bought on the CHEAP pre-fan-out side (5.9M
+      // postings) because the fan-out was a broadcast join that
+      // preserves streamed order — these fan-outs are SHUFFLE self-
+      // joins: the join's own exchange owns the stream order, so the
+      // only constructible clustering is an extra exchange of the full
+      // fan-out stream itself. The A/B therefore measures whether
+      // aggregate locality could ever repay a fan-out-sized shuffle.
+      import org.apache.spark.sql.DataFrame
+      import graft.queries.{Affinity, Retrieval, TextOps}
+      def ab(label: String, fan: DataFrame, key: org.apache.spark.sql.Column,
+          agg: DataFrame => DataFrame): Unit = {
+        println(s"== $label ==")
+        println("  fan-out rows = " + time(s"$label fan count")(fan.count()))
+        println("  agg groups   = " +
+          time(s"$label group count")(agg(fan).count()))
+        time(s"$label natural (shipped)")(
+          agg(fan).write.format("noop").mode("overwrite").save())
+        time(s"$label agg-key-clustered")(
+          agg(fan.repartition(key)).write.format("noop").mode("overwrite")
+            .save())
+      }
+      ab("q29", TextOps.q29FanOutDebug(spark, dir), col("da"),
+        f => f.groupBy("da", "db").agg(count(lit(1)).as("shared")))
+      ab("q123", Retrieval.q123FanOut(spark, dir), col("x.doc_id"),
+        f => f.groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+          .agg(max(col("x.sz")).as("size_a"), count(lit(1)).as("inter")))
+      ab("q150", Affinity.q150FanOutDebug(spark, dir), col("i"),
+        f => f.groupBy("i", "j").agg(count(lit(1)).as("n_both")))
+      spark.stop(); return
+    }
+    if (args.lift(1).contains("fanoutsort")) {
+      // Round-12 follow-up to the r11 locality find: the executed plan
+      // shows EliminateSorts drops bm25Score's sortWithinPartitions
+      // (a local sort whose order the aggregate above destroys is
+      // "redundant" to the optimizer), so the shipped win is PARTITION-
+      // level clustering only. This leg isolates whether a SURVIVING
+      // intra-partition sort buys more: the scored-posting relation is
+      // materialized (eager localCheckpoint, which freezes physical row
+      // order past the optimizer's reach) in three layouts — natural
+      // scan order, doc_id-clustered, doc_id-clustered+sorted — and the
+      // identical fan-out join + (qid, doc_id) aggregate is timed over
+      // each. c's VALUE is irrelevant to locality, so tf stands in.
+      import org.apache.spark.sql.DataFrame
+      import graft.queries.Retrieval
+      val tf = Retrieval.tfAndQtDebug(spark, dir)
+      val qt = tf.where(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("qid"), col("tok")).localCheckpoint()
+      val scored = tf
+        .join(broadcast(qt.select("tok").distinct()), "tok")
+        .select(col("tok"), col("doc_id"),
+          col("tf").cast("decimal(28,12)").as("c"))
+      def leg(label: String, p: DataFrame): Unit = {
+        val in = p.localCheckpoint()
+        in.count() // materialize outside the timed window
+        time(label)(in.join(broadcast(qt), "tok")
+          .where(col("doc_id") =!= col("qid"))
+          .groupBy("qid", "doc_id").agg(sum("c").as("s"))
+          .write.format("noop").mode("overwrite").save())
+        in.unpersist(blocking = true) // no cross-leg memory pressure
+      }
+      // "rev" third arg flips leg order — order-effect control (JIT
+      // warmup / GC state penalize whichever leg runs first).
+      val legs = Seq(
+        ("natural order", () => scored),
+        ("doc-clustered (shipped)", () => scored.repartition(col("doc_id"))),
+        ("doc-clustered + sorted", () => scored.repartition(col("doc_id"))
+          .sortWithinPartitions("doc_id")))
+      val ordered = if (args.lift(2).contains("rev")) legs.reverse else legs
+      ordered.foreach { case (l, p) => leg(l, p()) }
+      spark.stop(); return
+    }
+    if (args.lift(1).contains("bm25prune")) {
+      // VERDICT r11 #4: the q178 bucket layout's partition pruning,
+      // MEASURED instead of asserted. The shipped q178 workload derives
+      // its query set from the whole corpus (~520 query docs at sf1),
+      // whose combined vocabulary covers all 64 term-hash buckets — so
+      // the catalog run can't show pruning. The serving case the layout
+      // exists for is the opposite: a SHORT query (≈10 terms) whose
+      // vocabulary maps to ≤8 buckets. This leg probes exactly that —
+      // one query doc, its 8 lexicographically-first tokens, the bucket
+      // set computed query-side and pushed as a partition predicate —
+      // and reads files/bytes-read off the postings scan's metrics for
+      // the pruned vs unpruned plan of the SAME workload.
+      import graft.queries.Retrieval
+      // driver-side twin of TextOps.h48 (md5 hex, first 12 nibbles) so
+      // the bucket-set computation is a pure local map over ≤8 terms.
+      def h48Local(prefix: String, s: String): Long = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest((prefix + s).getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(hex.substring(0, 12), 16)
+      }
+      val (pPath, dPath) = Retrieval.bm25IndexDebug(spark, dir)
+      val post = spark.read.parquet(pPath)
+      val dl = spark.read.parquet(dPath)
+      def scanStats(df: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+        val root = df.queryExecution.executedPlan match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            a.executedPlan
+          case p => p
+        }
+        root.foreach {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec
+              if f.output.exists(_.name == "tok") =>
+            println(s"  [$tag] postings scan: " +
+              s"files=${f.metrics("numFiles").value} " +
+              s"bytes=${f.metrics("filesSize").value} " +
+              s"rows=${f.metrics("numOutputRows").value}")
+          case _ => ()
+        }
+      }
+      val qid0 = post.where(col("doc_id") % 100 === 0)
+        .agg(min("doc_id")).head().getLong(0)
+      val toks = post.where(col("doc_id") === qid0)
+        .select("tok").distinct().orderBy("tok").limit(8)
+        .collect().map(_.getString(0)).toSeq           // bounded: 8 terms
+      import spark.implicits._
+      val qtSmall = toks.toDF("tok").withColumn("qid", lit(qid0))
+        .select("qid", "tok")
+      val bkts = toks
+        .map(t => java.lang.Math.floorMod(
+          h48Local("bm25bkt:", t), 64L).toInt).distinct.sorted
+      println(s"  query=$qid0 terms=${toks.length} " +
+        s"buckets=${bkts.length}/64 -> ${bkts.mkString(",")}")
+      val tfPruned = post
+        .where(col("bkt").isin(bkts.map(Integer.valueOf): _*))
+        .select("doc_id", "tok", "tf")
+      val pruned = Retrieval.bm25Score(tfPruned, qtSmall, dl)
+      time("pruned probe")(
+        pruned.write.format("noop").mode("overwrite").save())
+      scanStats(pruned, "pruned")
+      val full = Retrieval.bm25Score(
+        post.select("doc_id", "tok", "tf"), qtSmall, dl)
+      time("unpruned probe")(
+        full.write.format("noop").mode("overwrite").save())
+      scanStats(full, "unpruned")
+      spark.stop(); return
+    }
     if (args.lift(1).contains("synthppr")) {
       // VERDICT r10 #5: the 100x synthetic notch only ever drove q104's
       // uniform-teleport step; q158's SEED-RESTART walk (left-join

@@ -52,6 +52,30 @@ object Affinity {
       .where(col("item").isNotNull)
       .distinct()
 
+  /** Baskets with the bot cap applied (≤ BASKET_CAP items/user) —
+    * q150's fan-out input, shared with the debug stream below. */
+  private def cappedBaskets(s: SparkSession, dir: String): DataFrame = {
+    val b = baskets(s, dir)
+    val ok = b.groupBy("user_id").agg(count(lit(1)).as("bs"))
+      .where(col("bs") <= BASKET_CAP)
+      .select("user_id")
+    b.join(ok, Seq("user_id"), "left_semi")
+  }
+
+  /** ScaleDebug-only (SCALE.md #10 audit): q150's fan-out stream exactly
+    * as the (i, j) pair aggregate consumes it — the capped-basket
+    * self-join output, pre-aggregation. Also the catalog query's own
+    * pair subtree (one definition; ReuseExchange dedups the shared
+    * basket build at execution). */
+  private[graft] def q150FanOutDebug(s: SparkSession, dir: String)
+      : DataFrame = {
+    val cb = cappedBaskets(s, dir)
+    cb.select(col("user_id"), col("item").as("i"))
+      .join(cb.select(col("user_id"), col("item").as("j")), "user_id")
+      .where(col("i") < col("j"))
+      .select("i", "j")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Bipartite projection with a bot cap: capped baskets self-join on
@@ -63,15 +87,9 @@ object Affinity {
     // (n_both DESC, co_item) — pure integers, no float rank risk; the
     // rounded jaccard is carried as a payload column only.
     "q150_item_cooccurrence" -> ((s, dir) => {
-      val b = baskets(s, dir)
-      val ok = b.groupBy("user_id").agg(count(lit(1)).as("bs"))
-        .where(col("bs") <= BASKET_CAP)
-        .select("user_id")
-      val cb = b.join(ok, Seq("user_id"), "left_semi")
+      val cb = cappedBaskets(s, dir)
       val supp = cb.groupBy("item").agg(count(lit(1)).as("n_item"))
-      val pr = cb.select(col("user_id"), col("item").as("i"))
-        .join(cb.select(col("user_id"), col("item").as("j")), "user_id")
-        .where(col("i") < col("j"))
+      val pr = q150FanOutDebug(s, dir)
         .groupBy("i", "j").agg(count(lit(1)).as("n_both"))
       val sym = pr.select(col("i").as("item"), col("j").as("co_item"),
           col("n_both"))

@@ -1,0 +1,51 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+
+/** Build-once registry for expensive serving artifacts (VERDICT r11 #5).
+  *
+  * One shared implementation of the memo discipline that grew three
+  * identical hand-rolled copies across rounds 9–11 (q78 `ivfIndexMemo`,
+  * q174 `bpeStateMemo`, q178 `bm25IdxMemo`). The contract, in one place
+  * so it can never drift between sites again:
+  *
+  *   - key = (SparkSession identity, sfDir). The session is the IDENTITY
+  *     key (default TrieMap equality on the session object), so a cached
+  *     artifact handle can never outlive its SparkContext or leak across
+  *     two live sessions in one JVM.
+  *   - stopped-session pruning on every access: entries whose context
+  *     has stopped are evicted BEFORE lookup, so a restarted session
+  *     rebuilds rather than reading a handle bound to a dead context.
+  *   - artifact paths are `runToken + dirHash + buildId`-unique
+  *     ([[nextPath]]): the per-JVM runToken (Sinks.runPath) keeps two
+  *     JVMs apart, the dir hash keeps two sfDirs apart, and the
+  *     monotonically increasing build id keeps two live sessions (or a
+  *     rebuild after restart) in ONE JVM from ever sharing a directory.
+  *
+  * The value type is site-specific (a path, a pair of paths, a
+  * checkpointed codebook + path) — the memo only owns lifecycle, not
+  * shape. Concurrency: TrieMap.getOrElseUpdate may race two builders on
+  * first touch (both write their OWN nextPath-unique dirs; one wins the
+  * map) — same semantics the three originals had, acceptable because
+  * builds are deterministic and the loser's artifact is just unused tmp.
+  */
+private[graft] final class BuildOnceMemo[A](stem: String) {
+  private val memo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), A]
+  private val buildId = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** A fresh artifact directory for `dir`, unique per build in this JVM. */
+  def nextPath(dir: String): String =
+    Sinks.runPath(stem) + "_" +
+      java.lang.Integer.toHexString(dir.hashCode) + "_" +
+      buildId.incrementAndGet()
+
+  /** The memoized artifact for (s, dir), building it at most once per
+    * live session (see class doc for the exact lifecycle contract). */
+  def getOrBuild(s: SparkSession, dir: String)(build: => A): A = {
+    memo.keysIterator
+      .filter(_._1.sparkContext.isStopped)
+      .foreach(memo.remove)
+    memo.getOrElseUpdate((s, dir), build)
+  }
+}

@@ -136,9 +136,26 @@ object Retrieval {
   /** The BM25 scoring tail over an ARBITRARY (tf, qt, dl) triple —
     * factored (round 11) so q178's prebuilt-index probe runs the
     * IDENTICAL arithmetic over persisted relations that q120 runs over
-    * freshly-built ones; the two can't drift. */
+    * freshly-built ones; the two can't drift.
+    *
+    * CONTRACT (ADVICE r11): `dl` must cover every doc_id that appears in
+    * `tf` — the dim join below is LEFT only as a ReorderJoin barrier, not
+    * to tolerate gaps. A missing doc_id would null its tfn and silently
+    * shrink that doc's score, so the join output asserts coverage and a
+    * mismatched dl FAILS LOUDLY (raise_error) instead of skewing ranks.
+    *
+    * SCALE CEILING (ADVICE r11): the broadcast(dim) hint ships one row
+    * per CORPUS DOCUMENT (~40 B/row: doc_id, dl, two fold-in scalars) to
+    * every executor — fine to ~10⁷–10⁸ docs (0.4–4 GB broadcast), i.e.
+    * any SF this repo runs, but past that it exceeds broadcast/driver
+    * budget where a shuffle join degrades gracefully. A 100 TB caller
+    * passes `dlBroadcastable = false`: the dim join becomes a doc_id
+    * sort-merge join whose exchange lands exactly where the mandatory
+    * `.repartition(doc_id)` below needs the data anyway, so the
+    * per-posting hoist and the doc-clustered fan-out both survive the
+    * fallback — only the small-side shipping strategy changes. */
   private[graft] def bm25Score(tf: DataFrame, qt: DataFrame,
-      dl: DataFrame): DataFrame = {
+      dl: DataFrame, dlBroadcastable: Boolean = true): DataFrame = {
     val scal = dl.agg(count(lit(1)).as("n_docs"),
       (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
     val tfq = tf.join(broadcast(qt.select("tok").distinct()), "tok")
@@ -173,23 +190,33 @@ object Retrieval {
     // (ScaleDebug bm25idx bisect, variant F vs E). The barrier pins
     // per-posting scoring at ANY estimate quality.
     val dim = dl.crossJoin(scal)
+    val dimSide = if (dlBroadcastable) broadcast(dim) else dim
     val posting = tfq
       .join(broadcast(dfq), "tok")
-      .join(broadcast(dim), Seq("doc_id"), "left")
+      .join(dimSide, Seq("doc_id"), "left")
+      // loud coverage check (scaladoc CONTRACT): a doc_id the caller's dl
+      // misses throws here, per posting, instead of nulling into sum().
+      .withColumn("dl", coalesce(col("dl"), raise_error(concat(
+        lit("bm25Score contract violated: dl has no row for doc_id="),
+        col("doc_id"))).cast("long")))
       .select(col("tok"), col("doc_id"),
         (idf * tfn).cast("decimal(28,12)").as("c"))
       // CLUSTER the scored postings by doc BEFORE the query fan-out:
       // the fan-out emits, per posting, one row per matching query, and
-      // the (qid, doc_id) partial aggregate's working set for a
-      // doc-clustered stream is ONE doc's ~|queries| groups, reused
-      // across all its postings — cache-hot. In term/scan order every
-      // pair probes a ~27M-entry map at random: the A/B (ScaleDebug
-      // bm25idx bisect) measured the identical query at 1350-1460 s of
-      // stage CPU unclustered vs ~475 s when a chance doc_id sort-merge
-      // join had clustered it. One 5.9M-row exchange + local sort buys
-      // the 507M-row stage its locality, deterministically.
+      // partitioning by doc_id shrinks the (qid, doc_id) partial
+      // aggregate's working set from the whole corpus's ~27M-entry map
+      // to one partition's docs. The A/B (ScaleDebug bm25idx bisect)
+      // measured the identical query at 1350-1460 s of stage CPU in
+      // term/scan order vs ~400-475 s clustered; one 5.9M-row exchange
+      // buys the 507M-row stage its locality, deterministically.
+      // PARTITION-level clustering only, on purpose (round 12): a
+      // sortWithinPartitions(doc_id) here is removed by EliminateSorts
+      // (the aggregate above destroys its order), and FORCING it is a
+      // measured LOSS — the layout-isolated A/B (ScaleDebug fanoutsort,
+      // eager-checkpointed inputs, both leg orders) ran the same
+      // join+agg at 31-67 s partition-clustered, 161-176 s
+      // clustered+sorted, 273-425 s natural at sf1.
       .repartition(col("doc_id"))
-      .sortWithinPartitions("doc_id")
     val scored = posting
       .join(broadcast(qt), "tok")
       .where(col("doc_id") =!= col("qid"))
@@ -214,9 +241,8 @@ object Retrieval {
     * ~50-doc query set covers all 64 buckets, so the pruning is
     * structural here, not measured — stated per the no-silent-caps
     * discipline). */
-  private val bm25IdxMemo = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), (String, String)]
-  private val bm25IdxBuildId = new java.util.concurrent.atomic.AtomicLong(0)
+  private val bm25IdxMemo =
+    new BuildOnceMemo[(String, String)]("graft_bm25_index")
 
   /** ScaleDebug-only accessor for the probe decomposition. */
   private[graft] def bm25IndexDebug(s: SparkSession, dir: String)
@@ -228,13 +254,8 @@ object Retrieval {
     tfAndQt(s, dir)._1
 
   private def bm25Index(s: SparkSession, dir: String): (String, String) = {
-    bm25IdxMemo.keysIterator
-      .filter(_._1.sparkContext.isStopped)
-      .foreach(bm25IdxMemo.remove)
-    bm25IdxMemo.getOrElseUpdate((s, dir), {
-      val stem = Sinks.runPath("graft_bm25_index") + "_" +
-        java.lang.Integer.toHexString(dir.hashCode) + "_" +
-        bm25IdxBuildId.incrementAndGet()
+    bm25IdxMemo.getOrBuild(s, dir) {
+      val stem = bm25IdxMemo.nextPath(dir)
       // one eager checkpoint: the tokenize+count pass feeds BOTH the
       // postings write and the dl aggregation (the q161 fan-out lesson)
       val tf = tfAndQt(s, dir)._1.localCheckpoint()
@@ -254,7 +275,7 @@ object Retrieval {
         .coalesce(8)
         .write.mode("overwrite").parquet(s"$stem/dl")
       (s"$stem/postings", s"$stem/dl")
-    })
+    }
   }
 
   /** q131 core, qmod-parameterized like [[bm25TopK]] (VERDICT r10 #3) so
@@ -272,11 +293,12 @@ object Retrieval {
       val nd = dt.groupBy("doc_id").agg(count(lit(1)).as("nd"))
       // doc-cluster before the query fan-out — the bm25Score locality
       // fix applied to the Jaccard arm's identical shape (fan-out on
-      // tok, aggregate on (qid, doc_id)): the partial agg's working set
-      // per doc-run is one doc's ~|queries| groups instead of random
-      // probes into the full intersection map.
+      // tok, aggregate on (qid, doc_id)): partition-level clustering
+      // bounds the partial agg's working set to one partition's docs.
+      // No local sort, same rationale as bm25Score (round 12): the
+      // optimizer eliminated it anyway, and forcing it measured SLOWER
+      // than the unsorted clustered layout (ScaleDebug fanoutsort).
       val inter = dt.repartition(col("doc_id"))
-        .sortWithinPartitions("doc_id")
         .join(broadcast(qset), "tok")
         .where(col("doc_id") =!= col("qid"))
         .groupBy("qid", "doc_id").agg(count(lit(1)).as("ni"))
@@ -319,6 +341,20 @@ object Retrieval {
     * must not produce a quadratic bucket. */
   private[graft] val CONTAIN_DF_CAP = 1000
   private[graft] val CONTAIN_TOPK = 20
+
+  /** q123's fan-out subtree (capped positioned-less shingle self-join),
+    * factored so the catalog query and the ScaleDebug SCALE.md #10
+    * locality audit time the IDENTICAL stream. Output keeps the x/y
+    * qualifiers the downstream aggregate expects. */
+  private[graft] def q123FanOut(s: SparkSession, dir: String): DataFrame = {
+    val p = TextOps.shingles(docs(s, dir))
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
+      .where(col("df") <= CONTAIN_DF_CAP)
+    p.as("x").join(p.as("y"),
+      col("x.sh") === col("y.sh") &&
+        col("x.doc_id") =!= col("y.doc_id"))
+  }
 
   /** q124 stage count. */
   private[graft] val NBINS = 4
@@ -555,14 +591,10 @@ object Retrieval {
     // the distinct posting table (no rejoin), df-capped lists, ordered
     // pairs from the shingle-keyed self-join carrying the LEFT side's
     // size, then one grouped count. Top-k under a total order.
+    // (fan-out subtree factored to q123FanOut — shared with the
+    // ScaleDebug SCALE.md #10 locality audit.)
     "q123_containment" -> ((s, dir) => {
-      val p = TextOps.shingles(docs(s, dir))
-        .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
-        .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
-        .where(col("df") <= CONTAIN_DF_CAP)
-      p.as("x").join(p.as("y"),
-          col("x.sh") === col("y.sh") &&
-            col("x.doc_id") =!= col("y.doc_id"))
+      q123FanOut(s, dir)
         .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
         .agg(max(col("x.sz")).as("size_a"), count(lit(1)).as("inter"))
         .select(col("a"), col("b"), col("inter"), col("size_a"),

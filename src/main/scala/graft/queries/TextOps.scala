@@ -343,12 +343,27 @@ object TextOps {
     * ≥ 0.05, columns (da, db, jaccard). The df cap rides the same sh-hash
     * partitioning the self-join consumes (count-over-window, no rejoin);
     * no cache — ReuseExchange dedupes the distinct scan. */
-  private[graft] def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val raw = shingles(docs(s, dir))
-    val sh = raw
+  /** The q29 df-capped shingle relation — shared by [[jaccardPairs]] and
+    * the ScaleDebug fan-out-locality audit (SCALE.md #10) so the audit
+    * times the EXACT shipped subtree. */
+  private def cappedSh(s: SparkSession, dir: String): DataFrame =
+    shingles(docs(s, dir))
       .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
       .where(col("df") <= DF_CAP)
       .select("doc_id", "sh")
+
+  /** ScaleDebug-only (SCALE.md #10 audit): q29's fan-out stream exactly
+    * as the pair aggregate consumes it — the capped shingle self-join
+    * output, pre-aggregation. */
+  private[graft] def q29FanOutDebug(s: SparkSession, dir: String): DataFrame = {
+    val sh = cappedSh(s, dir)
+    sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+  }
+
+  private[graft] def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = cappedSh(s, dir)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
     val shared = sh.as("a")
       .join(sh.as("b"),
@@ -1246,7 +1261,8 @@ object TextOps {
       val d = docs(s, dir)
       // ONE eager checkpoint of the positional-hash pass — it feeds the
       // k-gram count, the window chain's own count, and the window scan
-      // (the q161 fan-out lesson, applied at construction).
+      // (the q161 fan-out lesson, applied at construction). Cluster-mode
+      // tradeoff: PLANS.md "localCheckpoint lineage-cut … at 100 TB".
       val sh = posShingleHashes(d).localCheckpoint()
       val fph = winnowCore(sh)
       val nsh = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
@@ -1326,21 +1342,14 @@ object TextOps {
     * many — q174's bench samples after the first time the probe join
     * alone. The roundtrip is exact (string/long columns only), so the
     * oracle hash is unchanged vs. recomputing the loop in-plan. */
-  private val bpeStateMemo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
-  private val bpeBuildId = new java.util.concurrent.atomic.AtomicLong(0)
+  private val bpeStateMemo = new BuildOnceMemo[String]("graft_bpe_state")
 
   private def bpeFinalToks(s: SparkSession, dir: String): DataFrame = {
-    bpeStateMemo.keysIterator
-      .filter(_._1.sparkContext.isStopped)
-      .foreach(bpeStateMemo.remove)
-    val path = bpeStateMemo.getOrElseUpdate((s, dir), {
-      val p = Sinks.runPath("graft_bpe_state") + "_" +
-        java.lang.Integer.toHexString(dir.hashCode) + "_" +
-        bpeBuildId.incrementAndGet()
+    val path = bpeStateMemo.getOrBuild(s, dir) {
+      val p = bpeStateMemo.nextPath(dir)
       bpeTrain(docs(s, dir))._2.write.mode("overwrite").parquet(p)
       p
-    })
+    }
     s.read.parquet(path)
   }
 
@@ -1676,7 +1685,9 @@ object TextOps {
     // job, so a lazy persist lets their tasks race-compute the same
     // source partitions (measured: lazy 24.6 s / eager ~15 s at sf1) —
     // the loop bodies keep the lazy form because their first action
-    // lands before any second consumer exists.
+    // lands before any second consumer exists. Cluster-mode tradeoff
+    // (executor-loss semantics, reliable-checkpoint switch point):
+    // PLANS.md "the localCheckpoint lineage-cut discipline at 100 TB".
     val p = pairs.localCheckpoint()
     val edges = p.select(col("u").as("src"), col("v").as("dst"))
       .unionByName(p.select(col("v").as("src"), col("u").as("dst")))

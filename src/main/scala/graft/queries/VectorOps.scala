@@ -349,18 +349,13 @@ object VectorOps {
     * two builds by one session) never write or read the same directory.
     * Entries whose session has been stopped are pruned on every access —
     * the map holds at most one live entry per (live session, sfDir) and
-    * can never serve a DataFrame bound to a stopped SparkContext. */
+    * can never serve a DataFrame bound to a stopped SparkContext.
+    * Lifecycle lives in the shared [[BuildOnceMemo]] (VERDICT r11 #5). */
   private val ivfIndexMemo =
-    scala.collection.concurrent.TrieMap
-      .empty[(SparkSession, String), (DataFrame, String)]
-  private val ivfBuildId = new java.util.concurrent.atomic.AtomicLong(0)
+    new BuildOnceMemo[(DataFrame, String)]("graft_ivf_index")
 
-  private def ivfIndex(s: SparkSession, dir: String): (DataFrame, String) = {
-    ivfIndexMemo.keysIterator
-      .filter(_._1.sparkContext.isStopped)
-      .foreach(ivfIndexMemo.remove)
-    ivfIndexMemo.getOrElseUpdate((s, dir), buildIvfIndex(s, dir))
-  }
+  private def ivfIndex(s: SparkSession, dir: String): (DataFrame, String) =
+    ivfIndexMemo.getOrBuild(s, dir)(buildIvfIndex(s, dir))
 
   private def buildIvfIndex(s: SparkSession, dir: String): (DataFrame, String) = {
       val (k, _) = kmGeom(s, dir)
@@ -371,9 +366,7 @@ object VectorOps {
       val home = rankCells(base.select(col("vec_id"), col("e")), cents)
         .where(col("rn") === 1)
         .select(col("vec_id"), col("cid").as("cell"))
-      val path = Sinks.runPath("graft_ivf_index") + "_" +
-        java.lang.Integer.toHexString(dir.hashCode) + "_" +
-        ivfBuildId.incrementAndGet()
+      val path = ivfIndexMemo.nextPath(dir)
       base.join(home, "vec_id")
         .select(col("vec_id"), col("e"), col("nrm"), col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(path)

@@ -49,7 +49,12 @@ def main():
         sxy += 2 * da * db       # src-deg * dst-deg, both directions
     num = m * sxy - sx * sx
     den = m * sxx - sx * sx
-    assort = float(num) / float(den)
+    # den == 0 <=> no pairs, or a degree-regular graph (every node the
+    # same degree): Newman's r is undefined. Spark's non-ANSI division
+    # yields NULL there, so the defined degenerate comparison is
+    # assortativity IS NULL rather than an uncaught ZeroDivisionError
+    # (ADVICE r11).
+    assort = float(num) / float(den) if den != 0 else None
     expect = (m, sx, sxx, sxy, assort)
 
     files = sorted(glob.glob(f"{out_dir}/q161_degree_assortativity/*.parquet"))
