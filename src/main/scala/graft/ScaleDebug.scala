@@ -209,14 +209,20 @@ object ScaleDebug {
       def ab(label: String, fan: DataFrame, key: org.apache.spark.sql.Column,
           agg: DataFrame => DataFrame): Unit = {
         println(s"== $label ==")
-        println("  fan-out rows = " + time(s"$label fan count")(fan.count()))
-        println("  agg groups   = " +
-          time(s"$label group count")(agg(fan).count()))
-        time(s"$label natural (shipped)")(
-          agg(fan).write.format("noop").mode("overwrite").save())
-        time(s"$label agg-key-clustered")(
-          agg(fan.repartition(key)).write.format("noop").mode("overwrite")
-            .save())
+        if (args.lift(2).contains("counts")) {
+          println("  fan-out rows = " + time(s"$label fan count")(fan.count()))
+          println("  agg groups   = " +
+            time(s"$label group count")(agg(fan).count()))
+        }
+        // two samples per variant, alternating, so JIT warmup and host
+        // drift land on both sides; read the MIN of each pair.
+        for (i <- 1 to 2) {
+          time(s"$label natural#$i (shipped)")(
+            agg(fan).write.format("noop").mode("overwrite").save())
+          time(s"$label agg-key-clustered#$i")(
+            agg(fan.repartition(key)).write.format("noop").mode("overwrite")
+              .save())
+        }
       }
       ab("q29", TextOps.q29FanOutDebug(spark, dir), col("da"),
         f => f.groupBy("da", "db").agg(count(lit(1)).as("shared")))
@@ -292,20 +298,32 @@ object ScaleDebug {
       val (pPath, dPath) = Retrieval.bm25IndexDebug(spark, dir)
       val post = spark.read.parquet(pPath)
       val dl = spark.read.parquet(dPath)
-      def scanStats(df: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+      // metrics must come from the SAME QueryExecution that ran —
+      // df.write spawns its own QE, so drive the plan via collect()
+      // (bounded: BM25_TOPK per query) and read the scans off it.
+      def runAndScanStats(df: org.apache.spark.sql.DataFrame,
+          tag: String): Unit = {
+        time(s"$tag probe")(df.collect())
+        // scans sit inside materialized AQE query stages, which are
+        // leaves of the final adaptive plan — recurse through them.
+        def scans(p: org.apache.spark.sql.execution.SparkPlan)
+            : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+          p.collect {
+            case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+              Seq(f)
+            case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+              scans(qs.plan)
+          }.flatten
         val root = df.queryExecution.executedPlan match {
           case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
             a.executedPlan
           case p => p
         }
-        root.foreach {
-          case f: org.apache.spark.sql.execution.FileSourceScanExec
-              if f.output.exists(_.name == "tok") =>
-            println(s"  [$tag] postings scan: " +
-              s"files=${f.metrics("numFiles").value} " +
-              s"bytes=${f.metrics("filesSize").value} " +
-              s"rows=${f.metrics("numOutputRows").value}")
-          case _ => ()
+        scans(root).filter(_.output.exists(_.name == "tok")).foreach { f =>
+          println(s"  [$tag] postings scan: " +
+            s"files=${f.metrics("numFiles").value} " +
+            s"bytes=${f.metrics("filesSize").value} " +
+            s"rows=${f.metrics("numOutputRows").value}")
         }
       }
       val qid0 = post.where(col("doc_id") % 100 === 0)
@@ -324,15 +342,16 @@ object ScaleDebug {
       val tfPruned = post
         .where(col("bkt").isin(bkts.map(Integer.valueOf): _*))
         .select("doc_id", "tok", "tf")
-      val pruned = Retrieval.bm25Score(tfPruned, qtSmall, dl)
-      time("pruned probe")(
-        pruned.write.format("noop").mode("overwrite").save())
-      scanStats(pruned, "pruned")
-      val full = Retrieval.bm25Score(
+      def pruned() = Retrieval.bm25Score(tfPruned, qtSmall, dl)
+      def full() = Retrieval.bm25Score(
         post.select("doc_id", "tok", "tf"), qtSmall, dl)
-      time("unpruned probe")(
-        full.write.format("noop").mode("overwrite").save())
-      scanStats(full, "unpruned")
+      // untimed warmup (JIT + codegen compile of the scoring pipeline),
+      // then each variant twice, alternating, to wash out order effects.
+      full().write.format("noop").mode("overwrite").save()
+      runAndScanStats(pruned(), "pruned#1")
+      runAndScanStats(full(), "unpruned#1")
+      runAndScanStats(pruned(), "pruned#2")
+      runAndScanStats(full(), "unpruned#2")
       spark.stop(); return
     }
     if (args.lift(1).contains("synthppr")) {

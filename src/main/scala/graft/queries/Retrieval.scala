@@ -237,10 +237,16 @@ object Retrieval {
     * aggregations ONCE; every later call probes the columnar artifact —
     * Bench's 2nd..nth q178 samples time the probe alone. The bucket
     * layout is the 100 TB lever: a query-time vocabulary maps to a
-    * bucket set and the scan prunes to those partitions (this corpus's
-    * ~50-doc query set covers all 64 buckets, so the pruning is
-    * structural here, not measured — stated per the no-silent-caps
-    * discipline). */
+    * bucket set and the scan prunes to those partitions. MEASURED
+    * (round 12, ScaleDebug bm25prune, sf1): an 8-term query hits 8/64
+    * buckets and the postings scan reads exactly 8 files / 2.35 MB /
+    * 496k rows vs 35 files / 6.05 MB / 1.28M rows for the same query
+    * unpruned — files-read ∝ buckets-hit, stacked ON TOP of the
+    * runtime term filter that already row-group-prunes the unpruned
+    * scan to 35 of 64 files. (The CATALOG q178 derives its query set
+    * from the whole corpus, which covers all 64 buckets — so the
+    * catalog run exercises the probe arithmetic, and the short-query
+    * serving case gets the pruning.) */
   private val bm25IdxMemo =
     new BuildOnceMemo[(String, String)]("graft_bm25_index")
 
@@ -592,9 +598,14 @@ object Retrieval {
     // pairs from the shingle-keyed self-join carrying the LEFT side's
     // size, then one grouped count. Top-k under a total order.
     // (fan-out subtree factored to q123FanOut — shared with the
-    // ScaleDebug SCALE.md #10 locality audit.)
+    // ScaleDebug SCALE.md #10 locality audit. The repartition is the
+    // round-12 single-pass-aggregate fix: this pair agg reduces 293M →
+    // 241M at sf1, so map-side combine is pure overhead — pre-
+    // clustering on the pair key's first component measured min 42.1 s
+    // vs 66.8 s natural; full rationale at TextOps.jaccardPairs.)
     "q123_containment" -> ((s, dir) => {
       q123FanOut(s, dir)
+        .repartition(col("x.doc_id"))
         .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
         .agg(max(col("x.sz")).as("size_a"), count(lit(1)).as("inter"))
         .select(col("a"), col("b"), col("inter"), col("size_a"),

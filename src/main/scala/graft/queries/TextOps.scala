@@ -368,6 +368,21 @@ object TextOps {
     val shared = sh.as("a")
       .join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      // REPARTITION the fan-out on the pair key's first component before
+      // the aggregate (round 12, SCALE.md #10 audit): this pair agg
+      // barely reduces (120.4M groups from 146.5M rows at sf1 — shared
+      // shingles are rare by construction once DF_CAP holds), so the
+      // map-side partial aggregate builds a ~4M-entry-per-task spilling
+      // map to then shuffle ESSENTIALLY THE SAME row count anyway. With
+      // the distribution pre-satisfied (hash(da) clusters every (da,db)
+      // group), the planner drops the partial-output exchange and the
+      // aggregate runs single-pass. Full-query paired bench legs at sf1
+      // (min, same day): q161 25.61 → 13.85 s, q65 21.72 → 18.37,
+      // q29 18.22 → 17.07, q102 flat — every jaccardPairs consumer
+      // improved or held; the stage-level A/B (ScaleDebug fanoutaudit)
+      // showed the agg itself 1.6–3.4× faster. Skew-safe: da ranges
+      // over the corpus, not a few hot keys.
+      .repartition(col("a.doc_id"))
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .agg(count(lit(1)).as("shared"))
       .where(col("shared") >= 2)
