@@ -254,13 +254,36 @@ object ScaleDebug {
         .join(broadcast(qt.select("tok").distinct()), "tok")
         .select(col("tok"), col("doc_id"),
           col("tf").cast("decimal(28,12)").as("c"))
+      // per-leg stage totals (run/cpu/gc/spill) — the mechanism data
+      // behind the wall-clock: registered once, bucketed by leg label.
+      val legTotals = scala.collection.mutable.Map
+        .empty[String, (Double, Double, Double, Long)]
+      @volatile var currentLeg = ""
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
+              : Unit = {
+            val m = sc.stageInfo.taskMetrics
+            val (r, c, g, sp) =
+              legTotals.getOrElse(currentLeg, (0.0, 0.0, 0.0, 0L))
+            legTotals(currentLeg) = (r + m.executorRunTime / 1000.0,
+              c + m.executorCpuTime / 1e9, g + m.jvmGCTime / 1000.0,
+              sp + m.memoryBytesSpilled + m.diskBytesSpilled)
+          }
+        })
       def leg(label: String, p: DataFrame): Unit = {
         val in = p.localCheckpoint()
         in.count() // materialize outside the timed window
+        currentLeg = label
         time(label)(in.join(broadcast(qt), "tok")
           .where(col("doc_id") =!= col("qid"))
           .groupBy("qid", "doc_id").agg(sum("c").as("s"))
           .write.format("noop").mode("overwrite").save())
+        val (r, c, g, sp) = legTotals.getOrElse(label, (0.0, 0.0, 0.0, 0L))
+        println(f"    stages: run=$r%.1fs cpu=$c%.1fs gc=$g%.1fs " +
+          f"spilled=${sp / 1e9}%.2fGB")
+        currentLeg = ""
         in.unpersist(blocking = true) // no cross-leg memory pressure
       }
       // "rev" third arg flips leg order — order-effect control (JIT

@@ -126,10 +126,24 @@ object Retrieval {
 
   /** q120 core, shared with the q131 fusion: BM25 top-k per query doc
     * (qid, doc_id, bm25, rnk), rnk ≤ BM25_TOPK, ranked AFTER the 6-dp
-    * round with a doc_id tiebreak so rank order is cross-engine total. */
+    * round with a doc_id tiebreak so rank order is cross-engine total.
+    *
+    * The tokenize+count relation is EAGERLY checkpointed here (the q161
+    * lineage-cut discipline, cluster tradeoff in PLANS.md): qt, dl and
+    * the scored-posting lineage all consume tf, and the posting branch
+    * now lives in its own checkpointed lineage (see bm25Score) where
+    * ReuseExchange could no longer dedup a recompute. One cut, three
+    * readers. Still build-every-time: the cut is per-construction, not
+    * memoized — Bench times it inside every sample. */
   private[graft] def bm25TopK(s: SparkSession, dir: String,
-      qmod: Int = QMOD): DataFrame = {
-    val (tf, qt) = tfAndQt(s, dir, qmod)
+      qmod: Int = QMOD): DataFrame =
+    bm25TopKFromTf(tfAndQt(s, dir, qmod)._1.localCheckpoint(), qmod)
+
+  /** [[bm25TopK]] over a caller-materialized tf (checkpoint or parquet)
+    * — q131 shares ONE tf cut across both fusion arms through this. */
+  private[graft] def bm25TopKFromTf(tf: DataFrame, qmod: Int): DataFrame = {
+    val qt = tf.where(col("doc_id") % qmod === 0)
+      .select(col("doc_id").as("qid"), col("tok"))
     bm25Score(tf, qt, tf.groupBy("doc_id").agg(sum("tf").as("dl")))
   }
 
@@ -155,6 +169,39 @@ object Retrieval {
     * per-posting hoist and the doc-clustered fan-out both survive the
     * fallback — only the small-side shipping strategy changes. */
   private[graft] def bm25Score(tf: DataFrame, qt: DataFrame,
+      dl: DataFrame, dlBroadcastable: Boolean = true): DataFrame = {
+    // LAZY checkpoint of the doc-clustered + doc-SORTED scored postings:
+    // the one way to keep the intra-partition sort ALIVE. In-plan,
+    // EliminateSorts removes a local sort whose order the aggregate
+    // above destroys — and the layout-isolated idle-host A/B (ScaleDebug
+    // fanoutsort, per-leg stage metrics) shows the optimizer deletes a
+    // 2.8× CPU win: the 507M-pair stage at sf1 runs 3,808 s CPU +
+    // 39.6 GB spill in natural order, 491 s doc-clustered, 176 s
+    // doc-clustered+sorted (per-doc runs keep the (qid, doc_id) partial
+    // agg probing ~520 hot keys). A lazy localCheckpoint freezes the
+    // sorted layout as a standalone lineage whose ROOT-level sort
+    // nothing eliminates; the fan-out job materializes it in-line (one
+    // job, no extra pass) and streams frozen sorted blocks.
+    // Bm25PlanShapeSpec pins both halves. Cluster-mode tradeoff of the
+    // checkpoint: PLANS.md "localCheckpoint lineage-cut … at 100 TB".
+    val posting = scoredPostings(tf, qt, dl, dlBroadcastable)
+      .localCheckpoint(false)
+    val scored = posting
+      .join(broadcast(qt), "tok")
+      .where(col("doc_id") =!= col("qid"))
+      .groupBy("qid", "doc_id")
+      .agg(round(sum("c").cast("double"), 6).as("bm25"))
+    scored
+      .withColumn("rnk", row_number().over(Window.partitionBy("qid")
+        .orderBy(col("bm25").desc, col("doc_id"))))
+      .where(col("rnk") <= BM25_TOPK)
+  }
+
+  /** The scored-posting relation (tok, doc_id, c), doc-clustered and
+    * doc-sorted — everything in BM25 that happens at POSTING granularity,
+    * factored so [[bm25Score]] checkpoints exactly this plan and
+    * Bm25PlanShapeSpec audits exactly this plan. */
+  private[graft] def scoredPostings(tf: DataFrame, qt: DataFrame,
       dl: DataFrame, dlBroadcastable: Boolean = true): DataFrame = {
     val scal = dl.agg(count(lit(1)).as("n_docs"),
       (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
@@ -191,7 +238,7 @@ object Retrieval {
     // per-posting scoring at ANY estimate quality.
     val dim = dl.crossJoin(scal)
     val dimSide = if (dlBroadcastable) broadcast(dim) else dim
-    val posting = tfq
+    tfq
       .join(broadcast(dfq), "tok")
       .join(dimSide, Seq("doc_id"), "left")
       // loud coverage check (scaladoc CONTRACT): a doc_id the caller's dl
@@ -201,31 +248,19 @@ object Retrieval {
         col("doc_id"))).cast("long")))
       .select(col("tok"), col("doc_id"),
         (idf * tfn).cast("decimal(28,12)").as("c"))
-      // CLUSTER the scored postings by doc BEFORE the query fan-out:
-      // the fan-out emits, per posting, one row per matching query, and
-      // partitioning by doc_id shrinks the (qid, doc_id) partial
-      // aggregate's working set from the whole corpus's ~27M-entry map
-      // to one partition's docs. The A/B (ScaleDebug bm25idx bisect)
-      // measured the identical query at 1350-1460 s of stage CPU in
-      // term/scan order vs ~400-475 s clustered; one 5.9M-row exchange
-      // buys the 507M-row stage its locality, deterministically.
-      // PARTITION-level clustering only, on purpose (round 12): a
-      // sortWithinPartitions(doc_id) here is removed by EliminateSorts
-      // (the aggregate above destroys its order), and FORCING it is a
-      // measured LOSS — the layout-isolated A/B (ScaleDebug fanoutsort,
-      // eager-checkpointed inputs, both leg orders) ran the same
-      // join+agg at 31-67 s partition-clustered, 161-176 s
-      // clustered+sorted, 273-425 s natural at sf1.
+      // CLUSTER the scored postings by doc AND sort within partitions
+      // BEFORE the query fan-out: the fan-out emits, per posting, one
+      // row per matching query; partitioning shrinks the (qid, doc_id)
+      // partial aggregate's working set from the whole corpus's
+      // ~27M-entry map to one partition's docs, and the sort turns the
+      // remaining probes into per-doc runs of ~|queries| hot keys. The
+      // idle-host layout A/B (ScaleDebug fanoutsort, stage metrics):
+      // natural 3,808 s CPU + 39.6 GB spill, clustered 491 s, clustered
+      // + sorted 176 s for the identical sf1 stage. The sort survives
+      // ONLY via bm25Score's lazy checkpoint — in-plan, EliminateSorts
+      // deletes it (the aggregate above destroys its order).
       .repartition(col("doc_id"))
-    val scored = posting
-      .join(broadcast(qt), "tok")
-      .where(col("doc_id") =!= col("qid"))
-      .groupBy("qid", "doc_id")
-      .agg(round(sum("c").cast("double"), 6).as("bm25"))
-    scored
-      .withColumn("rnk", row_number().over(Window.partitionBy("qid")
-        .orderBy(col("bm25").desc, col("doc_id"))))
-      .where(col("rnk") <= BM25_TOPK)
+      .sortWithinPartitions("doc_id")
   }
 
   /** Build-once registry for the q178 sparse-retrieval serving index —
@@ -293,18 +328,24 @@ object Retrieval {
     * unchanged. */
   private[graft] def rrfFusion(s: SparkSession, dir: String,
       qmod: Int = QMOD): DataFrame = {
-      val a = bm25TopK(s, dir, qmod).select(col("qid"), col("doc_id"),
+      // ONE eager tf cut feeds BOTH fusion arms (each arm's fan-out
+      // branch now lives in its own checkpointed lineage, so the old
+      // ReuseExchange dedup across arms no longer applies — without the
+      // shared cut the tokenize pass would run once per arm).
+      val dt = tfAndQt(s, dir, qmod)._1.localCheckpoint()
+      val qset = dt.where(col("doc_id") % qmod === 0)
+        .select(col("doc_id").as("qid"), col("tok"))
+      val a = bm25TopKFromTf(dt, qmod).select(col("qid"), col("doc_id"),
         col("rnk").as("ra"))
-      val (dt, qset) = tfAndQt(s, dir, qmod)
       val nd = dt.groupBy("doc_id").agg(count(lit(1)).as("nd"))
-      // doc-cluster before the query fan-out — the bm25Score locality
-      // fix applied to the Jaccard arm's identical shape (fan-out on
-      // tok, aggregate on (qid, doc_id)): partition-level clustering
-      // bounds the partial agg's working set to one partition's docs.
-      // No local sort, same rationale as bm25Score (round 12): the
-      // optimizer eliminated it anyway, and forcing it measured SLOWER
-      // than the unsorted clustered layout (ScaleDebug fanoutsort).
+      // doc-cluster + doc-sort before the query fan-out — the bm25Score
+      // locality treatment applied to the Jaccard arm's identical shape
+      // (fan-out on tok, aggregate on (qid, doc_id)); the lazy
+      // checkpoint keeps the sort alive, same rationale and same
+      // idle-host A/B numbers as scoredPostings.
       val inter = dt.repartition(col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .localCheckpoint(false)
         .join(broadcast(qset), "tok")
         .where(col("doc_id") =!= col("qid"))
         .groupBy("qid", "doc_id").agg(count(lit(1)).as("ni"))
