@@ -275,11 +275,17 @@ object ScaleDebug {
       def leg(label: String, p: DataFrame): Unit = {
         val in = p.localCheckpoint()
         in.count() // materialize outside the timed window
+        // stage-completed events arrive ASYNC on the listener bus
+        // (ADVICE r12): drain before switching legs so the
+        // materialization's stages attribute to "" and none of this
+        // leg's land on the next one.
+        org.apache.spark.GraftListenerDrain.drain(spark.sparkContext)
         currentLeg = label
         time(label)(in.join(broadcast(qt), "tok")
           .where(col("doc_id") =!= col("qid"))
           .groupBy("qid", "doc_id").agg(sum("c").as("s"))
           .write.format("noop").mode("overwrite").save())
+        org.apache.spark.GraftListenerDrain.drain(spark.sparkContext)
         val (r, c, g, sp) = legTotals.getOrElse(label, (0.0, 0.0, 0.0, 0L))
         println(f"    stages: run=$r%.1fs cpu=$c%.1fs gc=$g%.1fs " +
           f"spilled=${sp / 1e9}%.2fGB")

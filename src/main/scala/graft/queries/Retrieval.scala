@@ -243,11 +243,18 @@ object Retrieval {
       .join(dimSide, Seq("doc_id"), "left")
       // loud coverage check (scaladoc CONTRACT): a doc_id the caller's dl
       // misses throws here, per posting, instead of nulling into sum().
-      .withColumn("dl", coalesce(col("dl"), raise_error(concat(
-        lit("bm25Score contract violated: dl has no row for doc_id="),
-        col("doc_id"))).cast("long")))
+      // Shape matters (ADVICE r12): the old coalesce(dl, raise_error)
+      // INSIDE tfn could never fire on a missed join — a missing dim row
+      // nulls n_docs/avgdl too, so idf (the LEFT operand of idf*tfn)
+      // evaluates to null and Spark's null-short-circuiting Multiply
+      // skips tfn entirely; c silently nulled and sum() skewed the score.
+      // CaseWhen evaluates its CONDITION unconditionally, so the isNull
+      // probe runs before any arithmetic can short-circuit around it.
       .select(col("tok"), col("doc_id"),
-        (idf * tfn).cast("decimal(28,12)").as("c"))
+        when(col("dl").isNull, raise_error(concat(
+          lit("bm25Score contract violated: dl has no row for doc_id="),
+          col("doc_id"))).cast("decimal(28,12)"))
+          .otherwise((idf * tfn).cast("decimal(28,12)")).as("c"))
       // CLUSTER the scored postings by doc AND sort within partitions
       // BEFORE the query fan-out: the fan-out emits, per posting, one
       // row per matching query; partitioning shrinks the (qid, doc_id)

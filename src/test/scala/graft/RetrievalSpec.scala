@@ -272,6 +272,42 @@ class RetrievalSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------------- bm25Score contract
+  // ADVICE r12: the old coalesce(dl, raise_error) INSIDE tfn could never
+  // fire on a MISSED dim join — the miss nulls n_docs/avgdl too, so idf
+  // (the left operand of idf*tfn) is null and Spark's null-short-
+  // circuiting Multiply skips tfn entirely; c silently nulled and sum()
+  // skewed the score. The guard is now a CaseWhen on dl IS NULL, whose
+  // condition evaluates before any arithmetic can short-circuit. This
+  // test feeds an actual GAP and requires the loud failure.
+  test("bm25Score fails loudly when dl misses a posting's doc_id") {
+    import s.implicits._
+    val tf = Seq((1L, "a", 2L), (2L, "a", 1L), (100L, "a", 1L))
+      .toDF("doc_id", "tok", "tf")
+    val qt = Seq((100L, "a")).toDF("qid", "tok")
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => String.valueOf(x.getMessage)).mkString(" | ")
+    // full coverage: the same shape scores cleanly
+    val full = Seq((1L, 2L), (2L, 1L), (100L, 1L)).toDF("doc_id", "dl")
+    assert(Retrieval.bm25Score(tf, qt, full).collect().nonEmpty)
+    // doc 2 gapped out of dl: must throw the contract message, not
+    // return a silently-shrunk score set
+    val gap = Seq((1L, 2L), (100L, 1L)).toDF("doc_id", "dl")
+    val e = intercept[Exception] {
+      Retrieval.bm25Score(tf, qt, gap).collect()
+    }
+    assert(chain(e).contains("bm25Score contract violated"),
+      s"expected the contract raise_error, got: ${chain(e)}")
+    // same gap through the sort-merge fallback path (dlBroadcastable
+    // = false) — the guard must fire in both physical forms
+    val e2 = intercept[Exception] {
+      Retrieval.bm25Score(tf, qt, gap, dlBroadcastable = false).collect()
+    }
+    assert(chain(e2).contains("bm25Score contract violated"),
+      s"expected the contract raise_error, got: ${chain(e2)}")
+  }
+
   // ---------------------------------------------------------------- q131
   // RRF is pure rank arithmetic over its two source lists — so recompute
   // it exactly from the catalog's OWN q120 ranking plus an independently

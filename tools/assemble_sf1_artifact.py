@@ -23,6 +23,8 @@ SOURCES = [
                     "MinHash-LSH reimplementation)"),
     ("triangles.log", "check_triangles_scaled (python adjacency-set "
                       "census over the committed oracle's edge CTEs)"),
+    ("assort.log", "check_assort_scaled (exact-integer Newman sums over "
+                   "the committed oracle's jpairs CTEs)"),
 ]
 
 # Committed oracles that CANNOT run at sf1 and why; their scaled
@@ -94,7 +96,12 @@ def main():
     }
     json.dump(doc, open("CORRECTNESS_SF1.json", "w"), indent=1)
     print(json.dumps({k: doc[k] for k in ("round", "n_pass", "n_fail")}))
-    sys.exit(1 if (doc["n_fail"] or not res) else 0)
+    # Gate on THIS round's parsed results (ADVICE r12): res is seeded
+    # from the committed artifact, so `not res` is never true once any
+    # artifact exists — a round whose logs are all missing (typo'd
+    # log_dir) would parse nothing yet exit 0 and re-stamp the artifact
+    # with the new round number. An empty CURRENT round must exit 1.
+    sys.exit(1 if (doc["n_fail"] or not fresh) else 0)
 
 
 if __name__ == "__main__":
