@@ -65,6 +65,41 @@ object Retrieval {
     * production fusion ships with; small ranks dominate, tail flattens). */
   private[graft] val RRF_K = 60
 
+  /** Corpus-size gate for the frozen-sorted-posting layout (VERDICT r12
+    * #4 — the dlBroadcastable treatment applied to the lazy checkpoint):
+    * the checkpoint + intra-partition sort win is pair-stage-sized and
+    * only materializes once the fan-out is large (sf1: q131 61.0 →
+    * 21.7 s), while its fixed cost (~+0.3 s per query at sf0.1: the
+    * materialize job + block registration) is pure overhead on a small
+    * corpus. Gate on the documents table's ON-DISK size — a pure
+    * FileSystem metadata call, no Spark job: sf0.1 is 0.6 MB, sf1 is
+    * 6.2 MB, so 2 MB splits the regimes with margin on both sides.
+    * Both paths are hash-identical (the layout changes physical row
+    * order only; every consumer aggregates or re-sorts) — the q120/q131/
+    * q178 oracles prove it at the gate every round. The conf override
+    * (`always` / `never` / default `auto`) exists so Bm25PlanShapeSpec
+    * can pin the frozen layout's plan shape at fixture scale, where the
+    * auto gate correctly turns it off. */
+  private[graft] val SORTED_LAYOUT_MIN_BYTES = 2L << 20
+  private[graft] def sortedLayoutWorthwhile(s: SparkSession,
+      dir: String): Boolean =
+    s.conf.getOption("spark.graft.bm25.sortedLayout")
+      .getOrElse("auto") match {
+      case "always" => true
+      case "never"  => false
+      case _ =>
+        try {
+          val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.getContentSummary(p).getLength >= SORTED_LAYOUT_MIN_BYTES
+        } catch {
+          // unknown layout (exotic FS, moved table): assume big — the
+          // frozen layout is the safe-at-scale default; only the small-
+          // corpus fixed cost is at stake.
+          case _: java.io.IOException => true
+        }
+    }
+
   /** q120's oracle chain through `ranked` (qid, doc_id, bm25, rnk) —
     * shared with the q131 fusion oracle, which also reuses `tf`/`qt`. */
   private lazy val BM25_RANKED_CTES =
@@ -137,14 +172,17 @@ object Retrieval {
     * memoized — Bench times it inside every sample. */
   private[graft] def bm25TopK(s: SparkSession, dir: String,
       qmod: Int = QMOD): DataFrame =
-    bm25TopKFromTf(tfAndQt(s, dir, qmod)._1.localCheckpoint(), qmod)
+    bm25TopKFromTf(tfAndQt(s, dir, qmod)._1.localCheckpoint(), qmod,
+      sortedLayoutWorthwhile(s, dir))
 
   /** [[bm25TopK]] over a caller-materialized tf (checkpoint or parquet)
     * — q131 shares ONE tf cut across both fusion arms through this. */
-  private[graft] def bm25TopKFromTf(tf: DataFrame, qmod: Int): DataFrame = {
+  private[graft] def bm25TopKFromTf(tf: DataFrame, qmod: Int,
+      frozenSortedLayout: Boolean = true): DataFrame = {
     val qt = tf.where(col("doc_id") % qmod === 0)
       .select(col("doc_id").as("qid"), col("tok"))
-    bm25Score(tf, qt, tf.groupBy("doc_id").agg(sum("tf").as("dl")))
+    bm25Score(tf, qt, tf.groupBy("doc_id").agg(sum("tf").as("dl")),
+      frozenSortedLayout = frozenSortedLayout)
   }
 
   /** The BM25 scoring tail over an ARBITRARY (tf, qt, dl) triple —
@@ -169,7 +207,8 @@ object Retrieval {
     * per-posting hoist and the doc-clustered fan-out both survive the
     * fallback — only the small-side shipping strategy changes. */
   private[graft] def bm25Score(tf: DataFrame, qt: DataFrame,
-      dl: DataFrame, dlBroadcastable: Boolean = true): DataFrame = {
+      dl: DataFrame, dlBroadcastable: Boolean = true,
+      frozenSortedLayout: Boolean = true): DataFrame = {
     // LAZY checkpoint of the doc-clustered + doc-SORTED scored postings:
     // the one way to keep the intra-partition sort ALIVE. In-plan,
     // EliminateSorts removes a local sort whose order the aggregate
@@ -184,8 +223,14 @@ object Retrieval {
     // job, no extra pass) and streams frozen sorted blocks.
     // Bm25PlanShapeSpec pins both halves. Cluster-mode tradeoff of the
     // checkpoint: PLANS.md "localCheckpoint lineage-cut … at 100 TB".
-    val posting = scoredPostings(tf, qt, dl, dlBroadcastable)
-      .localCheckpoint(false)
+    // Below the corpus-size gate (frozenSortedLayout = false, see
+    // sortedLayoutWorthwhile) the checkpoint and its fixed cost are
+    // skipped: the doc_id repartition still clusters the fan-out (it
+    // survives in-plan — it is an Exchange, not a Sort), EliminateSorts
+    // drops the now-unfreezable local sort, and the output is hash-
+    // identical either way.
+    val sp = scoredPostings(tf, qt, dl, dlBroadcastable)
+    val posting = if (frozenSortedLayout) sp.localCheckpoint(false) else sp
     val scored = posting
       .join(broadcast(qt), "tok")
       .where(col("doc_id") =!= col("qid"))
@@ -339,20 +384,24 @@ object Retrieval {
       // branch now lives in its own checkpointed lineage, so the old
       // ReuseExchange dedup across arms no longer applies — without the
       // shared cut the tokenize pass would run once per arm).
+      val frozen = sortedLayoutWorthwhile(s, dir)
       val dt = tfAndQt(s, dir, qmod)._1.localCheckpoint()
       val qset = dt.where(col("doc_id") % qmod === 0)
         .select(col("doc_id").as("qid"), col("tok"))
-      val a = bm25TopKFromTf(dt, qmod).select(col("qid"), col("doc_id"),
-        col("rnk").as("ra"))
+      val a = bm25TopKFromTf(dt, qmod, frozen).select(col("qid"),
+        col("doc_id"), col("rnk").as("ra"))
       val nd = dt.groupBy("doc_id").agg(count(lit(1)).as("nd"))
       // doc-cluster + doc-sort before the query fan-out — the bm25Score
       // locality treatment applied to the Jaccard arm's identical shape
       // (fan-out on tok, aggregate on (qid, doc_id)); the lazy
-      // checkpoint keeps the sort alive, same rationale and same
-      // idle-host A/B numbers as scoredPostings.
-      val inter = dt.repartition(col("doc_id"))
-        .sortWithinPartitions("doc_id")
-        .localCheckpoint(false)
+      // checkpoint keeps the sort alive, same rationale, same idle-host
+      // A/B numbers, and same corpus-size gate as scoredPostings.
+      val clustered = dt.repartition(col("doc_id"))
+      val interIn =
+        if (frozen) clustered.sortWithinPartitions("doc_id")
+          .localCheckpoint(false)
+        else clustered
+      val inter = interIn
         .join(broadcast(qset), "tok")
         .where(col("doc_id") =!= col("qid"))
         .groupBy("qid", "doc_id").agg(count(lit(1)).as("ni"))
@@ -495,7 +544,8 @@ object Retrieval {
       val tf = s.read.parquet(pPath).select("doc_id", "tok", "tf")
       val qt = tf.where(col("doc_id") % QMOD === 0)
         .select(col("doc_id").as("qid"), col("tok"))
-      bm25Score(tf, qt, s.read.parquet(dPath))
+      bm25Score(tf, qt, s.read.parquet(dPath),
+          frozenSortedLayout = sortedLayoutWorthwhile(s, dir))
         .select(col("qid"), col("rnk").cast("long").as("rnk"),
           col("doc_id"), col("bm25"))
         .orderBy("qid", "rnk")

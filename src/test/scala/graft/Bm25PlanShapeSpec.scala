@@ -97,7 +97,13 @@ class Bm25PlanShapeSpec extends AnyFunSuite {
   // ---- Part B: the catalog consumers ----
 
   private def checkBoundary(name: String): Unit = {
-    val plan = SparkEntry.queries(name)(s, sfDir).queryExecution.sparkPlan
+    // the corpus-size gate (sortedLayoutWorthwhile) correctly turns the
+    // frozen layout OFF at fixture scale — force it on so the spec pins
+    // the shape the gate ships at sf1+.
+    s.conf.set("spark.graft.bm25.sortedLayout", "always")
+    val plan =
+      try SparkEntry.queries(name)(s, sfDir).queryExecution.sparkPlan
+      finally s.conf.unset("spark.graft.bm25.sortedLayout")
 
     // the qt fan-out join(s): broadcast hash join keyed on tok whose
     // build side carries qid.

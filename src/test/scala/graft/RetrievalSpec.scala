@@ -308,6 +308,28 @@ class RetrievalSpec extends AnyFunSuite {
       s"expected the contract raise_error, got: ${chain(e2)}")
   }
 
+  // ------------------------------------ frozen-sorted-layout corpus gate
+  // VERDICT r12 #4: the lazy-checkpoint layout is gated on corpus size
+  // (it only pays for itself at sf1+). The gate must (a) resolve OFF at
+  // the small scales and honor both overrides, and (b) change ONLY the
+  // physical layout — the two paths must be row-identical.
+  test("sorted-layout gate resolves by corpus size and never the answer") {
+    val dir01 = "/root/testdata/sf0.01"
+    assert(!Retrieval.sortedLayoutWorthwhile(s, dir01),
+      "sf0.01 documents (65 KB) must sit below the 2 MB gate")
+    def withLayout[T](mode: String)(f: => T): T = {
+      s.conf.set("spark.graft.bm25.sortedLayout", mode)
+      try f finally s.conf.unset("spark.graft.bm25.sortedLayout")
+    }
+    assert(withLayout("always")(Retrieval.sortedLayoutWorthwhile(s, dir01)))
+    assert(!withLayout("never")(Retrieval.sortedLayoutWorthwhile(s, dir01)))
+    val frozen = withLayout("always")(
+      SparkEntry.queries("q120_bm25_retrieval")(s, dir01).collect().toSeq)
+    val plain = withLayout("never")(
+      SparkEntry.queries("q120_bm25_retrieval")(s, dir01).collect().toSeq)
+    assert(frozen == plain, "layout gate must not change the answer")
+  }
+
   // ---------------------------------------------------------------- q131
   // RRF is pure rank arithmetic over its two source lists — so recompute
   // it exactly from the catalog's OWN q120 ranking plus an independently
