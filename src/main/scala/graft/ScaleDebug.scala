@@ -303,6 +303,102 @@ object ScaleDebug {
       ordered.foreach { case (l, p) => leg(l, p()) }
       spark.stop(); return
     }
+    if (args.lift(1).contains("synthpost")) {
+      // VERDICT r12 #2: the lazy-checkpoint posture ONE NOTCH past sf1.
+      // The claim under test ("the checkpoint is posting-sized, the
+      // saved CPU is pair-sized — the gap widens with scale") was
+      // measured only at the 10× notch; this leg builds a synthetic
+      // postings relation at ~10× sf1's posting count (10 doc_id-shifted
+      // copies of the REAL sf1 tf — same vocabulary, same df skew) while
+      // HOLDING the query set at sf1 size (copy-0 docs, qmod 1000 ⇒
+      // ~520 queries ⇒ pair count stays ~sf1's). That is the WORST case
+      // for the checkpoint: its footprint grew 10× but the pair-sized
+      // win did not — if the shipped layout still pays here, it pays
+      // anywhere in the regime. Legs mirror the SHIPPED alternatives:
+      //   A (gate-off path): fan-out + agg over the doc-clustered
+      //     postings in-plan, no checkpoint (EliminateSorts takes any
+      //     sort, exactly what ships below the corpus gate);
+      //   B (shipped sf1+ path): lazy localCheckpoint of the clustered
+      //     + sorted postings, materialized IN-LINE by the fan-out job.
+      // Per-leg stage totals (run/cpu/gc/spill) via the drained listener
+      // + the checkpoint RDD's block memory/disk split from storage
+      // info. Both orders via the "rev" arg (JIT/page-cache control).
+      import org.apache.spark.sql.DataFrame
+      import graft.queries.Retrieval
+      val copies = args.lift(2).flatMap(_.toIntOption).getOrElse(10)
+      val OFF = 10000000L
+      val tf0 = Retrieval.tfAndQtDebug(spark, dir)
+      val tf = (0 until copies).map(k =>
+          tf0.select((col("doc_id") + k * OFF).as("doc_id"),
+            col("tok"), col("tf")))
+        .reduce(_ unionByName _).localCheckpoint()
+      println("  postings=" + tf.count())
+      val qt = tf.where(col("doc_id") % 1000 === 0 && col("doc_id") < OFF)
+        .select(col("doc_id").as("qid"), col("tok")).localCheckpoint()
+      println("  queries=" + qt.select("qid").distinct().count())
+      // c's VALUE is irrelevant to layout cost (fanoutsort precedent):
+      // tf stands in, cast to the shipped decimal width.
+      val scored = tf
+        .join(broadcast(qt.select("tok").distinct()), "tok")
+        .select(col("tok"), col("doc_id"), col("tf").cast("decimal(28,12)").as("c"))
+      val legTotals = scala.collection.mutable.Map
+        .empty[String, (Double, Double, Double, Long)]
+      @volatile var currentLeg = ""
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
+              : Unit = {
+            val m = sc.stageInfo.taskMetrics
+            val (r, c, g, sp) =
+              legTotals.getOrElse(currentLeg, (0.0, 0.0, 0.0, 0L))
+            legTotals(currentLeg) = (r + m.executorRunTime / 1000.0,
+              c + m.executorCpuTime / 1e9, g + m.jvmGCTime / 1000.0,
+              sp + m.memoryBytesSpilled + m.diskBytesSpilled)
+          }
+        })
+      def agg(in: DataFrame): DataFrame = in
+        .join(broadcast(qt), "tok")
+        .where(col("doc_id") =!= col("qid"))
+        .groupBy("qid", "doc_id").agg(sum("c").as("s"))
+      def leg(label: String, in: DataFrame,
+          ckptOf: Option[DataFrame] = None): Unit = {
+        org.apache.spark.GraftListenerDrain.drain(spark.sparkContext)
+        // pre-leg cached set (tf/qt input checkpoints): the leg's OWN
+        // lazy checkpoint is whatever appears beyond these.
+        val pre = spark.sparkContext.getRDDStorageInfo.map(_.id).toSet
+        currentLeg = label
+        time(label)(agg(in).write.format("noop").mode("overwrite").save())
+        org.apache.spark.GraftListenerDrain.drain(spark.sparkContext)
+        val (r, c, g, sp) = legTotals.getOrElse(label, (0.0, 0.0, 0.0, 0L))
+        println(f"    stages: run=$r%.1fs cpu=$c%.1fs gc=$g%.1fs " +
+          f"spilled=${sp / 1e9}%.2fGB")
+        ckptOf.foreach { d =>
+          // the lazy checkpoint's RDD blocks, mem/disk split — the
+          // "posting-sized footprint" half of the claim, observed.
+          spark.sparkContext.getRDDStorageInfo
+            .filter(i => !pre.contains(i.id) && i.numCachedPartitions > 0)
+            .foreach { i =>
+              println(f"    ckpt blocks: parts=${i.numCachedPartitions} " +
+                f"mem=${i.memSize / 1e9}%.2fGB disk=${i.diskSize / 1e9}%.2fGB")
+            }
+          d.unpersist(blocking = true)
+        }
+        currentLeg = ""
+      }
+      val legs = Seq[(String, () => (DataFrame, Option[DataFrame]))](
+        ("A clustered, no checkpoint (gate-off ships this)",
+          () => (scored.repartition(col("doc_id")), None)),
+        ("B clustered+sorted via lazy checkpoint (sf1+ ships this)",
+          () => {
+            val d = scored.repartition(col("doc_id"))
+              .sortWithinPartitions("doc_id").localCheckpoint(false)
+            (d, Some(d))
+          }))
+      val ordered = if (args.lift(3).contains("rev")) legs.reverse else legs
+      ordered.foreach { case (l, f) => val (in, ck) = f(); leg(l, in, ck) }
+      spark.stop(); return
+    }
     if (args.lift(1).contains("bm25prune")) {
       // VERDICT r11 #4: the q178 bucket layout's partition pruning,
       // MEASURED instead of asserted. The shipped q178 workload derives
