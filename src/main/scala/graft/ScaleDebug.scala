@@ -294,13 +294,26 @@ object ScaleDebug {
       }
       // "rev" third arg flips leg order — order-effect control (JIT
       // warmup / GC state penalize whichever leg runs first).
+      // "nat"/"clus"/"sort" run ONE leg, twice, in this JVM: the r13
+      // synthpost runs exposed a ~5-12x FIRST-LEG penalty (heap growth
+      // to -Xmx + JIT of the codegen'd agg loop) that shared-JVM leg
+      // sequencing attributes to whichever layout runs first; sample #2
+      // is the warm number comparable across single-leg JVMs.
       val legs = Seq(
         ("natural order", () => scored),
         ("doc-clustered (shipped)", () => scored.repartition(col("doc_id"))),
         ("doc-clustered + sorted", () => scored.repartition(col("doc_id"))
           .sortWithinPartitions("doc_id")))
-      val ordered = if (args.lift(2).contains("rev")) legs.reverse else legs
-      ordered.foreach { case (l, p) => leg(l, p()) }
+      val ordered = args.lift(2) match {
+        case Some("nat") => Seq(legs(0), legs(0))
+        case Some("clus") => Seq(legs(1), legs(1))
+        case Some("sort") => Seq(legs(2), legs(2))
+        case Some("rev") => legs.reverse
+        case _ => legs
+      }
+      ordered.zipWithIndex.foreach { case ((l, p), i) =>
+        leg(s"$l #${i + 1}", p())
+      }
       spark.stop(); return
     }
     if (args.lift(1).contains("synthpost")) {
@@ -395,8 +408,25 @@ object ScaleDebug {
               .sortWithinPartitions("doc_id").localCheckpoint(false)
             (d, Some(d))
           }))
-      val ordered = if (args.lift(3).contains("rev")) legs.reverse else legs
-      ordered.foreach { case (l, f) => val (in, ck) = f(); leg(l, in, ck) }
+      // Both-order same-JVM runs showed the FIRST leg pays a ~5-10x
+      // single-JVM penalty (heap growth to -Xmx under allocation
+      // pressure + JIT) that swamps the layout term at this notch —
+      // forward order read A=3432s/B=276s CPU, reverse read
+      // B=5031s/A=667s. "A"/"B" run ONE leg so each measurement gets
+      // its own JVM and the comparison is warmup-symmetric; "rev"
+      // keeps the (discredited) shared-JVM order control.
+      // Single-leg mode runs the leg TWICE (fresh lazy checkpoint each
+      // sample for B): #1 carries the per-JVM warmup, #2 is the warm
+      // number comparable to how Bench and the driver actually run.
+      val ordered = args.lift(3) match {
+        case Some("A") => legs.take(1) ++ legs.take(1)
+        case Some("B") => legs.drop(1) ++ legs.drop(1)
+        case Some("rev") => legs.reverse
+        case _ => legs
+      }
+      ordered.zipWithIndex.foreach { case ((l, f), i) =>
+        val (in, ck) = f(); leg(s"$l #${i + 1}", in, ck)
+      }
       spark.stop(); return
     }
     if (args.lift(1).contains("bm25prune")) {

@@ -79,7 +79,21 @@ object Retrieval {
     * q178 oracles prove it at the gate every round. The conf override
     * (`always` / `never` / default `auto`) exists so Bm25PlanShapeSpec
     * can pin the frozen layout's plan shape at fixture scale, where the
-    * auto gate correctly turns it off. */
+    * auto gate correctly turns it off.
+    *
+    * SCOPE (round-13 synthpost, SCALE.md round-13 addendum): corpus size
+    * is a PROXY — the true decision variable is the fan-out ratio (pairs
+    * per posting) x memory budget. It proxies correctly here because the
+    * query set scales with the corpus (QMOD is fixed, |queries| ∝
+    * |docs|, so the ratio grows with scale), and because the frozen
+    * layout's killer property is budget-INVARIANCE: per-doc runs bound
+    * the agg working set to ~|queries| hot keys, so its cost holds
+    * (196-270 s CPU, zero spill) across a 10x per-slot memory range
+    * where the unsorted layouts degrade 2.1-5.3x. The one shape the
+    * proxy misranks — a huge corpus probed by a tiny FIXED query load
+    * (measured at 10x postings / 50 queries: wall 14.2 vs 9.9 s, the
+    * in-line sort spills with nothing to save) — is what the `never`
+    * override is for. */
   private[graft] val SORTED_LAYOUT_MIN_BYTES = 2L << 20
   private[graft] def sortedLayoutWorthwhile(s: SparkSession,
       dir: String): Boolean =
