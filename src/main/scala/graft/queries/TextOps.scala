@@ -1880,23 +1880,32 @@ object TextOps {
     converge2(pr, prStepBody(_, edges, degn), tolQ, cap, "pr")
   }
 
-  /** The convergence driver, TWO iterations per job (round-10 session 2,
-    * after the closing profile put q104+q158 at ~40 s of a 216 s total
-    * — nearly all of it sequential-round latency, not data): one job
-    * materializes rounds k+1 AND k+2 (the intermediate state is a lazy
-    * localCheckpoint inside the same DAG — its RDD computes once and
-    * both step-2 consumers read the persisted partitions), and one
-    * action reads BOTH deltas off the carried q0/q1 columns. Stop
-    * semantics are IDENTICAL to the one-round loop — and therefore to
-    * the oracle's first-round-under-tolerance selection: d1 is checked
-    * BEFORE d2, so convergence at an odd round returns the odd iterate
-    * (its column is carried precisely for that), and the fail-loud cap
-    * still triggers exactly where the single-step loop would have
-    * thrown, even when the speculative round k+2 happens to converge
-    * (round cap+1 was REQUESTED — that is the failure, the q104
-    * discipline). Iterates are bit-identical (same integer-quanta step
-    * body, merely composed), so the unroll is invisible to every
-    * oracle. */
+  /** Rounds materialized per convergence job (round 13; was 2 since
+    * round-10 session 2). The loops' cost is sequential-JOB latency,
+    * not data — deeper unroll amortizes scheduling + AQE planning over
+    * more rounds. 4 measured best at sf0.1 (see converge2 scaladoc for
+    * the A/B); past that the per-job plan depth starts paying back. */
+  private val CONVERGE_UNROLL =
+    sys.env.get("GRAFT_UNROLL").flatMap(_.toIntOption).getOrElse(4)
+
+  /** The convergence driver, CONVERGE_UNROLL iterations per job
+    * (round-10 session 2 introduced the 2-step unroll after the closing
+    * profile put q104+q158 at ~40 s of a 216 s total — nearly all of it
+    * sequential-round latency, not data; round 13 generalized it): one
+    * job materializes rounds k+1 … k+s (each intermediate state is a
+    * lazy localCheckpoint inside the same DAG — its RDD computes once
+    * and both consumers of each step read the persisted partitions),
+    * and ONE action reads ALL s deltas off the carried q0…q_{s-1}
+    * columns. Stop semantics are IDENTICAL to the one-round loop — and
+    * therefore to the oracle's first-round-under-tolerance selection:
+    * deltas are checked in ROUND ORDER, so convergence at an interior
+    * round returns that round's iterate (its column is carried
+    * precisely for that). The per-job step count is clamped to
+    * cap − k, so no round past the cap is ever requested and the
+    * fail-loud cap triggers exactly where the single-step loop would
+    * have thrown (the q104 discipline). Iterates are bit-identical
+    * (same integer-quanta step body, merely composed), so the unroll
+    * is invisible to every oracle. */
   private def converge2(init: DataFrame, stepBody: DataFrame => DataFrame,
       tolQ: Long, cap: Int, tag: String): DataFrame = {
     val dbg = sys.env.contains("GRAFT_PR_DEBUG")
@@ -1909,29 +1918,42 @@ object TextOps {
           s"(delta=$delta quanta, tol=$tolQ) — raise the cap or loosen " +
           "the tolerance")
       val t0 = System.nanoTime
-      val s1 = stepBody(pr).localCheckpoint(false)
-      val out = Fixpoint.checkpointRound(stepBody(s1)
-        .join(s1.select(col("doc_id").as("p1"), col("q").as("q1")),
-          col("doc_id") === col("p1")).drop("p1")
-        .join(pr.select(col("doc_id").as("p0"), col("q").as("q0")),
-          col("doc_id") === col("p0")).drop("p0"), k + 2)
-      val row = out.agg(max(abs(col("q1") - col("q0"))),
-        max(abs(col("q") - col("q1")))).head()
-      val d1 = row.getLong(0)
-      val d2 = row.getLong(1)
-      if (dbg) println(f"[$tag] rounds ${k + 1},${k + 2}: d1=$d1 d2=$d2 " +
-        f"tol=$tolQ ${(System.nanoTime - t0) / 1e9}%.1f s")
-      if (d1 <= tolQ) {
-        delta = d1; k += 1
-        pr = out.withColumn("q", col("q1")).drop("q1", "q0")
-      } else if (k + 2 > cap) {
-        throw new IllegalStateException(
-          s"$tag failed to converge within $cap iterations " +
-            s"(delta=$d1 quanta, tol=$tolQ) — raise the cap or loosen " +
-            "the tolerance")
+      val steps = math.min(CONVERGE_UNROLL, cap - k) // ≥ 1 by the guard
+      // inter(0) = carried state (round k); inter(i), i ≥ 1 = round k+i,
+      // lazily checkpointed; the round k+steps output stays in-plan (the
+      // carried-frame checkpoint below owns its materialization).
+      val inter = new Array[DataFrame](steps)
+      inter(0) = pr
+      for (i <- 1 until steps)
+        inter(i) = stepBody(inter(i - 1)).localCheckpoint(false)
+      var joined = stepBody(inter(steps - 1))
+      for (i <- 0 until steps)
+        joined = joined
+          .join(inter(i).select(col("doc_id").as(s"p$i"),
+            col("q").as(s"q$i")), col("doc_id") === col(s"p$i"))
+          .drop(s"p$i")
+      val out = Fixpoint.checkpointRound(joined, k + steps)
+      // d_i = max |q_i − q_{i−1}| for i = 1…steps (q_steps is "q").
+      val aggs = (1 to steps).map { i =>
+        val hi = if (i == steps) col("q") else col(s"q$i")
+        max(abs(hi - col(s"q${i - 1}")))
+      }
+      val row = out.agg(aggs.head, aggs.tail: _*).head()
+      val ds = (0 until steps).map(row.getLong)
+      if (dbg) println(f"[$tag] rounds ${k + 1}..${k + steps}: " +
+        s"d=${ds.mkString(",")} tol=$tolQ " +
+        f"${(System.nanoTime - t0) / 1e9}%.1f s")
+      val carried = (0 until steps).map(i => s"q$i")
+      val firstOk = ds.indexWhere(_ <= tolQ) // 0-based: round k+firstOk+1
+      if (firstOk >= 0) {
+        delta = ds(firstOk); k += firstOk + 1
+        pr =
+          if (firstOk + 1 == steps) out.drop(carried: _*)
+          else out.withColumn("q", col(s"q${firstOk + 1}"))
+            .drop(carried: _*)
       } else {
-        delta = d2; k += 2
-        pr = out.drop("q1", "q0")
+        delta = ds.last; k += steps
+        pr = out.drop(carried: _*)
       }
     }
     pr
