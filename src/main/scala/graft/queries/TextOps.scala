@@ -1871,13 +1871,14 @@ object TextOps {
     * is why the tolerance is relative and ≫ 1 quantum (max(1, …) guards
     * a pathological n > PR_TOL_NUM_Q where the floor would reach 0). */
   private[graft] def pageRankConverged(pairs: DataFrame,
-      cap: Int = PR_CAP): DataFrame = {
+      cap: Int = PR_CAP,
+      unroll: Int = CONVERGE_UNROLL): DataFrame = {
     val (edges, degn) = prGraph(pairs)
     val nRow = degn.select(col("n")).head(1)
     val pr = prInit(degn)
     if (nRow.isEmpty) return pr // empty graph: nothing to iterate
     val tolQ = math.max(1L, PR_TOL_NUM_Q / nRow(0).getLong(0))
-    converge2(pr, prStepBody(_, edges, degn), tolQ, cap, "pr")
+    converge2(pr, prStepBody(_, edges, degn), tolQ, cap, "pr", unroll)
   }
 
   /** Rounds materialized per convergence job (round 13; was 2 since
@@ -1907,7 +1908,9 @@ object TextOps {
     * (same integer-quanta step body, merely composed), so the unroll
     * is invisible to every oracle. */
   private def converge2(init: DataFrame, stepBody: DataFrame => DataFrame,
-      tolQ: Long, cap: Int, tag: String): DataFrame = {
+      tolQ: Long, cap: Int, tag: String,
+      unroll: Int = CONVERGE_UNROLL): DataFrame = {
+    require(unroll >= 1, s"$tag: unroll must be >= 1, got $unroll")
     val dbg = sys.env.contains("GRAFT_PR_DEBUG")
     var pr = init
     var k = 0
@@ -1918,7 +1921,7 @@ object TextOps {
           s"(delta=$delta quanta, tol=$tolQ) — raise the cap or loosen " +
           "the tolerance")
       val t0 = System.nanoTime
-      val steps = math.min(CONVERGE_UNROLL, cap - k) // ≥ 1 by the guard
+      val steps = math.min(unroll, cap - k) // ≥ 1 by the guard
       // inter(0) = carried state (round k); inter(i), i ≥ 1 = round k+i,
       // lazily checkpointed; the round k+steps output stays in-plan (the
       // carried-frame checkpoint below owns its materialization).
@@ -1996,7 +1999,8 @@ object TextOps {
     * prev, one action per round, amortized checkpoint stats reset,
     * fail-loud cap), over the seeded teleport vector. */
   private[graft] def pprConverged(pairs: DataFrame,
-      cap: Int = PPR_CAP): DataFrame = {
+      cap: Int = PPR_CAP,
+      unroll: Int = CONVERGE_UNROLL): DataFrame = {
     val (edges, degns) = pprGraph(pairs)
     val head = degns.select(col("n"), col("ns")).head(1)
     val pr = degns.select(col("doc_id"), col("deg"), col("n"),
@@ -2016,7 +2020,7 @@ object TextOps {
     // 1/|S|-relative keeps both the relative precision AND the round
     // count scale-stable (mixing-bound, like q104's).
     val tolQ = math.max(1L, PR_TOL_NUM_Q / head(0).getLong(1))
-    converge2(pr, pprStepBody(_, edges, degns), tolQ, cap, "ppr")
+    converge2(pr, pprStepBody(_, edges, degns), tolQ, cap, "ppr", unroll)
   }
 
   /** q29/q65 shared CTE chain: df-capped exact-Jaccard pairs, ending in
