@@ -90,10 +90,14 @@ object Retrieval {
     * the agg working set to ~|queries| hot keys, so its cost holds
     * (196-270 s CPU, zero spill) across a 10x per-slot memory range
     * where the unsorted layouts degrade 2.1-5.3x. The one shape the
-    * proxy misranks — a huge corpus probed by a tiny FIXED query load
-    * (measured at 10x postings / 50 queries: wall 14.2 vs 9.9 s, the
-    * in-line sort spills with nothing to save) — is what the `never`
-    * override is for. */
+    * proxy misranks — a corpus just past the gate probed by a tiny
+    * FIXED query load at tight memory (measured at 10x postings / 50
+    * queries / 8g: wall 14.2 vs 9.9 s, the in-line sort spills with
+    * nothing to save) — is what the `never` override is for, and the
+    * band is NARROW: by 30x postings the unsorted aggregate's working
+    * set has grown with corpus diversity and the frozen layout wins
+    * 2.46x CPU even at the same fixed query load (the checkpoint
+    * itself stays posting-linear: 1.74 GB -> 5.23 GB, zero disk). */
   private[graft] val SORTED_LAYOUT_MIN_BYTES = 2L << 20
   private[graft] def sortedLayoutWorthwhile(s: SparkSession,
       dir: String): Boolean =
