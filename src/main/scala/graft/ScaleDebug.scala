@@ -341,11 +341,32 @@ object ScaleDebug {
       val copies = args.lift(2).flatMap(_.toIntOption).getOrElse(10)
       val OFF = 10000000L
       val tf0 = Retrieval.tfAndQtDebug(spark, dir)
-      val tf = (0 until copies).map(k =>
+      // The synthetic corpus goes through PARQUET, not an in-memory
+      // localCheckpoint (round 14, VERDICT r13 #5): at 30 copies the
+      // deserialized checkpoint blocks alone are ~5 GB and the build
+      // OOMed the 8g JVM — a harness capacity bound that left the
+      // tightest-memory cell unmeasured. A columnar spill costs one
+      // write job and removes the corpus from the measured legs' memory
+      // budget entirely (the real engine reads postings from parquet
+      // too — q178's shape).
+      val corpusPath = "target/scaledebug/synthpost_corpus"
+      (0 until copies).map(k =>
           tf0.select((col("doc_id") + k * OFF).as("doc_id"),
             col("tok"), col("tf")))
-        .reduce(_ unionByName _).localCheckpoint()
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(corpusPath)
+      val tf = spark.read.parquet(corpusPath)
       println("  postings=" + tf.count())
+      // The r14 sort-fit width, from the same rule the engine ships
+      // (Retrieval.postingPartitions over documents-table bytes): this
+      // corpus is `copies` doc-shifted copies of the sf1 postings, so
+      // its docs-equivalent size is copies x the real table's bytes.
+      val docsBytes = Retrieval.pathBytes(spark, s"$dir/documents.parquet")
+        .getOrElse(0L) * copies
+      val sizedParts = Retrieval.postingPartitions(spark, docsBytes)
+      println(s"  docsEquivBytes=$docsBytes sizedParts=$sizedParts " +
+        "(corpus parquet bytes=" +
+        Retrieval.pathBytes(spark, corpusPath).getOrElse(-1L) + ")")
       val qt = tf.where(col("doc_id") % 1000 === 0 && col("doc_id") < OFF)
         .select(col("doc_id").as("qid"), col("tok")).localCheckpoint()
       println("  queries=" + qt.select("qid").distinct().count())
@@ -399,10 +420,21 @@ object ScaleDebug {
         }
         currentLeg = ""
       }
+      // A/B ship-shaped legs carry the r14 corpus-sized width (what the
+      // engine now constructs); A32/B32 pin the pre-r14 session width
+      // (32) to reproduce the r13 cells the sizing rule was cut against.
       val legs = Seq[(String, () => (DataFrame, Option[DataFrame]))](
         ("A clustered, no checkpoint (gate-off ships this)",
-          () => (scored.repartition(col("doc_id")), None)),
+          () => (scored.repartition(sizedParts, col("doc_id")), None)),
         ("B clustered+sorted via lazy checkpoint (sf1+ ships this)",
+          () => {
+            val d = scored.repartition(sizedParts, col("doc_id"))
+              .sortWithinPartitions("doc_id").localCheckpoint(false)
+            (d, Some(d))
+          }),
+        ("A32 clustered at fixed width 32 (pre-r14)",
+          () => (scored.repartition(col("doc_id")), None)),
+        ("B32 clustered+sorted at fixed width 32 (pre-r14)",
           () => {
             val d = scored.repartition(col("doc_id"))
               .sortWithinPartitions("doc_id").localCheckpoint(false)
@@ -419,10 +451,12 @@ object ScaleDebug {
       // sample for B): #1 carries the per-JVM warmup, #2 is the warm
       // number comparable to how Bench and the driver actually run.
       val ordered = args.lift(3) match {
-        case Some("A") => legs.take(1) ++ legs.take(1)
-        case Some("B") => legs.drop(1) ++ legs.drop(1)
-        case Some("rev") => legs.reverse
-        case _ => legs
+        case Some("A") => Seq(legs(0), legs(0))
+        case Some("B") => Seq(legs(1), legs(1))
+        case Some("A32") => Seq(legs(2), legs(2))
+        case Some("B32") => Seq(legs(3), legs(3))
+        case Some("rev") => legs.take(2).reverse
+        case _ => legs.take(2)
       }
       ordered.zipWithIndex.foreach { case ((l, f), i) =>
         val (in, ck) = f(); leg(s"$l #${i + 1}", in, ck)

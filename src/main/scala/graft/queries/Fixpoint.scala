@@ -71,8 +71,28 @@ object Fixpoint {
     * `localCheckpoint` keeps the partitioning but inherits compounding
     * stats; taking it RESET_EVERY−1 rounds out of RESET_EVERY bounds
     * the stats BigInt to a trivial size while keeping the
-    * exchange-free round shape. Round numbers are 1-based. */
+    * exchange-free round shape. Round numbers are 1-based.
+    *
+    * Single-step form: the loop advanced one round, so the previous
+    * round is `round - 1`. */
   def checkpointRound(df: DataFrame, round: Int): DataFrame =
-    if (round % RESET_EVERY == 0) checkpointFresh(df)
+    checkpointRound(df, round, round - 1)
+
+  /** Stride-aware form (ADVICE r13): a loop that materializes SEVERAL
+    * rounds per job (TextOps.converge2's unroll) calls this with the
+    * job's end round and the round it carried IN. The old
+    * `round % RESET_EVERY == 0` test only fired when a stride happened
+    * to LAND on a multiple of RESET_EVERY — for strides that don't
+    * divide it (3, 5, 6, 7; unroll 6 is actively benched) the reset
+    * degraded to every lcm(stride, RESET_EVERY) = 24–56 rounds,
+    * re-admitting the compounding sizeInBytes growth the reset exists
+    * to bound (multiplied, post-unroll, through steps+1 join references
+    * per job). Firing on CROSSING a multiple — any multiple of
+    * RESET_EVERY in (prevRound, round] — keeps the amortization bound
+    * (≤ RESET_EVERY + stride − 1 rounds of inherited-stats growth
+    * between resets) for every stride, and is identical to the old
+    * test at stride 1. */
+  def checkpointRound(df: DataFrame, round: Int, prevRound: Int): DataFrame =
+    if (prevRound / RESET_EVERY < round / RESET_EVERY) checkpointFresh(df)
     else df.localCheckpoint(eager = false)
 }

@@ -106,17 +106,80 @@ object Retrieval {
       case "always" => true
       case "never"  => false
       case _ =>
-        try {
-          val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
-          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-          fs.getContentSummary(p).getLength >= SORTED_LAYOUT_MIN_BYTES
-        } catch {
-          // unknown layout (exotic FS, moved table): assume big — the
-          // frozen layout is the safe-at-scale default; only the small-
-          // corpus fixed cost is at stake.
-          case _: java.io.IOException => true
-        }
+        // None (exotic FS, moved table): assume big — the frozen layout
+        // is the safe-at-scale default; only the small-corpus fixed
+        // cost is at stake.
+        pathBytes(s, s"$dir/documents.parquet")
+          .forall(_ >= SORTED_LAYOUT_MIN_BYTES)
     }
+
+  /** Serving-path layout resolution (ADVICE r13 — the q178 freeze was
+    * hard-coded, leaving the documented `never` escape hatch dead on
+    * the one path its scaladoc pointed at): q178 freezes BY DEFAULT at
+    * every corpus size — its posting subtree is a cheap columnar scan
+    * arriving in TERM-BUCKET order, the worst layout for the doc-keyed
+    * aggregate, so the corpus-size gate (which prices the re-tokenize
+    * paths' rebuild-per-query checkpoint) does not apply (measured
+    * both ways at sf0.1: frozen 1.96 vs gated 2.19 s min-of-mins,
+    * artifacts/bench_only_sf0.1_r13_layout*). But an EXPLICIT
+    * `spark.graft.bm25.sortedLayout=never`/`always` is honored — only
+    * `auto` resolves differently here (true, not the size gate). */
+  private[graft] def servingLayoutFrozen(s: SparkSession): Boolean =
+    s.conf.getOption("spark.graft.bm25.sortedLayout") match {
+      case Some("never") => false
+      case _ => true
+    }
+
+  /** On-disk size of a path via a pure FileSystem metadata call (no
+    * Spark job) — the layout gate's probe, shared with the partition
+    * sizer below. None when the FS can't answer. */
+  private[graft] def pathBytes(s: SparkSession, path: String): Option[Long] =
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      Some(p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .getContentSummary(p).getLength)
+    } catch { case _: java.io.IOException => None }
+
+  /** Partition sizing for the doc-clustered posting layout (round 14,
+    * VERDICT r13 #2 — the 30x/16g synthpost cell): the frozen sort's
+    * CPU win is robust to corpus growth and memory budget, but its
+    * WALL win additionally needs the per-partition sort to fit
+    * execution memory — at 38.5M postings forced into 32 partitions of
+    * a 16g JVM the in-line sortWithinPartitions external-sorted
+    * (24.5 GB spill) and lost wall 58.9 vs 38.7 s despite keeping a
+    * 1.48x CPU win (SCALE.md round-13 addendum). Inheriting
+    * `spark.sql.shuffle.partitions` made the win configuration-
+    * dependent; deriving the width from corpus bytes (the same FS-
+    * metadata call as the layout gate) makes it structural.
+    *
+    * Unit: DOCUMENTS-table on-disk bytes — the one size every caller
+    * can read without a job, and a measured proxy for the sort's
+    * footprint (sf1: 6 MB docs → 5.9M postings ≈ 1 posting/byte;
+    * sorter footprint ≈ 636 B/posting from the 30x cell's 24.5 GB /
+    * 38.5M rows). 256 KB of docs bytes per partition ≈ 150–160 MB of
+    * sorter footprint — inside one task slot's execution share at even
+    * the 8g budget (250 MB/slot). At sf1 and below the rule yields
+    * ≤ 24 and the session shuffle width (32) wins, so every plan at
+    * the driver's gate is unchanged; the width is EXPLICIT in the
+    * repartition so AQE cannot coalesce partitions back past the
+    * sort-fit bound. Hash-identical at any width (the q120/q131/q178
+    * oracles prove it at the gate). */
+  private[graft] val POSTING_PARTITION_DOCS_BYTES = 256L << 10
+  private[graft] val POSTING_PARTITION_MAX = 200000
+  private[graft] def postingPartitions(s: SparkSession,
+      docsBytes: Long): Int =
+    math.max(s.conf.get("spark.sql.shuffle.partitions").toInt,
+      math.min(POSTING_PARTITION_MAX.toLong,
+        (docsBytes + POSTING_PARTITION_DOCS_BYTES - 1) /
+          POSTING_PARTITION_DOCS_BYTES).toInt)
+
+  /** [[postingPartitions]] from a corpus dir (q120/q131/q178): unknown
+    * size falls back to the session shuffle width — the pre-r14
+    * behavior, still spill-safe at every SF this repo runs. */
+  private[graft] def postingPartitionsFor(s: SparkSession,
+      dir: String): Int =
+    postingPartitions(s,
+      pathBytes(s, s"$dir/documents.parquet").getOrElse(0L))
 
   /** q120's oracle chain through `ranked` (qid, doc_id, bm25, rnk) —
     * shared with the q131 fusion oracle, which also reuses `tf`/`qt`. */
@@ -191,16 +254,18 @@ object Retrieval {
   private[graft] def bm25TopK(s: SparkSession, dir: String,
       qmod: Int = QMOD): DataFrame =
     bm25TopKFromTf(tfAndQt(s, dir, qmod)._1.localCheckpoint(), qmod,
-      sortedLayoutWorthwhile(s, dir))
+      sortedLayoutWorthwhile(s, dir), postingPartitionsFor(s, dir))
 
   /** [[bm25TopK]] over a caller-materialized tf (checkpoint or parquet)
     * — q131 shares ONE tf cut across both fusion arms through this. */
   private[graft] def bm25TopKFromTf(tf: DataFrame, qmod: Int,
-      frozenSortedLayout: Boolean = true): DataFrame = {
+      frozenSortedLayout: Boolean = true,
+      postingParts: Int = 0): DataFrame = {
     val qt = tf.where(col("doc_id") % qmod === 0)
       .select(col("doc_id").as("qid"), col("tok"))
     bm25Score(tf, qt, tf.groupBy("doc_id").agg(sum("tf").as("dl")),
-      frozenSortedLayout = frozenSortedLayout)
+      frozenSortedLayout = frozenSortedLayout,
+      postingParts = postingParts)
   }
 
   /** The BM25 scoring tail over an ARBITRARY (tf, qt, dl) triple —
@@ -226,7 +291,8 @@ object Retrieval {
     * fallback — only the small-side shipping strategy changes. */
   private[graft] def bm25Score(tf: DataFrame, qt: DataFrame,
       dl: DataFrame, dlBroadcastable: Boolean = true,
-      frozenSortedLayout: Boolean = true): DataFrame = {
+      frozenSortedLayout: Boolean = true,
+      postingParts: Int = 0): DataFrame = {
     // LAZY checkpoint of the doc-clustered + doc-SORTED scored postings:
     // the one way to keep the intra-partition sort ALIVE. In-plan,
     // EliminateSorts removes a local sort whose order the aggregate
@@ -247,7 +313,7 @@ object Retrieval {
     // survives in-plan — it is an Exchange, not a Sort), EliminateSorts
     // drops the now-unfreezable local sort, and the output is hash-
     // identical either way.
-    val sp = scoredPostings(tf, qt, dl, dlBroadcastable)
+    val sp = scoredPostings(tf, qt, dl, dlBroadcastable, postingParts)
     val posting = if (frozenSortedLayout) sp.localCheckpoint(false) else sp
     val scored = posting
       .join(broadcast(qt), "tok")
@@ -265,7 +331,8 @@ object Retrieval {
     * factored so [[bm25Score]] checkpoints exactly this plan and
     * Bm25PlanShapeSpec audits exactly this plan. */
   private[graft] def scoredPostings(tf: DataFrame, qt: DataFrame,
-      dl: DataFrame, dlBroadcastable: Boolean = true): DataFrame = {
+      dl: DataFrame, dlBroadcastable: Boolean = true,
+      postingParts: Int = 0): DataFrame = {
     val scal = dl.agg(count(lit(1)).as("n_docs"),
       (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
     val tfq = tf.join(broadcast(qt.select("tok").distinct()), "tok")
@@ -329,7 +396,13 @@ object Retrieval {
       // + sorted 176 s for the identical sf1 stage. The sort survives
       // ONLY via bm25Score's lazy checkpoint — in-plan, EliminateSorts
       // deletes it (the aggregate above destroys its order).
-      .repartition(col("doc_id"))
+      // Width: EXPLICIT when the caller sized it from corpus bytes
+      // (postingPartitions — the r14 sort-fit rule; an explicit width
+      // also pins it past AQE coalescing), else the session default
+      // (direct scoredPostings callers at fixture scale).
+      .transform(d => if (postingParts > 0)
+        d.repartition(postingParts, col("doc_id"))
+      else d.repartition(col("doc_id")))
       .sortWithinPartitions("doc_id")
   }
 
@@ -403,18 +476,20 @@ object Retrieval {
       // ReuseExchange dedup across arms no longer applies — without the
       // shared cut the tokenize pass would run once per arm).
       val frozen = sortedLayoutWorthwhile(s, dir)
+      val parts = postingPartitionsFor(s, dir)
       val dt = tfAndQt(s, dir, qmod)._1.localCheckpoint()
       val qset = dt.where(col("doc_id") % qmod === 0)
         .select(col("doc_id").as("qid"), col("tok"))
-      val a = bm25TopKFromTf(dt, qmod, frozen).select(col("qid"),
+      val a = bm25TopKFromTf(dt, qmod, frozen, parts).select(col("qid"),
         col("doc_id"), col("rnk").as("ra"))
       val nd = dt.groupBy("doc_id").agg(count(lit(1)).as("nd"))
       // doc-cluster + doc-sort before the query fan-out — the bm25Score
       // locality treatment applied to the Jaccard arm's identical shape
       // (fan-out on tok, aggregate on (qid, doc_id)); the lazy
       // checkpoint keeps the sort alive, same rationale, same idle-host
-      // A/B numbers, and same corpus-size gate as scoredPostings.
-      val clustered = dt.repartition(col("doc_id"))
+      // A/B numbers, same corpus-size gate, and same corpus-sized
+      // partition width as scoredPostings.
+      val clustered = dt.repartition(parts, col("doc_id"))
       val interIn =
         if (frozen) clustered.sortWithinPartitions("doc_id")
           .localCheckpoint(false)
@@ -562,18 +637,21 @@ object Retrieval {
       val tf = s.read.parquet(pPath).select("doc_id", "tok", "tf")
       val qt = tf.where(col("doc_id") % QMOD === 0)
         .select(col("doc_id").as("qid"), col("tok"))
-      // The serving path freezes UNCONDITIONALLY (round 13): the corpus
-      // gate prices the checkpoint's fixed cost for a posting subtree
-      // that is rebuilt per query (tokenize + tf groupBy — q120/q131),
-      // but here the subtree is a columnar scan of the prebuilt index,
-      // cheap to materialize, while the scan arrives in TERM-BUCKET
-      // order — the worst layout for the doc-keyed aggregate — so the
-      // sort's win stands at every corpus size. Measured both ways at
-      // sf0.1 (artifacts/bench_only_sf0.1_r13_layout*: frozen 1.96 vs
-      // gated 2.19 s min-of-mins); hash-identical paths, q120's shared
-      // oracle proves it at the gate every round.
+      // The serving path freezes BY DEFAULT at every corpus size (round
+      // 13; round 14 made the explicit conf override reach it too —
+      // servingLayoutFrozen): the corpus gate prices the checkpoint's
+      // fixed cost for a posting subtree that is rebuilt per query
+      // (tokenize + tf groupBy — q120/q131), but here the subtree is a
+      // columnar scan of the prebuilt index, cheap to materialize,
+      // while the scan arrives in TERM-BUCKET order — the worst layout
+      // for the doc-keyed aggregate — so the sort's win stands at every
+      // corpus size. Measured both ways at sf0.1 (artifacts/
+      // bench_only_sf0.1_r13_layout*: frozen 1.96 vs gated 2.19 s
+      // min-of-mins); hash-identical paths, q120's shared oracle proves
+      // it at the gate every round.
       bm25Score(tf, qt, s.read.parquet(dPath),
-          frozenSortedLayout = true)
+          frozenSortedLayout = servingLayoutFrozen(s),
+          postingParts = postingPartitionsFor(s, dir))
         .select(col("qid"), col("rnk").cast("long").as("rnk"),
           col("doc_id"), col("bm25"))
         .orderBy("qid", "rnk")

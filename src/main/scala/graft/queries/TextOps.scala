@@ -1872,22 +1872,39 @@ object TextOps {
     * a pathological n > PR_TOL_NUM_Q where the floor would reach 0). */
   private[graft] def pageRankConverged(pairs: DataFrame,
       cap: Int = PR_CAP,
-      unroll: Int = CONVERGE_UNROLL): DataFrame = {
+      unroll: Option[Int] = None): DataFrame = {
     val (edges, degn) = prGraph(pairs)
     val nRow = degn.select(col("n")).head(1)
     val pr = prInit(degn)
     if (nRow.isEmpty) return pr // empty graph: nothing to iterate
     val tolQ = math.max(1L, PR_TOL_NUM_Q / nRow(0).getLong(0))
-    converge2(pr, prStepBody(_, edges, degn), tolQ, cap, "pr", unroll)
+    converge2(pr, prStepBody(_, edges, degn), tolQ, cap, "pr",
+      unroll.getOrElse(convergeUnroll(pairs.sparkSession)))
   }
 
   /** Rounds materialized per convergence job (round 13; was 2 since
     * round-10 session 2). The loops' cost is sequential-JOB latency,
     * not data — deeper unroll amortizes scheduling + AQE planning over
     * more rounds. 4 measured best at sf0.1 (see converge2 scaladoc for
-    * the A/B); past that the per-job plan depth starts paying back. */
-  private val CONVERGE_UNROLL =
-    sys.env.get("GRAFT_UNROLL").flatMap(_.toIntOption).getOrElse(4)
+    * the A/B); past that the per-job plan depth starts paying back.
+    *
+    * Configured via the Spark conf below (round 14, VERDICT r13 #4 —
+    * the GRAFT_UNROLL env var was inconsistent with the layout knob
+    * `spark.graft.bm25.sortedLayout` and invisible to a session
+    * inspecting its own config; A/Bs set it per-JVM with
+    * `-Dspark.graft.converge.unroll=N`, which SparkConf folds into the
+    * session conf). An unusable value fails LOUDLY here (ADVICE r13):
+    * the old parse let 0/negatives through to converge2's runtime
+    * require while silently defaulting non-numeric strings — a typo'd
+    * A/B must not quietly measure the default. */
+  private[graft] val CONVERGE_UNROLL_KEY = "spark.graft.converge.unroll"
+  private[graft] def convergeUnroll(s: SparkSession): Int =
+    s.conf.getOption(CONVERGE_UNROLL_KEY) match {
+      case None => 4
+      case Some(v) => v.toIntOption.filter(_ >= 1).getOrElse(
+        throw new IllegalArgumentException(
+          s"$CONVERGE_UNROLL_KEY must be an integer >= 1, got '$v'"))
+    }
 
   /** The convergence driver, CONVERGE_UNROLL iterations per job
     * (round-10 session 2 introduced the 2-step unroll after the closing
@@ -1908,8 +1925,7 @@ object TextOps {
     * (same integer-quanta step body, merely composed), so the unroll
     * is invisible to every oracle. */
   private def converge2(init: DataFrame, stepBody: DataFrame => DataFrame,
-      tolQ: Long, cap: Int, tag: String,
-      unroll: Int = CONVERGE_UNROLL): DataFrame = {
+      tolQ: Long, cap: Int, tag: String, unroll: Int): DataFrame = {
     require(unroll >= 1, s"$tag: unroll must be >= 1, got $unroll")
     val dbg = sys.env.contains("GRAFT_PR_DEBUG")
     var pr = init
@@ -1935,7 +1951,11 @@ object TextOps {
           .join(inter(i).select(col("doc_id").as(s"p$i"),
             col("q").as(s"q$i")), col("doc_id") === col(s"p$i"))
           .drop(s"p$i")
-      val out = Fixpoint.checkpointRound(joined, k + steps)
+      // stride-aware reset (ADVICE r13): rounds advance by `steps` per
+      // job, so the reset must fire on CROSSING a RESET_EVERY multiple,
+      // not on landing on one — unroll values that don't divide
+      // RESET_EVERY would otherwise amortize over lcm(unroll, 8) rounds.
+      val out = Fixpoint.checkpointRound(joined, k + steps, k)
       // d_i = max |q_i − q_{i−1}| for i = 1…steps (q_steps is "q").
       val aggs = (1 to steps).map { i =>
         val hi = if (i == steps) col("q") else col(s"q$i")
@@ -2000,7 +2020,7 @@ object TextOps {
     * fail-loud cap), over the seeded teleport vector. */
   private[graft] def pprConverged(pairs: DataFrame,
       cap: Int = PPR_CAP,
-      unroll: Int = CONVERGE_UNROLL): DataFrame = {
+      unroll: Option[Int] = None): DataFrame = {
     val (edges, degns) = pprGraph(pairs)
     val head = degns.select(col("n"), col("ns")).head(1)
     val pr = degns.select(col("doc_id"), col("deg"), col("n"),
@@ -2020,7 +2040,8 @@ object TextOps {
     // 1/|S|-relative keeps both the relative precision AND the round
     // count scale-stable (mixing-bound, like q104's).
     val tolQ = math.max(1L, PR_TOL_NUM_Q / head(0).getLong(1))
-    converge2(pr, pprStepBody(_, edges, degns), tolQ, cap, "ppr", unroll)
+    converge2(pr, pprStepBody(_, edges, degns), tolQ, cap, "ppr",
+      unroll.getOrElse(convergeUnroll(pairs.sparkSession)))
   }
 
   /** q29/q65 shared CTE chain: df-capped exact-Jaccard pairs, ending in

@@ -26,22 +26,53 @@ class ConvergeUnrollSpec extends AnyFunSuite {
 
   private def prAt(unroll: Int, cap: Int = 200): Map[Long, Long] = {
     import s.implicits._
-    queries.TextOps.pageRankConverged(pairs.toDF("u", "v"), cap, unroll)
+    queries.TextOps.pageRankConverged(pairs.toDF("u", "v"), cap, Some(unroll))
       .select("doc_id", "q").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
   private def pprAt(unroll: Int, cap: Int = 200): Map[Long, Long] = {
     import s.implicits._
-    queries.TextOps.pprConverged(pairs.toDF("u", "v"), cap, unroll)
+    queries.TextOps.pprConverged(pairs.toDF("u", "v"), cap, Some(unroll))
       .select("doc_id", "q").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  /** The conf-configured path (round 14: GRAFT_UNROLL env →
+    * spark.graft.converge.unroll, VERDICT r13 #4): run with the knob
+    * UNSET (callers pass no unroll, the default-4 path). */
+  private def prViaConf(conf: Option[String]): Map[Long, Long] = {
+    import s.implicits._
+    val key = queries.TextOps.CONVERGE_UNROLL_KEY
+    val saved = s.conf.getOption(key)
+    try {
+      conf match { case Some(v) => s.conf.set(key, v)
+                   case None => s.conf.unset(key) }
+      queries.TextOps.pageRankConverged(pairs.toDF("u", "v"))
+        .select("doc_id", "q").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    } finally {
+      saved match { case Some(v) => s.conf.set(key, v)
+                    case None => s.conf.unset(key) }
+    }
   }
 
   test("pageRankConverged output is invariant in the unroll factor") {
     val ref = prAt(1)
     for (u <- 2 to 5)
       assert(prAt(u) === ref, s"unroll=$u diverged from the 1-step loop")
+  }
+
+  test("the spark.graft.converge.unroll conf drives the default path " +
+      "and unusable values fail loudly at read") {
+    val ref = prAt(1)
+    assert(prViaConf(None) === ref, "unset conf (default 4) diverged")
+    assert(prViaConf(Some("3")) === ref, "conf unroll=3 diverged")
+    // fail-loud validation (ADVICE r13): zero, negative, and
+    // non-numeric values all throw at conf READ, before any round runs
+    // — none may silently fall back to the default.
+    for (bad <- Seq("0", "-2", "six"))
+      intercept[IllegalArgumentException](prViaConf(Some(bad)))
   }
 
   test("pprConverged output is invariant in the unroll factor") {

@@ -98,4 +98,35 @@ class FixpointSpec extends AnyFunSuite {
     assert(got.length == 64 - rounds)
     assert(got.forall { case (u, v) => v == u + rounds + 1 })
   }
+
+  test("the stride-aware form resets on CROSSING a window boundary for " +
+      "strides that don't divide RESET_EVERY (ADVICE r13)") {
+    // converge2 advances `unroll` rounds per job; with stride 3 the old
+    // round % RESET_EVERY == 0 test fired only every lcm(3, 8) = 24
+    // rounds. The stride form must keep the estimate bounded to the
+    // window at ANY depth: assert the digit count never exceeds the
+    // max seen in the first two windows (a compounding path would blow
+    // past it — the foil above doubles digits per round).
+    val e0 = s.range(128).select(col("id").as("u"), (col("id") + 1).as("v"))
+    val stride = 3
+    val jobs = 20 // 60 rounds ≈ 7.5 windows; lcm-aligned resets get 2
+    var st = Fixpoint.checkpointRound(step(step(step(e0, e0), e0), e0),
+      stride, 0)
+    val ds = scala.collection.mutable.ArrayBuffer(digits(st))
+    for (j <- 2 to jobs) {
+      st = Fixpoint.checkpointRound(
+        step(step(step(st, e0), e0), e0), j * stride, (j - 1) * stride)
+      ds += digits(st)
+    }
+    val w = Fixpoint.RESET_EVERY
+    val perWindow = (w + stride - 1) / stride // jobs per window, ceil
+    val bound = ds.take(2 * perWindow).max
+    assert(ds.forall(_ <= bound),
+      s"stride-$stride estimates escaped the two-window bound $bound: $ds")
+    // data path: 60 hops over the 128-chain
+    val rounds = jobs * stride
+    val got = st.orderBy("u").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 128 - rounds)
+    assert(got.forall { case (u, v) => v == u + rounds + 1 })
+  }
 }
