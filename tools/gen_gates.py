@@ -47,16 +47,36 @@ def main():
     red = []
 
     def add(gate, ok, detail, source):
-        status = {True: "GREEN", False: "RED", None: "MISSING"}[ok]
+        status = {True: "GREEN", False: "RED", None: "MISSING",
+                  "pending": "PENDING"}[ok]
         if ok is False:
             red.append(gate)
         rows.append((gate, status, detail, source))
 
-    # 1. driver oracle gate at sf0.01
+    # 1. driver oracle gate at sf0.01. The driver drops this round's
+    # artifact AFTER the round closes (VERDICT r13 #3: the r13 page
+    # shipped two MISSING rows for artifacts that landed hours later) —
+    # when the current round's file is absent, fall back to the previous
+    # round's with an explicit PENDING status instead of implying the
+    # gate never ran.
     cname = f"CORRECTNESS_r{rnd:02d}.json"
     c = load(cname)
+    pending = False
+    if c is None:
+        prev = f"CORRECTNESS_r{rnd - 1:02d}.json"
+        c = load(prev)
+        if c is not None:
+            cname, pending = prev, True
     if c is None:
         add("oracle gate (sf0.01)", None, "artifact not found", cname)
+    elif pending:
+        bad = [q for q, v in c.items()
+               if not (v.get("rows_match") and v.get("schema_match")
+                       and v.get("hash_match")) or v.get("err")]
+        add("oracle gate (sf0.01)", "pending",
+            f"round-{rnd} driver run pending; round {rnd - 1}: "
+            f"{len(c) - len(bad)}/{len(c)} rows+schema+hash"
+            + (f"; FAILING: {bad[:5]}" if bad else ""), cname)
     else:
         bad = [q for q, v in c.items()
                if not (v.get("rows_match") and v.get("schema_match")
@@ -126,11 +146,13 @@ def main():
         "artifact not found" if lk is None else
         f"{lk.get('n_hits')} hits across {len(lk.get('hits', {}))} "
         f"categories (round {lk.get('round', '?')})", "LEAKCHECK.json")
+    # COPYCHECK.json carries no round stamp — it is whatever the last
+    # driver run wrote (same post-round timing caveat as gate 1).
     cp = load("COPYCHECK.json")
     add("copy check", None if cp is None else not cp.get("flagged"),
-        "artifact not found" if cp is None else
-        f"{len(cp.get('flagged', []))} files flagged at threshold "
-        f"{cp.get('threshold')}", "COPYCHECK.json")
+        "artifact not found (pending driver if mid-round)" if cp is None
+        else f"{len(cp.get('flagged', []))} files flagged at threshold "
+        f"{cp.get('threshold')} (latest driver run)", "COPYCHECK.json")
 
     # 6. streaming replay artifacts (committed by the replay specs)
     for path in sorted(glob.glob("artifacts/streaming_replay*.json")):
@@ -158,7 +180,8 @@ def main():
     ]
     for g, st, det, src in rows:
         mark = {"GREEN": "✅ GREEN", "RED": "❌ RED",
-                "MISSING": "⚠️ MISSING"}[st]
+                "MISSING": "⚠️ MISSING",
+                "PENDING": "⏳ PENDING (driver)"}[st]
         lines.append(f"| {g} | {mark} | {det} | `{src}` |")
     open("GATES.md", "w").write("\n".join(lines) + "\n")
     print("\n".join(lines[6:]))
