@@ -90,14 +90,19 @@ object Retrieval {
     * the agg working set to ~|queries| hot keys, so its cost holds
     * (196-270 s CPU, zero spill) across a 10x per-slot memory range
     * where the unsorted layouts degrade 2.1-5.3x. The one shape the
-    * proxy misranks — a corpus just past the gate probed by a tiny
-    * FIXED query load at tight memory (measured at 10x postings / 50
-    * queries / 8g: wall 14.2 vs 9.9 s, the in-line sort spills with
-    * nothing to save) — is what the `never` override is for, and the
-    * band is NARROW: by 30x postings the unsorted aggregate's working
-    * set has grown with corpus diversity and the frozen layout wins
-    * 2.46x CPU even at the same fixed query load (the checkpoint
-    * itself stays posting-linear: 1.74 GB -> 5.23 GB, zero disk). */
+    * proxy misranks — a corpus past the gate probed by a small FIXED
+    * query load — is what the `never` override is for, and round 14's
+    * partition sizing WIDENED that band (SCALE.md round-14 addendum):
+    * r13's "the frozen layout wins 2.46x CPU even at fixed query load
+    * by 30x postings" was a property of 32x-OVERSIZED partitions
+    * (the unsorted agg's working set spanned ~1.56M interleaved docs);
+    * with postingPartitions-sized width the unsorted layout wins the
+    * fixed-query corner outright at both 8g and 16g (27.0 vs 53.1 s
+    * wall, 774 vs 1,162 s CPU at 16g), so a serving corpus under a
+    * small fixed query load should set `never` at ANY size. The
+    * query-SCALING regime — the shipped workloads — is unchanged:
+    * per-doc runs bound the working set below any per-partition doc
+    * span (sf1 fanoutsort: 2.27x CPU at 8g, already right-sized). */
   private[graft] val SORTED_LAYOUT_MIN_BYTES = 2L << 20
   private[graft] def sortedLayoutWorthwhile(s: SparkSession,
       dir: String): Boolean =

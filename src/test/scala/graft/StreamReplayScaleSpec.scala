@@ -146,4 +146,55 @@ class StreamReplayScaleSpec extends AnyFunSuite {
       s"stream fingerprint $hashSum vs batch twin $wantH")
     assert(nRows >= 100000L, "every sf0.1 event must be enriched (left as-of)")
   }
+
+  test("sf1 replay: daily HLL sketch estimates equal the batch build " +
+      "on the 1M-event scaled table") {
+    // One notch past the sf0.1 evidence (VERDICT r13 #6): the SAME
+    // watermark + windowed-HLL plan over scaledata/sf1's 1M
+    // adversarially-skewed events. scaledata is regenerable, not
+    // committed (tools/gen_scale.py, seed-deterministic) — cancel, not
+    // pass, when absent so a fresh checkout's CI is honest about what
+    // it proved.
+    val sf1 = "/root/repo/scaledata/sf1/events.parquet"
+    assume(Files.exists(Paths.get(sf1)),
+      "scaledata/sf1 not generated (python3 tools/gen_scale.py)")
+    val dir = Files.createTempDirectory("graft_replay_hll_sf1")
+    Files.copy(Paths.get(sf1), dir.resolve("part-0.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val fileSchema = s.read.parquet(dir.toString).schema
+    val stream = graft.model.Tables.normalizeEventTs(
+        s.readStream.schema(fileSchema).parquet(dir.toString))
+      .select("user_id", "ts")
+
+    val q = graft.streaming.EventStreams.dailyDistinctSketch(stream)
+      .writeStream.format("memory").queryName("hll_replay_sf1")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    val got = s.table("hll_replay_sf1").collect()
+      .map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    q.stop()
+
+    val batch = graft.model.Tables.normalizeEventTs(s.read.parquet(sf1))
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(hll_sketch_estimate(
+        hll_sketch_agg(col("user_id"), lit(14))).as("n_est"))
+      .select(col("window.start").as("day"), col("n_est"))
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+
+    val nEvents = s.read.parquet(sf1).count()
+    val matches = got.nonEmpty && got.forall { case (d, e) =>
+      batch.get(d).contains(e) }
+    artifact("streaming_replay_sf1_hll.json",
+      s"""{"source": "sf1/events.parquet", "plan": "dailyDistinctSketch",
+         | "events": $nEvents, "closed_days": ${got.size},
+         | "total_days": ${batch.size}, "match": $matches}"""
+        .stripMargin.replace("\n", ""))
+
+    assert(nEvents >= 1000000L, s"sf1 events table too small: $nEvents")
+    assert(got.nonEmpty, "no closed windows emitted")
+    got.foreach { case (day, est) =>
+      assert(batch(day) == est, s"day $day: stream $est vs batch ${batch(day)}")
+    }
+    assert(got.size < batch.size, "final open window(s) must NOT be emitted")
+  }
 }
