@@ -330,6 +330,48 @@ class RetrievalSpec extends AnyFunSuite {
     assert(frozen == plain, "layout gate must not change the answer")
   }
 
+  test("postingPartitions sizes from docs bytes with the session floor " +
+      "and the hard cap (round 14)") {
+    val floor = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val unit = Retrieval.POSTING_PARTITION_DOCS_BYTES
+    // below / at the floor: the session width wins (sf1 and under)
+    assert(Retrieval.postingPartitions(s, 0L) == floor)
+    assert(Retrieval.postingPartitions(s, unit * (floor - 1)) == floor)
+    // above: ceil(bytes / unit) — the 30x synthpost corpus (185.7 MB
+    // docs-equivalent) must size to 709, the measured-winning width
+    assert(Retrieval.postingPartitions(s, 185677200L) == 709)
+    assert(Retrieval.postingPartitions(s, unit * 1000 + 1) == 1001)
+    // a pathological size clamps at the cap instead of exploding the
+    // task count
+    assert(Retrieval.postingPartitions(s, Long.MaxValue / 4) ==
+      Retrieval.POSTING_PARTITION_MAX)
+    // the dir form falls back to the floor when the table is unreadable
+    assert(Retrieval.postingPartitionsFor(s, "/nonexistent/dir") == floor)
+  }
+
+  test("the serving path honors an explicit layout override and " +
+      "defaults to frozen (ADVICE r13)") {
+    def withLayout[T](mode: Option[String])(f: => T): T = {
+      mode.foreach(s.conf.set("spark.graft.bm25.sortedLayout", _))
+      try f finally s.conf.unset("spark.graft.bm25.sortedLayout")
+    }
+    assert(withLayout(None)(Retrieval.servingLayoutFrozen(s)),
+      "unset must freeze (the term-bucket-ordered scan default)")
+    assert(withLayout(Some("auto"))(Retrieval.servingLayoutFrozen(s)),
+      "auto must freeze on the serving path (no corpus-size gate)")
+    assert(withLayout(Some("always"))(Retrieval.servingLayoutFrozen(s)))
+    assert(!withLayout(Some("never"))(Retrieval.servingLayoutFrozen(s)),
+      "the documented escape hatch must reach the serving path")
+    // and the override must not change the answer (hash-identical paths)
+    val frozen = withLayout(None)(
+      SparkEntry.queries("q178_bm25_prebuilt")(s, "/root/testdata/sf0.01")
+        .collect().toSeq)
+    val plain = withLayout(Some("never"))(
+      SparkEntry.queries("q178_bm25_prebuilt")(s, "/root/testdata/sf0.01")
+        .collect().toSeq)
+    assert(frozen == plain, "serving layout override changed the answer")
+  }
+
   // ---------------------------------------------------------------- q131
   // RRF is pure rank arithmetic over its two source lists — so recompute
   // it exactly from the catalog's OWN q120 ranking plus an independently
