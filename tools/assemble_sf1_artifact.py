@@ -25,6 +25,10 @@ SOURCES = [
                       "census over the committed oracle's edge CTEs)"),
     ("assort.log", "check_assort_scaled (exact-integer Newman sums over "
                    "the committed oracle's jpairs CTEs)"),
+    ("q178_identity.log", "check_oracle (DuckDB SQL) via q120: byte-"
+                          "identity with q120's same-round sf1 oracle-"
+                          "green dump (the two share one oracle text "
+                          "verbatim)"),
 ]
 
 # Committed oracles that CANNOT run at sf1 and why; their scaled
@@ -89,7 +93,11 @@ def main():
             "round 10 (round(double,6) tie + sf-dependent parse), "
             "round 11 (q161 subtree-recompute; snapshot tier q155-q165), "
             "round 12 (relational + tie-prone arithmetic tiers: "
-            "ratios/medians/EWMA/PSI/DSIR/interval boundaries)."),
+            "ratios/medians/EWMA/PSI/DSIR/interval boundaries), "
+            "round 14 (re-hash of the five families whose physical "
+            "plans round 13 changed — q104/q158 4-step unroll, "
+            "q120/q131 layout gate, q178 serving freeze — so the "
+            "artifact describes the shipped code, VERDICT r13 #1)."),
         "results": dict(sorted(res.items())),
         "n_pass": sum(1 for v in res.values() if v["status"] == "PASS"),
         "n_fail": sum(1 for v in res.values() if v["status"] == "FAIL"),
