@@ -120,6 +120,24 @@ object Sinks {
       roundTripSummary(s.read.schema(docs.schema).orc(path))
     }),
 
+    // XML (round 14) — Spark 4 absorbed spark-xml as a built-in source;
+    // it is the one mainstream interchange text format the sink family
+    // lacked (feeds/exports still arrive as XML at every enterprise
+    // boundary). Same explicit-schema, no-inference contract and the
+    // same byte-exactness gate as q72/q73: the md5-derived text hash is
+    // computed against the ORIGINAL parquet by the oracle, so any
+    // writer escaping loss (entity encoding, surrounding-whitespace
+    // trims) fails the hash, not just the row count.
+    "q180_xml_roundtrip" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val path = runPath("graft_rt_xml")
+      docs.write.mode("overwrite")
+        .option("rootTag", "docs").option("rowTag", "doc")
+        .xml(path)
+      roundTripSummary(s.read.schema(docs.schema)
+        .option("rowTag", "doc").xml(path))
+    }),
+
     // Compression-codec round trip — at 100 TB the codec is a first-order
     // cost lever (zstd ≈ 30 % smaller than snappy at similar scan speed;
     // gzip for cold JSON archives). Same byte-exactness contract as
@@ -297,6 +315,7 @@ object Sinks {
     "q72_json_roundtrip" -> RT_SUMMARY_SQL,
     "q73_csv_roundtrip" -> RT_SUMMARY_SQL,
     "q74_orc_roundtrip" -> RT_SUMMARY_SQL,
+    "q180_xml_roundtrip" -> RT_SUMMARY_SQL,
 
     // one row-group per (codec, lang): identical per-lang aggregates,
     // fanned out over the two codec labels

@@ -942,6 +942,68 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Bigram LM quality score (round 14) — the CCNet/Gopher-family
+    // perplexity filter, one order up from q82's unigram: per document,
+    // the mean over its bigrams of
+    //   ln( 0.75 · c(w1 w2)/c(w1 ·)  +  0.25 · c(w2)/N )
+    // — an interpolated bigram model (Jelinek–Mercer smoothing, λ=0.75)
+    // whose history mass c(w1 ·) comes FROM the bigram table (Σ_v
+    // c(w1,v)), so the conditional is exact ML and the unigram backoff
+    // absorbs unseen-pair mass. Trained corpus-internal for
+    // determinism (production scores against a reference-corpus LM —
+    // same plan, different `lp` source). Exactness: the double
+    // arithmetic inside ln is the BM25-contrib discipline (identical
+    // expression tree both engines), each bigram's log-prob pinned to
+    // DECIMAL(28,12) BEFORE the order-free per-doc sum, round 4 at the
+    // output boundary. Docs with < 2 tokens surface with n_bigrams = 0
+    // and a NULL score (the q85 short-doc rule), never silently drop.
+    // Scale: the bigram relation is cut ONCE (eager checkpoint — the
+    // q161 fan-out lesson: the counts subtree and the per-doc rejoin
+    // both consume it; cluster tradeoff in PLANS.md); counts are
+    // map-side-combined groupBys (a stop-word bigram's count flows
+    // through a combiner tree, never a hot partition — no window ever
+    // partitions on a token key); N is a 1-row broadcast (J2); the
+    // rejoin shuffles on (w1, w2) and regroups on doc_id — two hash
+    // exchanges, both on keys whose cardinality grows with the corpus.
+    "q179_bigram_logprob" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val big = d
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .select(col("doc_id"),
+          explode(when(size(col("t")) >= 2,
+            transform(sequence(lit(1), size(col("t")) - 1),
+              i => struct(element_at(col("t"), i).as("w1"),
+                element_at(col("t"), i + 1).as("w2"))))
+            .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+            .as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        .localCheckpoint()
+      val cbi = big.groupBy("w1", "w2").agg(count(lit(1)).as("cbi"))
+      val ch = cbi.groupBy("w1").agg(sum("cbi").as("ch"))
+      val cu = d.select(explode(split(col("text"), " ")).as("w2"))
+        .groupBy("w2").agg(count(lit(1)).as("cu"))
+      // Σ over the vocab ≡ total token count, computed without a second
+      // explode (the q82 trick).
+      val tot = d.select(size(split(col("text"), " ")).cast("long").as("nt"))
+        .agg(sum("nt").as("tot"))
+      val lp = cbi.join(ch, "w1").join(cu, "w2").crossJoin(broadcast(tot))
+        .select(col("w1"), col("w2"),
+          log(lit(0.75) * col("cbi").cast("double") / col("ch").cast("double")
+            + lit(0.25) * col("cu").cast("double") / col("tot").cast("double"))
+            .cast("decimal(28,12)").as("lp"))
+      val per = big.join(lp, Seq("w1", "w2"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(sum("lp").cast("double") / count(lit(1)), 4)
+            .as("avg_logprob"))
+      d.select(col("doc_id"), col("lang"))
+        .join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          col("avg_logprob"))
+        .orderBy("doc_id")
+    }),
+
     // Sequence packing — the concat-then-chunk batching every trainer
     // runs: documents stream per-lang in doc_id order into fixed
     // 512-token bins; a doc belongs to the bin its START offset falls in
@@ -2423,6 +2485,35 @@ object TextOps {
         | ROUND(CAST(SUM(l.lp) AS DOUBLE) / COUNT(*), 4) AS avg_logprob
         |FROM toks t JOIN lp l USING (tok)
         |GROUP BY t.doc_id, t.lang ORDER BY t.doc_id""".stripMargin,
+
+    "q179_bigram_logprob" ->
+      """WITH t AS (
+        | SELECT doc_id, lang, string_split(text, ' ') AS toks
+        | FROM documents),
+        |big AS MATERIALIZED (
+        | SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |    i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS bg
+        |  FROM t)),
+        |cbi AS (SELECT w1, w2, COUNT(*) AS cbi FROM big GROUP BY 1, 2),
+        |ch AS (SELECT w1, SUM(cbi) AS ch FROM cbi GROUP BY 1),
+        |cu AS (SELECT tok AS w2, COUNT(*) AS cu FROM (
+        |  SELECT unnest(toks) AS tok FROM t) GROUP BY 1),
+        |tot AS (SELECT SUM(len(toks)) AS tot FROM t),
+        |lp AS (
+        | SELECT w1, w2,
+        |  CAST(ln(0.75 * CAST(cbi AS DOUBLE) / CAST(ch AS DOUBLE)
+        |        + 0.25 * CAST(cu AS DOUBLE) / CAST(tot AS DOUBLE))
+        |    AS DECIMAL(28,12)) AS lp
+        | FROM cbi JOIN ch USING (w1) JOIN cu USING (w2) CROSS JOIN tot),
+        |per AS (
+        | SELECT b.doc_id, COUNT(*) AS n_bigrams,
+        |  ROUND(CAST(SUM(l.lp) AS DOUBLE) / COUNT(*), 4) AS avg_logprob
+        | FROM big b JOIN lp l USING (w1, w2) GROUP BY 1)
+        |SELECT d.doc_id, d.lang, COALESCE(p.n_bigrams, 0) AS n_bigrams,
+        | p.avg_logprob
+        |FROM documents d LEFT JOIN per p USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q84_sequence_packing" ->
       """WITH t AS (

@@ -33,4 +33,33 @@ class CodecSpec extends AnyFunSuite {
     assert((head(0) & 0xff) == 0x1f && (head(1) & 0xff) == 0x8b,
       "first json part lacks the gzip magic")
   }
+
+  test("q180 writes genuine XML on disk (root/row tags + escaped text), " +
+      "and the round trip survives XML-hostile characters") {
+    SparkEntry.queries("q180_xml_roundtrip")(s, sfDir).collect()
+    val dir = sys.props("java.io.tmpdir") +
+      s"/graft_rt_xml_${graft.queries.Sinks.runToken}"
+    val ps = parts(dir).filter(_.endsWith(".xml"))
+    assert(ps.nonEmpty, s"expected .xml parts under $dir")
+    val body = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, ps.head))
+    assert(body.contains("<docs>") && body.contains("<doc>"),
+      "part file lacks the configured root/row tags")
+    assert(body.contains("<doc_id>") && body.contains("<text>"),
+      "row element lacks the column child elements")
+    // fidelity under markup characters: the corpus text is markup-free,
+    // so prove the escaping path separately on a hostile row
+    import s.implicits._
+    val hostile = Seq((1L, "a <b> & \"c\" 'd' ]]> e", "xx"))
+      .toDF("doc_id", "text", "lang")
+    val hp = java.nio.file.Files
+      .createTempDirectory("graft_xml_hostile").toString
+    hostile.write.mode("overwrite")
+      .option("rootTag", "docs").option("rowTag", "doc").xml(hp)
+    val back = s.read.schema(hostile.schema).option("rowTag", "doc")
+      .xml(hp).collect()
+    assert(back.length == 1 &&
+      back(0).getString(1) == "a <b> & \"c\" 'd' ]]> e",
+      s"XML escaping mangled the text: ${back.toSeq}")
+  }
 }
