@@ -716,6 +716,40 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Canonical-representative selection (round 14) — the step a real
+    // dedup pipeline runs AFTER q65's cluster formation: each near-dup
+    // cluster keeps its best member and drops the rest, where "best" is
+    // the q31 quality score. Selection is exact-integer end to end: the
+    // argmax compares score_u (q31's micro-unit integer — integer ORDER
+    // replaces double order, the q168 discipline) lexicographically via
+    // max(struct(score_u, −doc_id)), so ties break on LOWEST doc_id
+    // with no float comparison and no window (one map-side-combinable
+    // aggregate instead of a per-cluster sort). Output is
+    // cluster-bounded: (cluster_id, n_members, keep_doc_id, keep_score,
+    // n_dropped) for real dup groups only. Scale: rides the SAME
+    // checkpointed q29/q65 star-contraction subtree (the q81/q102
+    // sharing pattern — O(log n) contraction rounds, never all-pairs);
+    // the quality join is doc-keyed; everything above the labels is
+    // bounded by the cluster count.
+    "q181_dedup_canonical" -> ((s, dir) => {
+      val edges = jaccardPairs(s, dir)
+        .select(col("da").as("u"), col("db").as("v"))
+      val labels = Components.starContraction(edges)
+        .select(col("doc_id"), col("label").as("cluster_id"))
+      val q = qualityScored(docs(s, dir)).select(col("doc_id"),
+        col("score_u"))
+      labels.join(q, "doc_id")
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_members"),
+          max(struct(col("score_u"), (-col("doc_id")).as("nid")))
+            .as("best"))
+        .select(col("cluster_id"), col("n_members"),
+          (-col("best.nid")).as("keep_doc_id"),
+          (col("best.score_u").cast("double") / lit(1e6)).as("keep_score"),
+          (col("n_members") - 1).as("n_dropped"))
+        .orderBy("cluster_id")
+    }),
+
     // Cluster-safe train/val/test split — the leakage-integrity op: q66
     // buckets by DOC hash, so two near-duplicate docs can land in train
     // and test (exactly the contamination q81 hunts for after the fact).
@@ -2598,6 +2632,37 @@ object TextOps {
          | SELECT e.v, r.label FROM reach r JOIN und e ON e.u = r.u)
          |SELECT u AS doc_id, MIN(label) AS cluster_id FROM reach
          |GROUP BY u ORDER BY doc_id""".stripMargin,
+
+    // q65's closure chain + q31's integer quality chain; the argmax is
+    // a window ranked (score_u DESC, doc_id) so the tie rule is total
+    "q181_dedup_canonical" ->
+      s"""WITH RECURSIVE $JPAIRS_CTES,
+         |und AS (
+         | SELECT da AS u, db AS v FROM jpairs
+         | UNION ALL SELECT db, da FROM jpairs),
+         |nodes AS (SELECT DISTINCT u AS doc_id FROM und),
+         |reach AS (
+         | SELECT doc_id AS u, doc_id AS label FROM nodes
+         | UNION
+         | SELECT e.v, r.label FROM reach r JOIN und e ON e.u = r.u),
+         |labels AS (
+         | SELECT u AS doc_id, MIN(label) AS cluster_id FROM reach
+         | GROUP BY u),
+         |$QUALITY_U_CTES,
+         |m AS (
+         | SELECT l.cluster_id, l.doc_id, q.score_u
+         | FROM labels l JOIN qscore q USING (doc_id)),
+         |ranked AS (
+         | SELECT cluster_id, doc_id, score_u,
+         |  ROW_NUMBER() OVER (PARTITION BY cluster_id
+         |    ORDER BY score_u DESC, doc_id) AS rk
+         | FROM m),
+         |cn AS (SELECT cluster_id, COUNT(*) AS n_members FROM m GROUP BY 1)
+         |SELECT r.cluster_id, cn.n_members, r.doc_id AS keep_doc_id,
+         | CAST(r.score_u AS DOUBLE) / 1000000.0 AS keep_score,
+         | cn.n_members - 1 AS n_dropped
+         |FROM ranked r JOIN cn USING (cluster_id)
+         |WHERE r.rk = 1 ORDER BY r.cluster_id""".stripMargin,
 
     // independent formulation on purpose: the oracle enumerates each
     // triangle as its unique u<v<w edge triple (no degrees anywhere),

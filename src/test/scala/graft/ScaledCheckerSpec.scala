@@ -32,6 +32,7 @@ class ScaledCheckerSpec extends AnyFunSuite {
 
   private val covered = Seq(
     "q65_dedup_clusters", "q102_cluster_safe_split",
+    "q181_dedup_canonical",
     "q27_minhash_near_dup", "q148_triangle_count",
     "q167_clustering_coeff", "q172_bfs_layers",
     "q161_degree_assortativity")
@@ -66,9 +67,10 @@ class ScaledCheckerSpec extends AnyFunSuite {
     }
   }
 
-  test("check_cc_scaled PASSes q65 + q102 on the catalog dumps") {
+  test("check_cc_scaled PASSes q65 + q102 + q181 on the catalog dumps") {
     runChecker("check_cc_scaled.py",
-      Seq("q65_dedup_clusters", "q102_cluster_safe_split"))
+      Seq("q65_dedup_clusters", "q102_cluster_safe_split",
+        "q181_dedup_canonical"))
   }
 
   test("check_minhash_scaled PASSes q27 on the catalog dump") {

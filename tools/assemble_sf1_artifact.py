@@ -36,6 +36,9 @@ SOURCES = [
 EXEMPT = {
     "q65_dedup_clusters": "recursive closure CTE spills >200 GB",
     "q102_cluster_safe_split": "recursive closure CTE spills >200 GB",
+    "q181_dedup_canonical": "rides the q65 recursive closure CTE "
+                            "(spills >200 GB); the quality/argmax tail "
+                            "runs verbatim in check_cc_scaled",
     "q27_minhash_near_dup": "shingle-pair join chain spills past disk",
     "q148_triangle_count": "naive (deliberately unoriented) wedge join "
                            "spills past disk",

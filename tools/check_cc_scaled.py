@@ -134,6 +134,21 @@ def main():
     GROUP BY split, straddle_cluster_safe, straddle_doc_hash
     ORDER BY split"""
     compare("q102_cluster_safe_split", con.execute(q102_tail).df())
+
+    # q181 tail (round 14): canonical-representative selection. The
+    # committed oracle is the q65 closure + the q31 quality chain + a
+    # ranked argmax; everything EXCEPT the closure is sf1-feasible, so
+    # reuse the committed text verbatim from its quality chain onward
+    # (`qbase AS (`) with `labels` now backed by the union-find table —
+    # the same text-surgery discipline as the q65 pair cut above.
+    if "q181_dedup_canonical" in oracle and \
+            glob.glob(f"{out_dir}/q181_dedup_canonical/*.parquet"):
+        q181_sql = oracle["q181_dedup_canonical"]
+        qcut = q181_sql.index("qbase AS (")
+        q181_tail = ("WITH labels AS "
+                     "(SELECT doc_id, label AS cluster_id FROM lab),\n"
+                     + q181_sql[qcut:])
+        compare("q181_dedup_canonical", con.execute(q181_tail).df())
     sys.exit(1 if fails else 0)
 
 if __name__ == "__main__":
