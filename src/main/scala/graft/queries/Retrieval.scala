@@ -178,13 +178,28 @@ object Retrieval {
         (docsBytes + POSTING_PARTITION_DOCS_BYTES - 1) /
           POSTING_PARTITION_DOCS_BYTES).toInt)
 
-  /** [[postingPartitions]] from a corpus dir (q120/q131/q178): unknown
-    * size falls back to the session shuffle width — the pre-r14
-    * behavior, still spill-safe at every SF this repo runs. */
+  /** [[postingPartitions]] from a corpus dir (q120/q131/q178), as the
+    * width ARGUMENT for [[clusterByDoc]]: returns 0 — "inherit the
+    * session width" — unless the sizing rule BINDS (sized > session
+    * width). Below the bind point the repartition stays the numberless
+    * `repartition(col)` form, which AQE may still coalesce and which is
+    * byte-identical to the pre-r14 plan at every SF this repo measures;
+    * pinning an explicit 32 there would only disable that coalescing
+    * for nothing. Unknown table size (exotic FS) also falls back to the
+    * session width. */
   private[graft] def postingPartitionsFor(s: SparkSession,
-      dir: String): Int =
-    postingPartitions(s,
+      dir: String): Int = {
+    val floor = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val n = postingPartitions(s,
       pathBytes(s, s"$dir/documents.parquet").getOrElse(0L))
+    if (n > floor) n else 0
+  }
+
+  /** The doc-clustering exchange, width-pinned only when the caller's
+    * sizing rule bound (see [[postingPartitionsFor]]). */
+  private[graft] def clusterByDoc(df: DataFrame, parts: Int): DataFrame =
+    if (parts > 0) df.repartition(parts, col("doc_id"))
+    else df.repartition(col("doc_id"))
 
   /** q120's oracle chain through `ranked` (qid, doc_id, bm25, rnk) —
     * shared with the q131 fusion oracle, which also reuses `tf`/`qt`. */
@@ -401,13 +416,12 @@ object Retrieval {
       // + sorted 176 s for the identical sf1 stage. The sort survives
       // ONLY via bm25Score's lazy checkpoint — in-plan, EliminateSorts
       // deletes it (the aggregate above destroys its order).
-      // Width: EXPLICIT when the caller sized it from corpus bytes
-      // (postingPartitions — the r14 sort-fit rule; an explicit width
-      // also pins it past AQE coalescing), else the session default
-      // (direct scoredPostings callers at fixture scale).
-      .transform(d => if (postingParts > 0)
-        d.repartition(postingParts, col("doc_id"))
-      else d.repartition(col("doc_id")))
+      // Width: EXPLICIT only when the caller's corpus-bytes sizing rule
+      // BOUND (postingPartitionsFor — the r14 sort-fit rule; the
+      // explicit width also pins it past AQE coalescing, which is the
+      // point there); otherwise the numberless session-width form,
+      // byte-identical to the pre-r14 plan.
+      .transform(clusterByDoc(_, postingParts))
       .sortWithinPartitions("doc_id")
   }
 
@@ -494,7 +508,7 @@ object Retrieval {
       // checkpoint keeps the sort alive, same rationale, same idle-host
       // A/B numbers, same corpus-size gate, and same corpus-sized
       // partition width as scoredPostings.
-      val clustered = dt.repartition(parts, col("doc_id"))
+      val clustered = clusterByDoc(dt, parts)
       val interIn =
         if (frozen) clustered.sortWithinPartitions("doc_id")
           .localCheckpoint(false)

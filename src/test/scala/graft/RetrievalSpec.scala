@@ -345,8 +345,12 @@ class RetrievalSpec extends AnyFunSuite {
     // task count
     assert(Retrieval.postingPartitions(s, Long.MaxValue / 4) ==
       Retrieval.POSTING_PARTITION_MAX)
-    // the dir form falls back to the floor when the table is unreadable
-    assert(Retrieval.postingPartitionsFor(s, "/nonexistent/dir") == floor)
+    // the dir form returns 0 (= inherit the session width, the
+    // AQE-coalescible pre-r14 form) whenever the rule does NOT bind:
+    // unreadable table, and every SF this repo measures
+    assert(Retrieval.postingPartitionsFor(s, "/nonexistent/dir") == 0)
+    assert(Retrieval.postingPartitionsFor(s, "/root/testdata/sf0.1") == 0,
+      "the rule must be inert at bench scale")
   }
 
   test("the serving path honors an explicit layout override and " +
