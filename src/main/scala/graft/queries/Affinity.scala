@@ -119,27 +119,105 @@ object Affinity {
     // both engines divide the same exact integers as doubles and round
     // to 6 dp (the q29 convention).
     "q151_item_transitions" -> ((s, dir) => {
-      val ev = Tables(s, dir).events
-        .where(col("event_type").isin("view", "click"))
-        .select(col("user_id"), col("ts"), col("event_id"),
-          get_json_object(col("props"), "$.k").cast("long").as("item"))
-        .where(col("item").isNotNull)
-      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-      val steps = ev
-        .withColumn("dst", lead("item", 1).over(w))
-        .withColumn("dst_ts", lead("ts", 1).over(w))
-        .where(col("dst").isNotNull &&
-          unix_micros(col("dst_ts"))
-            <= unix_micros(col("ts")) + TRANS_GAP_MIN * 60L * 1000000L)
-      val t = steps.groupBy(col("item").as("src"), col("dst"))
-        .agg(count(lit(1)).as("n"))
+      val t = transitionCounts(s, dir)
       val ws = Window.partitionBy("src")
       t.select(col("src"), col("dst"), col("n"),
           round(col("n").cast("double") /
             sum("n").over(ws).cast("double"), 6).as("p"))
         .orderBy("src", "dst")
     }),
+
+    // HITS hubs & authorities (Kleinberg JACM'99, round 14) over the
+    // q151 transition DIGRAPH — link analysis with a genuinely
+    // asymmetric signal, where q104's PageRank (undirected similarity
+    // graph) has none: an AUTHORITY is an item sessions converge ON
+    // (weighted in-links from good hubs), a HUB is an item sessions
+    // fan out FROM. Fixed ROUNDS mutual-recursion in integer quanta:
+    //   a_i ← Σ_{(s→i, n)} n·h_s,   h_i ← Σ_{(i→d, n)} n·a_d,
+    // each half-round max-normalized back to SCALE via exact integral
+    // division ((raw·SCALE) div max, the q104 quanta discipline — no
+    // float anywhere until the output boundary, which stays integer
+    // too). ROUNDS = 8 is plenty: power iteration on this graph's
+    // principal eigengap, and the oracle unrolls the SAME 8 rounds, so
+    // convergence is not a correctness question (the q158 80-round
+    // precedent). Scale shape: the transition relation is cut ONCE
+    // (eager checkpoint, 2·ROUNDS consumers); each half-round is one
+    // edge-shuffle + a map-side-combined groupBy + a 1-row broadcast
+    // max (J2); carried frames ride Fixpoint.checkpointRound so plan
+    // stats stay bounded at any depth. The final global rank window
+    // runs over the NODE table (item catalog — bounded; never the
+    // event log). OVERFLOW CEILING (the bm25 dlBroadcastable
+    // discipline): n·hq ≤ n·10⁶ must fit a long per edge and the
+    // per-node sum rides DECIMAL(38,0) through the normalize, so edge
+    // counts to ~10¹² are exact — any SF this repo runs and then some;
+    // past that, drop SCALE one decade per 10×.
+    "q182_item_hits" -> ((s, dir) => {
+      val t = transitionCounts(s, dir).localCheckpoint()
+      val nodes = t.select(col("src").as("item"))
+        .unionByName(t.select(col("dst").as("item"))).distinct()
+        .localCheckpoint()
+      var h = nodes.withColumn("hq", lit(HITS_SCALE))
+      var a = h.withColumnRenamed("hq", "aq")
+      def normalized(raw: DataFrame, out: String, round: Int): DataFrame = {
+        val all = Fixpoint.checkpointRound(
+          nodes.join(raw, Seq("item"), "left")
+            .select(col("item"), coalesce(col("raw"), lit(0L)).as("raw")),
+          round)
+        all.crossJoin(broadcast(all.agg(max("raw").as("mx"))))
+          .select(col("item"),
+            expr(s"CAST(raw AS DECIMAL(38,0)) * $HITS_SCALE div mx")
+              .as(out))
+      }
+      for (r <- 1 to HITS_ROUNDS) {
+        a = normalized(
+          t.join(h.select(col("item").as("src"), col("hq")), "src")
+            .groupBy(col("dst").as("item"))
+            .agg(sum(col("n") * col("hq")).as("raw")),
+          "aq", 2 * r - 1)
+        h = normalized(
+          t.join(a.select(col("item").as("dst"), col("aq")), "dst")
+            .groupBy(col("src").as("item"))
+            .agg(sum(col("n") * col("aq")).as("raw")),
+          "hq", 2 * r)
+      }
+      a.join(h, "item")
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("aq").desc, col("hq").desc, col("item"))))
+        .where(col("rnk") <= HITS_TOPK)
+        .select(col("rnk").cast("long").as("rnk"), col("item"),
+          col("aq"), col("hq"))
+        .orderBy("rnk")
+    }),
   )
+
+  /** The (src, dst, n) transition-count digraph — q151's subtree,
+    * factored (round 14) so q182's HITS reads the IDENTICAL graph and
+    * the two can never drift. One window pass per user (hot-user story
+    * in the q151 scaladoc), gap-gated, then a (src, dst) aggregate
+    * bounded by |catalog|². */
+  private[graft] def transitionCounts(s: SparkSession,
+      dir: String): DataFrame = {
+    val ev = Tables(s, dir).events
+      .where(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"))
+      .where(col("item").isNotNull)
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    ev.withColumn("dst", lead("item", 1).over(w))
+      .withColumn("dst_ts", lead("ts", 1).over(w))
+      .where(col("dst").isNotNull &&
+        unix_micros(col("dst_ts"))
+          <= unix_micros(col("ts")) + TRANS_GAP_MIN * 60L * 1000000L)
+      .groupBy(col("item").as("src"), col("dst"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** q182 geometry: fixed HITS power-iteration depth, the integer
+    * quanta scale (scores live in [0, SCALE] after each max-normalize),
+    * and the report size. */
+  private[graft] val HITS_ROUNDS = 8
+  private[graft] val HITS_SCALE = 1000000L
+  private[graft] val HITS_TOPK = 20
 
   def oracles: Map[String, String] = Map(
 
@@ -179,27 +257,72 @@ object Affinity {
          |FROM r WHERE rnk <= $TOP_CO ORDER BY item, rnk""".stripMargin,
 
     "q151_item_transitions" ->
-      s"""WITH e AS (
-         | SELECT user_id, ts, event_id,
-         |  CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item
-         | FROM events
-         | WHERE event_type IN ('view', 'click')
-         |  AND json_extract_string(props, '$$.k') IS NOT NULL),
-         |nx AS (
-         | SELECT item AS src, ts,
-         |  LEAD(item) OVER (PARTITION BY user_id
-         |                   ORDER BY ts, event_id) AS dst,
-         |  LEAD(ts) OVER (PARTITION BY user_id
-         |                 ORDER BY ts, event_id) AS dst_ts
-         | FROM e),
-         |t AS (
-         | SELECT src, dst, COUNT(*) AS n FROM nx
-         | WHERE dst IS NOT NULL
-         |  AND dst_ts <= ts + INTERVAL '$TRANS_GAP_MIN minutes'
-         | GROUP BY 1, 2)
+      s"""WITH $TRANS_CTES
          |SELECT src, dst, n,
          | ROUND(CAST(n AS DOUBLE)
          |       / CAST(SUM(n) OVER (PARTITION BY src) AS DOUBLE), 6) AS p
          |FROM t ORDER BY src, dst""".stripMargin,
+
+    // the same 8 rounds the engine runs, unrolled (the q158 80-round
+    // precedent): each half-round is a weighted in/out sum off the
+    // PREVIOUS stage plus an exact integral max-normalize in HUGEINT
+    "q182_item_hits" ->
+      s"""WITH $TRANS_CTES,
+         |nodes AS MATERIALIZED (
+         | SELECT DISTINCT item FROM (
+         |  SELECT src AS item FROM t UNION ALL SELECT dst FROM t)),
+         |h0 AS MATERIALIZED (SELECT item, $HITS_SCALE AS hq FROM nodes),
+         |${(1 to HITS_ROUNDS).map(hitsRoundSql).mkString(",\n")}
+         |SELECT * FROM (
+         | SELECT ROW_NUMBER() OVER (
+         |   ORDER BY a$HITS_ROUNDS.aq DESC, h$HITS_ROUNDS.hq DESC,
+         |            a$HITS_ROUNDS.item) AS rnk,
+         |  a$HITS_ROUNDS.item, a$HITS_ROUNDS.aq, h$HITS_ROUNDS.hq
+         | FROM a$HITS_ROUNDS JOIN h$HITS_ROUNDS USING (item))
+         |WHERE rnk <= $HITS_TOPK ORDER BY rnk""".stripMargin,
   )
+
+  /** q151/q182's shared transition-digraph CTE chain, ending in
+    * `t(src, dst, n)` — the SQL twin of [[transitionCounts]]. */
+  private val TRANS_CTES =
+    s"""e AS (
+       | SELECT user_id, ts, event_id,
+       |  CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item
+       | FROM events
+       | WHERE event_type IN ('view', 'click')
+       |  AND json_extract_string(props, '$$.k') IS NOT NULL),
+       |nx AS (
+       | SELECT item AS src, ts,
+       |  LEAD(item) OVER (PARTITION BY user_id
+       |                   ORDER BY ts, event_id) AS dst,
+       |  LEAD(ts) OVER (PARTITION BY user_id
+       |                 ORDER BY ts, event_id) AS dst_ts
+       | FROM e),
+       |t AS MATERIALIZED (
+       | SELECT src, dst, COUNT(*) AS n FROM nx
+       | WHERE dst IS NOT NULL
+       |  AND dst_ts <= ts + INTERVAL '$TRANS_GAP_MIN minutes'
+       | GROUP BY 1, 2)""".stripMargin
+
+  /** One unrolled HITS round r: authority sums off h_{r−1}, hub sums
+    * off a_r, each max-normalized back to [0, SCALE] with the exact
+    * integral form the engine uses ((raw · SCALE) div max — HUGEINT
+    * intermediate, floor division on non-negatives in both engines). */
+  private def hitsRoundSql(r: Int): String =
+    s"""ar$r AS MATERIALIZED (
+       | SELECT t.dst AS item, SUM(t.n * h.hq) AS raw
+       | FROM t JOIN h${r - 1} h ON h.item = t.src GROUP BY 1),
+       |a$r AS MATERIALIZED (
+       | SELECT n.item,
+       |  CAST(CAST(COALESCE(ar.raw, 0) AS HUGEINT) * $HITS_SCALE
+       |       // (SELECT MAX(raw) FROM ar$r) AS BIGINT) AS aq
+       | FROM nodes n LEFT JOIN ar$r ar USING (item)),
+       |hr$r AS MATERIALIZED (
+       | SELECT t.src AS item, SUM(t.n * a.aq) AS raw
+       | FROM t JOIN a$r a ON a.item = t.dst GROUP BY 1),
+       |h$r AS MATERIALIZED (
+       | SELECT n.item,
+       |  CAST(CAST(COALESCE(hr.raw, 0) AS HUGEINT) * $HITS_SCALE
+       |       // (SELECT MAX(raw) FROM hr$r) AS BIGINT) AS hq
+       | FROM nodes n LEFT JOIN hr$r hr USING (item))""".stripMargin
 }
