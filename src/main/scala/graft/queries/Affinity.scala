@@ -168,14 +168,23 @@ object Affinity {
             expr(s"CAST(raw AS DECIMAL(38,0)) * $HITS_SCALE div mx")
               .as(out))
       }
+      // The score vector is NODE-sized (item catalog) while t is
+      // EDGE-sized: broadcasting the vector into each half-round join
+      // keeps t un-shuffled for all 2·ROUNDS rounds (the only edge-
+      // sized exchange left is each groupBy's map-side-combined
+      // partial). Broadcast ceiling = |catalog| rows of (id, score) —
+      // the bm25 dim-join story; a 10⁹-item catalog flips these to
+      // plain shuffle joins and everything else survives.
       for (r <- 1 to HITS_ROUNDS) {
         a = normalized(
-          t.join(h.select(col("item").as("src"), col("hq")), "src")
+          t.join(broadcast(h.select(col("item").as("src"), col("hq"))),
+              "src")
             .groupBy(col("dst").as("item"))
             .agg(sum(col("n") * col("hq")).as("raw")),
           "aq", 2 * r - 1)
         h = normalized(
-          t.join(a.select(col("item").as("dst"), col("aq")), "dst")
+          t.join(broadcast(a.select(col("item").as("dst"), col("aq"))),
+              "dst")
             .groupBy(col("src").as("item"))
             .agg(sum(col("n") * col("aq")).as("raw")),
           "hq", 2 * r)
