@@ -157,7 +157,9 @@ object Affinity {
         .unionByName(t.select(col("dst").as("item"))).distinct()
         .localCheckpoint()
       var h = nodes.withColumn("hq", lit(HITS_SCALE))
-      var a = h.withColumnRenamed("hq", "aq")
+      // only h is seeded (the oracle's h0); a exists purely as the
+      // loop-carried output of round 1's first half (ROUNDS >= 1)
+      var a: DataFrame = null
       def normalized(raw: DataFrame, out: String, round: Int): DataFrame = {
         val all = Fixpoint.checkpointRound(
           nodes.join(raw, Seq("item"), "left")

@@ -105,18 +105,28 @@ object Retrieval {
     * span (sf1 fanoutsort: 2.27x CPU at 8g, already right-sized). */
   private[graft] val SORTED_LAYOUT_MIN_BYTES = 2L << 20
   private[graft] def sortedLayoutWorthwhile(s: SparkSession,
-      dir: String): Boolean =
-    s.conf.getOption("spark.graft.bm25.sortedLayout")
+      dir: String): Boolean = postingLayout(s, dir)._1
+
+  /** The (frozen?, clusterByDoc width) pair for a corpus dir — gate and
+    * width derive from ONE FileSystem metadata probe (getContentSummary
+    * is a recursive listing; q120/q131 were paying it twice per build
+    * for identical information — review r14). None from the probe
+    * (exotic FS, moved table): assume big — the frozen layout is the
+    * safe-at-scale default; only the small-corpus fixed cost is at
+    * stake — and let the width fall back to the session default. */
+  private[graft] def postingLayout(s: SparkSession,
+      dir: String): (Boolean, Int) = {
+    val bytes = pathBytes(s, s"$dir/documents.parquet")
+    val frozen = s.conf.getOption("spark.graft.bm25.sortedLayout")
       .getOrElse("auto") match {
       case "always" => true
       case "never"  => false
-      case _ =>
-        // None (exotic FS, moved table): assume big — the frozen layout
-        // is the safe-at-scale default; only the small-corpus fixed
-        // cost is at stake.
-        pathBytes(s, s"$dir/documents.parquet")
-          .forall(_ >= SORTED_LAYOUT_MIN_BYTES)
+      case _        => bytes.forall(_ >= SORTED_LAYOUT_MIN_BYTES)
     }
+    val floor = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val n = postingPartitions(s, bytes.getOrElse(0L))
+    (frozen, if (n > floor) n else 0)
+  }
 
   /** Serving-path layout resolution (ADVICE r13 — the q178 freeze was
     * hard-coded, leaving the documented `never` escape hatch dead on
@@ -178,22 +188,16 @@ object Retrieval {
         (docsBytes + POSTING_PARTITION_DOCS_BYTES - 1) /
           POSTING_PARTITION_DOCS_BYTES).toInt)
 
-  /** [[postingPartitions]] from a corpus dir (q120/q131/q178), as the
-    * width ARGUMENT for [[clusterByDoc]]: returns 0 — "inherit the
-    * session width" — unless the sizing rule BINDS (sized > session
-    * width). Below the bind point the repartition stays the numberless
-    * `repartition(col)` form, which AQE may still coalesce and which is
-    * byte-identical to the pre-r14 plan at every SF this repo measures;
-    * pinning an explicit 32 there would only disable that coalescing
-    * for nothing. Unknown table size (exotic FS) also falls back to the
-    * session width. */
+  /** [[postingLayout]]'s width half, as the ARGUMENT for
+    * [[clusterByDoc]]: 0 — "inherit the session width" — unless the
+    * sizing rule BINDS (sized > session width). Below the bind point
+    * the repartition stays the numberless `repartition(col)` form,
+    * which AQE may still coalesce and which is byte-identical to the
+    * pre-r14 plan at every SF this repo measures; pinning an explicit
+    * 32 there would only disable that coalescing for nothing. Unknown
+    * table size (exotic FS) also falls back to the session width. */
   private[graft] def postingPartitionsFor(s: SparkSession,
-      dir: String): Int = {
-    val floor = s.conf.get("spark.sql.shuffle.partitions").toInt
-    val n = postingPartitions(s,
-      pathBytes(s, s"$dir/documents.parquet").getOrElse(0L))
-    if (n > floor) n else 0
-  }
+      dir: String): Int = postingLayout(s, dir)._2
 
   /** The doc-clustering exchange, width-pinned only when the caller's
     * sizing rule bound (see [[postingPartitionsFor]]). */
@@ -272,9 +276,11 @@ object Retrieval {
     * readers. Still build-every-time: the cut is per-construction, not
     * memoized — Bench times it inside every sample. */
   private[graft] def bm25TopK(s: SparkSession, dir: String,
-      qmod: Int = QMOD): DataFrame =
+      qmod: Int = QMOD): DataFrame = {
+    val (frozen, parts) = postingLayout(s, dir)
     bm25TopKFromTf(tfAndQt(s, dir, qmod)._1.localCheckpoint(), qmod,
-      sortedLayoutWorthwhile(s, dir), postingPartitionsFor(s, dir))
+      frozen, parts)
+  }
 
   /** [[bm25TopK]] over a caller-materialized tf (checkpoint or parquet)
     * — q131 shares ONE tf cut across both fusion arms through this. */
@@ -494,8 +500,7 @@ object Retrieval {
       // branch now lives in its own checkpointed lineage, so the old
       // ReuseExchange dedup across arms no longer applies — without the
       // shared cut the tokenize pass would run once per arm).
-      val frozen = sortedLayoutWorthwhile(s, dir)
-      val parts = postingPartitionsFor(s, dir)
+      val (frozen, parts) = postingLayout(s, dir)
       val dt = tfAndQt(s, dir, qmod)._1.localCheckpoint()
       val qset = dt.where(col("doc_id") % qmod === 0)
         .select(col("doc_id").as("qid"), col("tok"))

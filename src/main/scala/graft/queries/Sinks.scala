@@ -134,8 +134,14 @@ object Sinks {
       docs.write.mode("overwrite")
         .option("rootTag", "docs").option("rowTag", "doc")
         .xml(path)
+      // ignoreSurroundingSpaces defaults TRUE in Spark's XML reader —
+      // it would silently trim whitespace-padded text on the way back
+      // (a reader-config mutation the hash gate would flag as writer
+      // loss). The writer emits element content verbatim, so disabling
+      // the trim makes the trip exact; CodecSpec pins it on a padded row.
       roundTripSummary(s.read.schema(docs.schema)
-        .option("rowTag", "doc").xml(path))
+        .option("rowTag", "doc")
+        .option("ignoreSurroundingSpaces", "false").xml(path))
     }),
 
     // Compression-codec round trip — at 100 TB the codec is a first-order

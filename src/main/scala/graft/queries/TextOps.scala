@@ -1994,13 +1994,21 @@ object TextOps {
     * require while silently defaulting non-numeric strings — a typo'd
     * A/B must not quietly measure the default. */
   private[graft] val CONVERGE_UNROLL_KEY = "spark.graft.converge.unroll"
-  private[graft] def convergeUnroll(s: SparkSession): Int =
+  private[graft] def convergeUnroll(s: SparkSession): Int = {
+    // transition guard: the knob was the GRAFT_UNROLL env var through
+    // round 13 — a harness still exporting it would otherwise silently
+    // measure the default, the exact failure mode the fail-loud conf
+    // parse exists to prevent.
+    if (sys.env.contains("GRAFT_UNROLL")) throw new IllegalArgumentException(
+      "GRAFT_UNROLL was replaced in round 14 — set the Spark conf " +
+        s"$CONVERGE_UNROLL_KEY (e.g. -D$CONVERGE_UNROLL_KEY=N) instead")
     s.conf.getOption(CONVERGE_UNROLL_KEY) match {
       case None => 4
       case Some(v) => v.toIntOption.filter(_ >= 1).getOrElse(
         throw new IllegalArgumentException(
           s"$CONVERGE_UNROLL_KEY must be an integer >= 1, got '$v'"))
     }
+  }
 
   /** The convergence driver, CONVERGE_UNROLL iterations per job
     * (round-10 session 2 introduced the 2-step unroll after the closing

@@ -47,19 +47,27 @@ class CodecSpec extends AnyFunSuite {
       "part file lacks the configured root/row tags")
     assert(body.contains("<doc_id>") && body.contains("<text>"),
       "row element lacks the column child elements")
-    // fidelity under markup characters: the corpus text is markup-free,
-    // so prove the escaping path separately on a hostile row
+    // fidelity under markup characters AND surrounding whitespace: the
+    // corpus text is markup-free and unpadded, so prove the escaping
+    // path and the ignoreSurroundingSpaces=false read (the reader
+    // TRIMS by default — a silent mutation the round-trip hash would
+    // misattribute to the writer) separately on hostile rows
     import s.implicits._
-    val hostile = Seq((1L, "a <b> & \"c\" 'd' ]]> e", "xx"))
+    val hostile = Seq(
+      (1L, "a <b> & \"c\" 'd' ]]> e", "xx"),
+      (2L, "  padded  both  ends \n", "xx"))
       .toDF("doc_id", "text", "lang")
     val hp = java.nio.file.Files
       .createTempDirectory("graft_xml_hostile").toString
     hostile.write.mode("overwrite")
       .option("rootTag", "docs").option("rowTag", "doc").xml(hp)
     val back = s.read.schema(hostile.schema).option("rowTag", "doc")
-      .xml(hp).collect()
-    assert(back.length == 1 &&
+      .option("ignoreSurroundingSpaces", "false")
+      .xml(hp).collect().sortBy(_.getLong(0))
+    assert(back.length == 2 &&
       back(0).getString(1) == "a <b> & \"c\" 'd' ]]> e",
       s"XML escaping mangled the text: ${back.toSeq}")
+    assert(back(1).getString(1) == "  padded  both  ends \n",
+      s"XML read trimmed surrounding whitespace: '${back(1).getString(1)}'")
   }
 }
