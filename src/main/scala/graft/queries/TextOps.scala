@@ -1082,6 +1082,10 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // (q183 geometry lives below with the other constants: QUOTA_CAP
+    // binds at every SF — 20 sources × 25–2500 docs; QUOTA_SALT bounds
+    // the pass-1 frame to the hot source's share ÷ SALT.)
+
     // Mixture report — per-(source, lang) document and character counts
     // with corpus share: the dashboard every curation run ends with
     // (what fraction of the corpus does each source contribute?). The
@@ -1098,6 +1102,44 @@ object TextOps {
           round(col("n_docs").cast("double") / col("tot_docs"), 6)
             .as("doc_share"))
         .orderBy("source", "lang")
+    }),
+
+    // Per-source quota cap (round 14) — the Common-Crawl-style curation
+    // rule that stops one domain from dominating the training mix: each
+    // source keeps at most CAP docs, best q31 quality first, ties to
+    // the LOWEST doc_id (pure integer order, the q181 rule). The
+    // ENGINE runs the scale-safe salted TWO-PASS top-K: pass 1 ranks
+    // within (source, doc_id % SALT) cells and keeps ≤ CAP per cell —
+    // the per-reducer frame is the hot source's share ÷ SALT, the
+    // q145 remedy for the one-giant-key window — and pass 2 re-ranks
+    // the ≤ SALT·CAP survivors per source. Top-K of per-cell top-Ks ≡
+    // global top-K (every global winner wins its own cell), so the
+    // ORACLE states the naive single-window form and the hash gate
+    // proves the two-pass equivalence every round (the q145/q62
+    // shared-oracle pattern). Output is source-bounded: kept counts +
+    // the kept set's worst (min) quality — the quota's effective
+    // admission bar.
+    "q183_source_quota" -> ((s, dir) => {
+      val q = qualityScored(docs(s, dir))
+        .select(col("doc_id"), col("source"), col("score_u"))
+      val w1 = Window.partitionBy(col("source"),
+          pmod(col("doc_id"), lit(QUOTA_SALT)))
+        .orderBy(col("score_u").desc, col("doc_id"))
+      val w2 = Window.partitionBy("source")
+        .orderBy(col("score_u").desc, col("doc_id"))
+      val kept = q
+        .withColumn("crk", row_number().over(w1))
+        .where(col("crk") <= QUOTA_CAP)
+        .withColumn("rk", row_number().over(w2))
+        .where(col("rk") <= QUOTA_CAP)
+      val n = q.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      n.join(kept.groupBy("source")
+          .agg(count(lit(1)).as("n_kept"), min("score_u").as("bar_u")),
+          Seq("source"))
+        .select(col("source"), col("n_docs"), col("n_kept"),
+          (col("n_docs") - col("n_kept")).as("n_dropped"),
+          (col("bar_u").cast("double") / lit(1e6)).as("admission_bar"))
+        .orderBy("source")
     }),
 
     // Language-ID heuristic (deterministic scorer): stopword hit ratio +
@@ -1839,6 +1881,13 @@ object TextOps {
   private[graft] val PR_Q          = 1000000000000L // 1e12 quanta/unit
   private[graft] val PR_TELEPORT_Q = 150000000000L  // 0.15 · PR_Q
   private[graft] val PR_TOL_NUM_Q  = 1000000000L    // 1e-3 · PR_Q
+
+  /** q183 geometry: docs kept per source (binds at every SF: 20 sources
+    * × 25–2500 docs) and the pass-1 salt width — a pure parallelism
+    * knob (any SALT ≥ 1 is hash-identical; the oracle is the unsalted
+    * single-window form). */
+  private[graft] val QUOTA_CAP  = 10
+  private[graft] val QUOTA_SALT = 8
 
   /** q158: the seed rule (doc_id ≡ 0 mod PPR_SEED_MOD — ~10 % of nodes,
     * engine-neutral), and the deeper fail-loud cap: PPR's init sits
@@ -2930,6 +2979,24 @@ object TextOps {
          |  THEN CAST(2*tp AS DOUBLE) / CAST(2*tp + fp + fn AS DOUBLE) END
          |  AS f1
          |FROM j ORDER BY cls""".stripMargin,
+
+    // the naive single-window statement of the engine's salted
+    // two-pass top-K (equivalence: every global winner wins its cell)
+    "q183_source_quota" ->
+      s"""WITH $QUALITY_U_CTES,
+         |ranked AS (
+         | SELECT doc_id, source, score_u,
+         |  ROW_NUMBER() OVER (PARTITION BY source
+         |    ORDER BY score_u DESC, doc_id) AS rk
+         | FROM qscore),
+         |kept AS (
+         | SELECT source, COUNT(*) AS n_kept, MIN(score_u) AS bar_u
+         | FROM ranked WHERE rk <= $QUOTA_CAP GROUP BY 1),
+         |n AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1)
+         |SELECT n.source, n.n_docs, k.n_kept,
+         | n.n_docs - k.n_kept AS n_dropped,
+         | CAST(k.bar_u AS DOUBLE) / 1000000.0 AS admission_bar
+         |FROM n JOIN kept k USING (source) ORDER BY n.source""".stripMargin,
 
     "q31_quality" ->
       s"""WITH $QUALITY_U_CTES
