@@ -144,13 +144,17 @@ object Affinity {
     // (eager checkpoint, 2·ROUNDS consumers); each half-round is one
     // edge-shuffle + a map-side-combined groupBy + a 1-row broadcast
     // max (J2); carried frames ride Fixpoint.checkpointRound so plan
-    // stats stay bounded at any depth. The final global rank window
-    // runs over the NODE table (item catalog — bounded; never the
-    // event log). OVERFLOW CEILING (the bm25 dlBroadcastable
-    // discipline): n·hq ≤ n·10⁶ must fit a long per edge and the
-    // per-node sum rides DECIMAL(38,0) through the normalize, so edge
-    // counts to ~10¹² are exact — any SF this repo runs and then some;
-    // past that, drop SCALE one decade per 10×.
+    // stats stay bounded at any depth. The final top-K is the
+    // distributed TakeOrderedAndProject (orderBy+limit, the q90/q118
+    // convention) with rnk derived AFTER the limit, so the only rank
+    // window runs over ≤ TOPK rows — never the node table (VERDICT
+    // r14 #3). OVERFLOW CEILING (the bm25 dlBroadcastable
+    // discipline): each edge term n·hq ≤ n·10⁶ must fit a long, and
+    // the per-node sum is lifted to DECIMAL(38,0) BEFORE aggregating
+    // (a long accumulator would wrap past ~9·10¹⁸ where the oracle's
+    // HUGEINT sum stays exact), so edge counts to ~10¹² are exact —
+    // any SF this repo runs and then some; past that, drop SCALE one
+    // decade per 10×.
     "q182_item_hits" -> ((s, dir) => {
       val t = transitionCounts(s, dir).localCheckpoint()
       val nodes = t.select(col("src").as("item"))
@@ -182,19 +186,22 @@ object Affinity {
           t.join(broadcast(h.select(col("item").as("src"), col("hq"))),
               "src")
             .groupBy(col("dst").as("item"))
-            .agg(sum(col("n") * col("hq")).as("raw")),
+            .agg(sum((col("n") * col("hq")).cast("decimal(38,0)"))
+              .as("raw")),
           "aq", 2 * r - 1)
         h = normalized(
           t.join(broadcast(a.select(col("item").as("dst"), col("aq"))),
               "dst")
             .groupBy(col("src").as("item"))
-            .agg(sum(col("n") * col("aq")).as("raw")),
+            .agg(sum((col("n") * col("aq")).cast("decimal(38,0)"))
+              .as("raw")),
           "hq", 2 * r)
       }
       a.join(h, "item")
+        .orderBy(col("aq").desc, col("hq").desc, col("item"))
+        .limit(HITS_TOPK)
         .withColumn("rnk", row_number().over(
           Window.orderBy(col("aq").desc, col("hq").desc, col("item"))))
-        .where(col("rnk") <= HITS_TOPK)
         .select(col("rnk").cast("long").as("rnk"), col("item"),
           col("aq"), col("hq"))
         .orderBy("rnk")

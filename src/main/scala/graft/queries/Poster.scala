@@ -62,6 +62,16 @@ object Poster {
   val Alt: PosterCfg =
     PosterCfg("/root/repo/fixtures/alt", 0.4, -0.7, 9, "kernel_sigma3p2", 3.2)
 
+  /** Third frozen point (round 15, VERDICT r14 #7): Default's geometry
+    * with the blur DISABLED — exercises the reference's `sigma <= 0 →
+    * identity` guard (app.py:23-24,32-33) through the FULL composite,
+    * end-to-end and hash-checked, not just at plan construction. The
+    * kernel name is a sentinel: blur2d's identity branch must never
+    * read it (no such fixture exists — a regression that re-plans the
+    * convolution fails loudly on the missing file). */
+  val ZeroBlur: PosterCfg =
+    Default.copy(kernel = "kernel_never_read_sigma0", sigma = 0.0)
+
   /** Default fixture location (external consumers: PosterScale, specs). */
   val FX: String = Default.fx
 
@@ -209,13 +219,20 @@ object Poster {
   }
 
   /** Full separable 2-D blur of a (blob_id, y, x) mask: horizontal then
-    * vertical 1-D pass (app.py:31-37). */
+    * vertical 1-D pass (app.py:31-37). The reference's `sigma <= 0 →
+    * identity` guard (app.py:23-24,32-33; SURVEY P11/O3) is decided at
+    * PLAN-BUILD time: a non-positive sigma means no kernel fixture is
+    * read and no convolution join is planned — the "blur" IS the input
+    * mask (weight 1.0 per cell), exactly the reference's passthrough. */
   private def blur2d(s: SparkSession, mask: DataFrame,
-      cfg: PosterCfg = Default): DataFrame = {
-    val k = fx(s, cfg.kernel, cfg)
-    val p1 = blurPass(mask, k, "x", col("weight"), "v1")
-    blurPass(p1, k, "y", col("weight") * col("v1"), "v2")
-  }
+      cfg: PosterCfg = Default): DataFrame =
+    if (cfg.sigma <= 0)
+      mask.select(col("blob_id"), col("y"), col("x"), lit(1.0).as("v2"))
+    else {
+      val k = fx(s, cfg.kernel, cfg)
+      val p1 = blurPass(mask, k, "x", col("weight"), "v1")
+      blurPass(p1, k, "y", col("weight") * col("v1"), "v2")
+    }
 
   /** The common [0,1]² canvas raster (shared by compositing queries). */
   private def canvas(s: SparkSession): DataFrame =
@@ -469,6 +486,16 @@ object Poster {
     // path as q53; only the PosterCfg differs.
     "q138_poster_alt" -> ((s, _) => shadowComposite(s, Alt)),
 
+    // O3 end-to-end (round 15): the SAME composite pipeline at the
+    // ZeroBlur point — the σ≤0 identity guard as a FROZEN fixture run,
+    // not a plan-construction argument. The shadow layer degenerates to
+    // the shifted raw mask (v2 ≡ 1.0); everything else — grid, PIP,
+    // shading, painter's order, the full-outer layer merge — runs
+    // unchanged, and the oracle states the identity in SQL (no kernel
+    // table anywhere in either plan; ZeroBlurSpec pins the short-circuit
+    // structurally).
+    "q186_poster_zeroblur" -> ((s, _) => shadowComposite(s, ZeroBlur)),
+
     // P8 polar→Cartesian EXECUTED (VERDICT r5 #4): recompute every vertex
     // px = cx + rr·cos(θ), py = cy + rr·sin(θ) (app.py:143-144) from the
     // fixture's frozen (angle, rr) + params (cx, cy), and pin the trig
@@ -604,23 +631,32 @@ object Poster {
        |FROM raw ORDER BY "offset"""".stripMargin
   }
 
-  /** q53/q138's SQL twin as a function of the parameter point. */
-  private def shadowCompositeSql(cfg: PosterCfg): String =
+  /** q53/q138/q186's SQL twin as a function of the parameter point. The
+    * σ≤0 branch states the reference's identity guard in SQL: p2 IS the
+    * mask at weight 1.0 — no kernel table in the plan, mirroring
+    * blur2d's plan-build short-circuit. */
+  private def shadowCompositeSql(cfg: PosterCfg): String = {
+    val blurCtes =
+      if (cfg.sigma <= 0)
+        """p2 AS (
+          | SELECT blob_id, y, x, 1.0 AS v2 FROM m)""".stripMargin
+      else
+        s"""p1 AS (
+           | SELECT m.blob_id, m.y, m.x - k."offset" AS x,
+           |        ROUND(SUM(k.weight), 9) AS v1
+           | FROM m, ${K(cfg)} k
+           | WHERE m.x - k."offset" BETWEEN 0 AND 63
+           | GROUP BY m.blob_id, m.y, m.x - k."offset"),
+           |p2 AS (
+           | SELECT p1.blob_id, p1.y - k."offset" AS y, p1.x,
+           |        ROUND(SUM(k.weight * p1.v1), 9) AS v2
+           | FROM p1, ${K(cfg)} k
+           | WHERE p1.y - k."offset" BETWEEN 0 AND 63
+           | GROUP BY p1.blob_id, p1.y - k."offset", p1.x)""".stripMargin
     s"""WITH ${CANVAS_CTES(cfg)},
        |${BLOBLAYER_CTES(cfg)},
        |m AS (SELECT blob_id, y, x FROM inside WHERE inside),
-       |p1 AS (
-       | SELECT m.blob_id, m.y, m.x - k."offset" AS x,
-       |        ROUND(SUM(k.weight), 9) AS v1
-       | FROM m, ${K(cfg)} k
-       | WHERE m.x - k."offset" BETWEEN 0 AND 63
-       | GROUP BY m.blob_id, m.y, m.x - k."offset"),
-       |p2 AS (
-       | SELECT p1.blob_id, p1.y - k."offset" AS y, p1.x,
-       |        ROUND(SUM(k.weight * p1.v1), 9) AS v2
-       | FROM p1, ${K(cfg)} k
-       | WHERE p1.y - k."offset" BETWEEN 0 AND 63
-       | GROUP BY p1.blob_id, p1.y - k."offset", p1.x),
+       |$blurCtes,
        |shifted AS (
        | SELECT blob_id, y - 1 AS y, x + 1 AS x, v2 FROM p2
        | WHERE y - 1 BETWEEN 0 AND 63 AND x + 1 BETWEEN 0 AND 63),
@@ -635,11 +671,13 @@ object Poster {
        |FROM bl FULL OUTER JOIN shadow
        |  ON bl.y = shadow.y AND bl.x = shadow.x
        |ORDER BY y, x""".stripMargin
+  }
 
   def oracles: Map[String, String] = Map(
     "q13_kernel" -> kernelSql(6.0),
     "q141_kernel_alt" -> kernelSql(Alt.sigma),
     "q138_poster_alt" -> shadowCompositeSql(Alt),
+    "q186_poster_zeroblur" -> shadowCompositeSql(ZeroBlur),
 
     "q14_palette" ->
       s"""WITH pal AS (

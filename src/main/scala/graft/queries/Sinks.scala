@@ -139,6 +139,13 @@ object Sinks {
       // (a reader-config mutation the hash gate would flag as writer
       // loss). The writer emits element content verbatim, so disabling
       // the trim makes the trip exact; CodecSpec pins it on a padded row.
+      // KNOWN LIMIT (differs from the q72/q73 siblings): XML 1.0 cannot
+      // represent control characters (U+0000-U+0008, U+000B-U+000C,
+      // U+000E-U+001F), so a corpus row containing one fails LOUDLY at
+      // WRITE time (StAX throws inside the task -> TASK_WRITE_FAILED;
+      // nothing partial is committed) rather than surfacing as the
+      // siblings' read-back hash mismatch. CodecSpec pins this exact
+      // failure mode on a U+0001 row.
       roundTripSummary(s.read.schema(docs.schema)
         .option("rowTag", "doc")
         .option("ignoreSurroundingSpaces", "false").xml(path))

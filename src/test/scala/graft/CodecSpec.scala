@@ -70,4 +70,33 @@ class CodecSpec extends AnyFunSuite {
     assert(back(1).getString(1) == "  padded  both  ends \n",
       s"XML read trimmed surrounding whitespace: '${back(1).getString(1)}'")
   }
+
+  test("q180 known limit: an XML-1.0-illegal control character fails " +
+      "LOUDLY at write time (never a silent round-trip mutation)") {
+    // XML 1.0 has no representation for U+0000-U+0008 / U+000B-U+000C /
+    // U+000E-U+001F, so this failure mode intentionally differs from the
+    // q72/q73 siblings (where a codec loss surfaces as the oracle's hash
+    // mismatch): the StAX writer throws inside the task and Spark
+    // surfaces TASK_WRITE_FAILED before anything is committed. Pin that
+    // shape — if a Spark upgrade ever starts silently dropping/entity-
+    // encoding the character instead, this test catches the contract
+    // change.
+    val s2 = TestSpark.spark
+    import s2.implicits._
+    val ctl = Seq((1L, "pre" + 1.toChar + "post", "xx"))
+      .toDF("doc_id", "text", "lang")
+    val cp = java.nio.file.Files
+      .createTempDirectory("graft_xml_ctl").toString
+    val e = intercept[org.apache.spark.SparkException] {
+      ctl.write.mode("overwrite")
+        .option("rootTag", "docs").option("rowTag", "doc").xml(cp)
+    }
+    assert(e.getMessage.contains("TASK_WRITE_FAILED"),
+      s"expected the write-time failure mode, got: ${e.getMessage.take(200)}")
+    // nothing partial committed: no part-*.xml landed
+    val leftovers = Option(new File(cp).listFiles()).getOrElse(Array())
+      .map(_.getName).filter(n => n.startsWith("part-") && n.endsWith(".xml"))
+    assert(leftovers.isEmpty, s"aborted write left committed parts: " +
+      leftovers.mkString(","))
+  }
 }

@@ -73,7 +73,11 @@ def main():
         bad = [q for q, v in c.items()
                if not (v.get("rows_match") and v.get("schema_match")
                        and v.get("hash_match")) or v.get("err")]
-        add("oracle gate (sf0.01)", "pending",
+        # Pending-with-known-failures is RED, not PENDING: the chaining
+        # contract ("exit 1 if any gate is RED") must not let a round
+        # script proceed on a last-known-failing oracle just because the
+        # current round's artifact hasn't landed yet.
+        add("oracle gate (sf0.01)", False if bad else "pending",
             f"round-{rnd} driver run pending; round {rnd - 1}: "
             f"{len(c) - len(bad)}/{len(c)} rows+schema+hash"
             + (f"; FAILING: {bad[:5]}" if bad else ""), cname)
