@@ -155,8 +155,17 @@ object Affinity {
     // HUGEINT sum stays exact), so edge counts to ~10¹² are exact —
     // any SF this repo runs and then some; past that, drop SCALE one
     // decade per 10×.
-    "q182_item_hits" -> ((s, dir) => {
-      val t = transitionCounts(s, dir).localCheckpoint()
+    "q182_item_hits" -> ((s, dir) =>
+      hitsTopK(transitionCounts(s, dir))),
+  )
+
+  /** HITS over an arbitrary (src, dst, n) transition digraph — q182's
+    * body, factored (round 15) so the STREAMING incrementally-maintained
+    * graph (EventStreams.transitionGraphPartials merge-many read) re-runs
+    * the IDENTICAL link analysis batch-side (StreamHitsSpec pins the
+    * equality); q182 stays the oracle-checked system of record. */
+  private[graft] def hitsTopK(t0: DataFrame): DataFrame = {
+      val t = t0.localCheckpoint()
       val nodes = t.select(col("src").as("item"))
         .unionByName(t.select(col("dst").as("item"))).distinct()
         .localCheckpoint()
@@ -205,8 +214,7 @@ object Affinity {
         .select(col("rnk").cast("long").as("rnk"), col("item"),
           col("aq"), col("hq"))
         .orderBy("rnk")
-    }),
-  )
+  }
 
   /** The (src, dst, n) transition-count digraph — q151's subtree,
     * factored (round 14) so q182's HITS reads the IDENTICAL graph and
