@@ -143,6 +143,24 @@ object Curation {
     // comparison field makes Spark's char-counting and DuckDB's
     // byte-counting levenshtein identical, and binary string sort orders
     // agree. Output: accepted pairs (lang, a_id, b_id, dist).
+    // Training-sequence packing manifest (round 15) — the concat-and-
+    // chunk batching every GPT-style pretraining run performs: the
+    // corpus is one doc_id-ordered token stream cut every PACK_CAP
+    // tokens, and the manifest records where each document lands
+    // (global offset, first/last packed sequence, how many sequences it
+    // spans). The ENGINE computes global offsets with the q173
+    // two-level slab prefix sum — per-slab totals (a combiner-tree
+    // aggregate), one tiny slab-count-sized running window, offsets
+    // re-joined per slab — so no window ever orders the whole corpus in
+    // one partition; the ORACLE states the naive global running sum,
+    // and the hash gate proves the slab decomposition exact every round
+    // (the q145/q183 shared-oracle pattern). PackingSpec pins slab-width
+    // invariance and the stream-contiguity invariants. Output is the
+    // per-doc manifest — corpus-sized by design (it IS the artifact a
+    // data loader consumes).
+    "q187_sequence_packing" -> ((s, dir) =>
+      packingManifest(s, dir, PACK_SLAB).orderBy("doc_id")),
+
     "q166_fuzzy_dedup" -> ((s, dir) => {
       val base = docs(s, dir).select("doc_id", "lang", "text")
       // corpus-derived twin offset (see FUZZY_OFF_SQL scaladoc): one-row
@@ -329,7 +347,60 @@ object Curation {
     }),
   )
 
+  /** q187 geometry: tokens per packed training sequence, and the slab
+    * width of the two-level prefix sum (a pure parallelism knob —
+    * PackingSpec proves width-invariance; correctness needs only
+    * slab > 0). */
+  private[graft] val PACK_CAP = 512L
+  private[graft] val PACK_SLAB = 1000L
+
+  /** q187 core, slab width exposed for the invariance spec: global
+    * token offset per doc via per-slab totals + a slab-count-sized
+    * running window + an in-slab running window — never a corpus-wide
+    * single-partition ordering. Token = split(text, " ") (the q31
+    * convention; DuckDB twin len(string_split)). */
+  private[graft] def packingManifest(s: SparkSession, dir: String,
+      slab: Long): DataFrame = {
+    require(slab > 0, s"slab width must be positive, got $slab")
+    val perDoc = docs(s, dir).select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"),
+      expr(s"doc_id div $slab").as("slab"))
+    val slabOff = perDoc.groupBy("slab").agg(sum("n_tok").as("sn"))
+      .withColumn("soff", coalesce(sum("sn").over(
+        Window.orderBy("slab")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    perDoc.join(slabOff.select("slab", "soff"), Seq("slab"))
+      .withColumn("off", col("soff") + coalesce(sum("n_tok").over(
+        Window.partitionBy("slab").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("doc_id"), col("n_tok"), col("off"),
+        expr(s"off div $PACK_CAP").as("first_seq"),
+        expr(s"(off + n_tok - 1) div $PACK_CAP").as("last_seq"))
+      .withColumn("n_seqs", col("last_seq") - col("first_seq") + 1)
+  }
+
   def oracles: Map[String, String] = Map(
+    // The NAIVE single running sum — the engine's slab decomposition
+    // must reproduce it bit-for-bit (shared-oracle equivalence).
+    "q187_sequence_packing" ->
+      s"""WITH t AS (
+         | SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+         | FROM documents),
+         |o AS (
+         | SELECT doc_id, n_tok,
+         |  -- HUGEINT -> BIGINT: DuckDB widens windowed SUM(BIGINT)
+         |  CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    AS BIGINT) AS off
+         | FROM t)
+         |SELECT doc_id, n_tok, off,
+         | off // $PACK_CAP AS first_seq,
+         | (off + n_tok - 1) // $PACK_CAP AS last_seq,
+         | ((off + n_tok - 1) // $PACK_CAP) - (off // $PACK_CAP) + 1
+         |   AS n_seqs
+         |FROM o ORDER BY doc_id""".stripMargin,
+
 
     // same planting, normalization, blocking, SNM window, and threshold;
     // DuckDB's byte-based levenshtein coincides with Spark's char-based
