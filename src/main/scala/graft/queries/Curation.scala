@@ -143,22 +143,25 @@ object Curation {
     // comparison field makes Spark's char-counting and DuckDB's
     // byte-counting levenshtein identical, and binary string sort orders
     // agree. Output: accepted pairs (lang, a_id, b_id, dist).
-    // Training-sequence packing manifest (round 15) — the concat-and-
-    // chunk batching every GPT-style pretraining run performs: the
-    // corpus is one doc_id-ordered token stream cut every PACK_CAP
-    // tokens, and the manifest records where each document lands
-    // (global offset, first/last packed sequence, how many sequences it
-    // spans). The ENGINE computes global offsets with the q173
-    // two-level slab prefix sum — per-slab totals (a combiner-tree
-    // aggregate), one tiny slab-count-sized running window, offsets
-    // re-joined per slab — so no window ever orders the whole corpus in
-    // one partition; the ORACLE states the naive global running sum,
-    // and the hash gate proves the slab decomposition exact every round
-    // (the q145/q183 shared-oracle pattern). PackingSpec pins slab-width
-    // invariance and the stream-contiguity invariants. Output is the
-    // per-doc manifest — corpus-sized by design (it IS the artifact a
-    // data loader consumes).
-    "q187_sequence_packing" -> ((s, dir) =>
+    // Packing MANIFEST (round 15) — the global-stream complement of
+    // q84's per-lang packing stats: q84 shards its running window by
+    // lang and assigns each doc to the ONE bin its start falls in
+    // (bin-level stats out; its own scale note concedes lang is a
+    // low-cardinality shard key and defers to "(lang, shard)"). This
+    // query does what the GPT-style loader actually does — ONE
+    // doc_id-ordered token stream cut every PACK_CAP tokens, documents
+    // SPLIT across cut points — and emits the per-DOC manifest (global
+    // offset, first/last packed sequence, span count). The global
+    // running sum q84 sidesteps is computed scale-safely here: the q173
+    // two-level slab prefix sum — per-slab totals (combiner tree), one
+    // slab-count-sized running window, offsets rejoined per slab — so
+    // no window ever orders the corpus in one partition; the ORACLE
+    // states the naive global running sum and the hash gate proves the
+    // slab decomposition exact every round (the q145/q183 shared-oracle
+    // pattern). PackingSpec pins slab-width invariance and stream
+    // contiguity. Output is corpus-sized by design (it IS the artifact
+    // a data loader consumes).
+    "q187_packing_manifest" -> ((s, dir) =>
       packingManifest(s, dir, PACK_SLAB).orderBy("doc_id")),
 
     "q166_fuzzy_dedup" -> ((s, dir) => {
@@ -382,7 +385,7 @@ object Curation {
   def oracles: Map[String, String] = Map(
     // The NAIVE single running sum — the engine's slab decomposition
     // must reproduce it bit-for-bit (shared-oracle equivalence).
-    "q187_sequence_packing" ->
+    "q187_packing_manifest" ->
       s"""WITH t AS (
          | SELECT doc_id,
          |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
