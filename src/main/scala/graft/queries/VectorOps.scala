@@ -104,6 +104,12 @@ object VectorOps {
   private val signs: IndexedSeq[IndexedSeq[Double]] =
     (0 until DIM).map(p => (0 until DIM).map(pos => planeSign(p, pos)))
 
+  /** Session shuffle width for fan-out-heavy pair stages (q78/q185):
+    * the explicit partition count handed to the AQE-exempt repartition
+    * that pins candidate-scoring parallelism. */
+  private def pairWidth(s: SparkSession): Int =
+    s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+
   /** Embeddings with exact float→double cast and precomputed L2 norm.
     * The coalesce pins `double NOT NULL` elements — vec_dot rejects
     * nullable elements (same contract as point_in_polygon); embedding
@@ -521,8 +527,13 @@ object VectorOps {
       .select(col("vec_id"), col("cid").as("cell"))
     val idx = s.read.schema("vec_id LONG, codes ARRAY<INT>, cell LONG")
       .parquet(path)
+    // same AQE fan-out-blindness remedy as q78's pair stage (see the
+    // comment there): pin the ADC-stage width with the uncoalescible
+    // (qid, cell) numbered repartition, or the 8-lookup scoring of
+    // ~n·nprobe·(n/K) pairs and the qid window inherit a 2-task read
     val qside = pqLut(s, dir, centsIdx).join(probes,
-      col("qid") === col("vec_id")).drop("vec_id")
+        col("qid") === col("vec_id")).drop("vec_id")
+      .repartition(pairWidth(s), col("qid"), col("cell"))
     val adq = (0 until PQ_M).map { m =>
       element_at(col("lut"),
         (element_at(col("codes"), m + 1) + lit(m * PQ_KSUB) + 1))
@@ -650,6 +661,27 @@ object VectorOps {
         .select(col("vec_id"), col("cid").as("cell"))
       val pairs = base.join(probes, "vec_id")
         .select(col("vec_id"), col("cell"), col("e"), col("nrm"))
+        // Pin the scoring-stage width (round 15, measured at sf1).
+        // Every relation here is thin (n·nprobe rows) next to the
+        // ~n·nprobe·(n/K) candidate-pair fan-out of the cell join
+        // below, so the planner broadcasts the thin sides and the
+        // WHOLE scoring pipeline — both joins, the per-pair vec_dot,
+        // and (its requirement being already satisfied) the final
+        // vec_id window — collapses into whatever stage feeds it:
+        // measured at sf1, the 2-split embeddings file scan, i.e. the
+        // 69M-dot workload on TWO tasks, and the root orderBy's
+        // range-sampling pass executed that 2-task pipeline TWICE
+        // (≈140-158 s; the q173 explode-blind-estimate lesson in join
+        // form). The numbered repartition survives planning ONLY on a
+        // key set no upstream partitioning already satisfies — hence
+        // (vec_id, cell), not vec_id alone, which EnsureRequirements
+        // elides against the probes window exchange — and
+        // REPARTITION_BY_NUM is the one shuffle AQE never coalesces.
+        // Cost: one n·nprobe-row exchange (+ the window's own 69M-thin
+        // exchange that stops being elided); win: scoring AND window
+        // run at session width. sf1: 158 -> 16.3 s (SCALE.md r15
+        // addendum).
+        .repartition(pairWidth(s), col("vec_id"), col("cell"))
         .join(idx.select(col("vec_id").as("bid"), col("cell"),
           // the read-back schema has nullable elements — re-pin the
           // `double NOT NULL` element type vec_dot requires (same
