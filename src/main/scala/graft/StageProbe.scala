@@ -27,28 +27,44 @@ object StageProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    @volatile var stages = Vector.empty[(Int, Long, Int, Long)]
+    // synchronized buffer (the listener bus delivers on its own
+    // thread); drained by waiting for the event COUNT to go quiet
+    // rather than a fixed sleep — on a loaded host the heaviest
+    // stages' events are exactly the late ones, and losing them would
+    // blind the tool to what it exists to find
+    val stages =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, Int, Long)]
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
         val i = e.stageInfo
         val wall = (for {a <- i.completionTime; b <- i.submissionTime}
           yield a - b).getOrElse(-1L)
-        stages :+= ((i.stageId, wall, i.numTasks,
+        stages.add((i.stageId, wall, i.numTasks,
           i.taskMetrics.executorRunTime))
       }
     })
+    def drainQuiet(): Unit = {
+      val deadline = System.nanoTime() + 10e9.toLong
+      var last = -1
+      while (System.nanoTime() < deadline && stages.size != last) {
+        last = stages.size
+        Thread.sleep(500)
+      }
+    }
     def run(tag: String): Unit = {
-      stages = Vector.empty
+      stages.clear()
       val t0 = System.nanoTime()
       SparkEntry.queries(qname)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       println(f"[probe] $qname $tag total " +
         f"${(System.nanoTime() - t0) / 1e9}%.2f s")
-      Thread.sleep(500) // let the listener bus drain
-      stages.sortBy(-_._2).take(12).foreach { case (id, w, t, cpu) =>
-        println(f"[stage] id=$id%-4d wall=${w / 1000.0}%8.2fs " +
-          f"tasks=$t%-4d cpuSum=${cpu / 1000.0}%8.2fs")
-      }
+      drainQuiet()
+      import scala.jdk.CollectionConverters._
+      stages.asScala.toVector.sortBy(-_._2).take(12)
+        .foreach { case (id, w, t, cpu) =>
+          println(f"[stage] id=$id%-4d wall=${w / 1000.0}%8.2fs " +
+            f"tasks=$t%-4d cpuSum=${cpu / 1000.0}%8.2fs")
+        }
     }
     run("first")
     run("second_warm")

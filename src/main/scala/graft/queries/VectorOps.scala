@@ -408,13 +408,19 @@ object VectorOps {
     * to 6 BEFORE the rank, ties to the smallest cid — rankCells' exact
     * contract, keyed by subspace. The codebook (PQ_M·PQ_KSUB = 128 rows)
     * is always a broadcast. */
+  /** Subvector↔centroid squared distance, rounded to 6 BEFORE any rank
+    * or quantization — ONE definition for the assignment (pqRankSub)
+    * and the ADC LUT (pqLut): the rounding scale and term shape are a
+    * cross-engine contract with the oracle, so two copies could drift
+    * (round-15 review finding). */
+  private def pqD2: Column = round(
+    dot(col("sub"), col("sub")) - lit(2.0) * dot(col("sub"), col("c"))
+      + dot(col("c"), col("c")), 6)
+
   private def pqRankSub(sv: DataFrame, cents: DataFrame): DataFrame = {
-    val d2 = round(
-      dot(col("sub"), col("sub")) - lit(2.0) * dot(col("sub"), col("c"))
-        + dot(col("c"), col("c")), 6)
     val w = Window.partitionBy("vec_id", "m").orderBy(col("d2"), col("cid"))
     sv.join(broadcast(cents), Seq("m"))
-      .select(col("vec_id"), col("m"), col("cid"), d2.as("d2"))
+      .select(col("vec_id"), col("m"), col("cid"), pqD2.as("d2"))
       .withColumn("rn", row_number().over(w))
   }
 
@@ -488,32 +494,31 @@ object VectorOps {
     (centsIdx, path)
   }
 
-  /** The query-side ADC lookup table, packed one row per query: 128
-    * integer-quanta distances ordered by (m·16 + idx), so the pair
-    * scorer is 8 O(1) array lookups — pdq = round(‖qsub−c‖²·10⁶), the
+  /** The query-side ADC lookup table, packed one row per query as a
+    * MAP keyed by m·PQ_KSUB + idx — pdq = round(‖qsub−c‖²·10⁶), the
     * q104/q182 integer-quanta discipline (exact, order-free sums; no
-    * float ever crosses an aggregation). */
-  private def pqLut(s: SparkSession, dir: String, centsIdx: DataFrame): DataFrame = {
-    val d2 = round(
-      dot(col("sub"), col("sub")) - lit(2.0) * dot(col("sub"), col("c"))
-        + dot(col("c"), col("c")), 6)
+    * float ever crosses an aggregation). A map, NOT a positional array
+    * (round-15 review finding): an empty Lloyd cluster leaves a
+    * subspace with < PQ_KSUB survivors, and a compacted array would
+    * silently SHIFT every later subspace's entries under the static
+    * position arithmetic — the map lookup is keyed, so surviving-idx
+    * keys (the only ones codes can reference) always resolve exactly. */
+  private def pqLut(s: SparkSession, dir: String, centsIdx: DataFrame): DataFrame =
     subvecs(emb(s, dir)).join(broadcast(centsIdx), Seq("m"))
       .select(col("vec_id").as("qid"),
-        (col("m") * PQ_KSUB + col("idx")).cast("long").as("pos"),
+        (col("m") * PQ_KSUB + col("idx")).as("pos"),
         // round AFTER the 10⁶ scale-up: a bare cast would floor the
         // 123.99999999-style wobble of double multiply to 123
-        round(d2 * lit(1e6), 0).cast("long").as("pdq"))
+        round(pqD2 * lit(1e6), 0).cast("long").as("pdq"))
       .groupBy("qid")
-      .agg(transform(
-        array_sort(collect_list(struct(col("pos"), col("pdq")))),
-        x => x.getField("pdq")).as("lut"))
-  }
+      .agg(map_from_entries(collect_list(struct(col("pos"), col("pdq"))))
+        .as("lut"))
 
   /** IVFADC candidate ranking (vec_id, bid, adq, n_cand, rn): coarse
     * multi-probe cells select candidates (never all-pairs), the PQ code
     * + LUT score them — a STATIC 8-term integer expression inside
     * whole-stage codegen, no HOF, no explode: the per-pair cost is 8
-    * array lookups on a 128-long broadcast-carried LUT instead of a
+    * keyed lookups on a ≤128-entry query-local map instead of a
     * 64-dim dot on raw vectors (the asymmetric-distance trade that makes
     * 100 TB serving RAM-resident). Rank = (adq asc, bid) — exact
     * integer order. */
@@ -536,7 +541,7 @@ object VectorOps {
       .repartition(pairWidth(s), col("qid"), col("cell"))
     val adq = (0 until PQ_M).map { m =>
       element_at(col("lut"),
-        (element_at(col("codes"), m + 1) + lit(m * PQ_KSUB) + 1))
+        element_at(col("codes"), m + 1) + lit(m * PQ_KSUB))
     }.reduce(_ + _)
     val pairs = qside
       .join(idx.select(col("vec_id").as("bid"), col("codes"), col("cell")),
@@ -716,12 +721,19 @@ object VectorOps {
     // lower fidelity the metric makes visible — the memory/recall dial
     // of the serving tier.
     "q184_pq_encode" -> ((s, dir) => {
-      val (centsIdx, _) = pqIndex(s, dir) // build once: Lloyd + persist
+      val (centsIdx, path) = pqIndex(s, dir) // build once: Lloyd + persist
       val sv = subvecs(emb(s, dir))
-      val terms = pqRankSub(sv, centsIdx).where(col("rn") === 1)
-        .select(col("vec_id"), col("m"), col("cid"))
+      // read the assignment BACK from the index the build just
+      // persisted instead of re-running the 128-way distance ranking
+      // (round-15 review finding): after the memoized build, each
+      // execution pays one thin scan + two keyed joins, not a second
+      // full assignment window
+      val terms = s.read
+        .schema("vec_id LONG, codes ARRAY<INT>, cell LONG").parquet(path)
+        .select(col("vec_id"), posexplode(col("codes")).as(Seq("m", "idx")))
+        .join(broadcast(centsIdx.select(col("m"), col("idx"), col("c"))),
+          Seq("m", "idx"))
         .join(sv, Seq("vec_id", "m"))
-        .join(broadcast(centsIdx), Seq("m", "cid"))
         .select(col("vec_id"), col("idx"), col("m"),
           round(dot(col("sub"), col("c")), 9).cast("decimal(20,9)")
             .as("pnum"),

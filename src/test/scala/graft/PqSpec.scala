@@ -40,10 +40,16 @@ class PqSpec extends AnyFunSuite {
     }
     // The build persisted a codes table partitioned by coarse cell
     // (cell=<v> directories), so a probe prunes to nprobe/K of them.
+    // Scope the check to THIS JVM's index dirs via the run token — a
+    // stale dir from a previous run must not mask a broken persist
+    // (round-15 review finding).
+    val tok = graft.queries.Sinks.runToken
     val tmp = new File(sys.props("java.io.tmpdir"))
     val idxDirs = tmp.listFiles()
-      .filter(f => f.isDirectory && f.getName.startsWith("graft_pq_index_"))
-    assert(idxDirs.nonEmpty, "no persisted PQ index directory found")
+      .filter(f => f.isDirectory &&
+        f.getName.startsWith(s"graft_pq_index_${tok}_"))
+    assert(idxDirs.nonEmpty,
+      s"no persisted PQ index directory for this JVM (token $tok)")
     val cells = idxDirs.map(d =>
       Option(d.listFiles()).getOrElse(Array.empty[File])
         .count(f => f.isDirectory && f.getName.startsWith("cell="))).max

@@ -22,8 +22,8 @@ run() { # $1 = tree, $2 = tag
 }
 for i in 1 2 3; do
   echo "=== pair $i/3 loadavg=$(cut -d' ' -f1 /proc/loadavg) ===" >&2
-  run "$A" "$(basename "$PREFIX" | sed s/^bench_only_sf0.1_//)_A${i}"
-  run "$B" "$(basename "$PREFIX" | sed s/^bench_only_sf0.1_//)_B${i}"
+  run "$A" "$(basename "$PREFIX" | sed -E 's/^bench_only_sf[0-9.]+_//')_A${i}"
+  run "$B" "$(basename "$PREFIX" | sed -E 's/^bench_only_sf[0-9.]+_//')_B${i}"
 done
 python3 - "$PREFIX" <<'EOF'
 import json, sys

@@ -16,7 +16,7 @@ done
 for i in $(seq 1 "$N"); do
   echo "=== JVM $i/$N loadavg=$(cut -d' ' -f1 /proc/loadavg) ===" >&2
   SPARK_GRAFT_SF_DIR="$SFDIR" SPARK_GRAFT_BENCH_ONLY="$QUERIES" \
-  SPARK_GRAFT_BENCH_TAG="$(basename "$PREFIX" | sed s/^bench_only_sf0.1_//)_jvm${i}" \
+  SPARK_GRAFT_BENCH_TAG="$(basename "$PREFIX" | sed -E 's/^bench_only_sf[0-9.]+_//')_jvm${i}" \
   SPARK_GRAFT_REPO=/root/repo \
   SPARK_GRAFT_CPUS=32 java $OPENS -Xmx8g \
     -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
