@@ -55,6 +55,12 @@ object VectorOps {
   /** Recall eval query-set bound: first RECALL_Q vec_ids. */
   private val RECALL_Q = 200
 
+  /** q188 sweep points: nprobe values the dial is measured at. All
+    * test SFs have n ≥ 500 ⇒ kmGeom's K ≥ 16 > max(NPS); on a corpus
+    * where K dropped below 10, the rn ≤ np filter simply saturates at
+    * all K cells (coverage 100 %) — defined, just no longer a sweep. */
+  private val SWEEP_NPS = Seq(1, 3, 5, 10)
+
   /** q125 ranking-quality depth, and the per-position discount /
     * reciprocal-rank decimals computed ONCE driver-side (12 dp) and
     * inlined as IDENTICAL CASE text in both engines (the signList
@@ -767,6 +773,65 @@ object VectorOps {
           col("n_cand"))
         .orderBy("vec_id")),
 
+    // nprobe SWEEP (round 15) — q51 grades the IVF path at ONE
+    // operating point (nprobe = kmGeom's 16%-coverage default); this
+    // query measures the whole pruning/recall dial the serving tier
+    // actually tunes: recall@1 and candidate coverage at nprobe ∈
+    // {1,3,5,10}, against the same brute truth. ONE candidate-pair
+    // pass at nprobe=10 with the probe rank retained; each smaller
+    // nprobe's best is a CONDITIONAL struct-argmax over that pass
+    // (max(struct(cos, −bid)) filtered to prn ≤ np — map-side
+    // combinable, no per-np window, no re-scoring), so the sweep costs
+    // one scoring pass + one aggregate, not 4× q69. Probes the same
+    // persisted q78 index; pair stage carries the round-15 width pin.
+    "q188_ann_nprobe_sweep" -> ((s, dir) => {
+      import s.implicits._
+      val base = emb(s, dir)
+      val (cents, path) = ivfIndex(s, dir)
+      val idx = s.read
+        .schema("vec_id LONG, e ARRAY<DOUBLE>, nrm DOUBLE, cell LONG")
+        .parquet(path)
+      val q = base.where(col("vec_id") < RECALL_Q)
+      val probes = rankCells(q.select(col("vec_id"), col("e")), cents)
+        .where(col("rn") <= SWEEP_NPS.max)
+        .select(col("vec_id"), col("cid").as("cell"), col("rn").as("prn"))
+      val pairs = q.join(probes, "vec_id")
+        .select(col("vec_id"), col("cell"), col("prn"), col("e"),
+          col("nrm"))
+        .repartition(pairWidth(s), col("vec_id"), col("cell"))
+        .join(idx.select(col("vec_id").as("bid"), col("cell"),
+          transform(col("e"), x => coalesce(x, lit(Double.NaN))).as("be"),
+          col("nrm").as("bn")), Seq("cell"))
+        .where(col("vec_id") =!= col("bid"))
+        .select(col("vec_id"), col("prn"), col("bid"),
+          round(dot(col("e"), col("be")) / (col("nrm") * col("bn")), 6)
+            .as("cos"))
+      val aggCols = SWEEP_NPS.flatMap(np => Seq(
+        max(when(col("prn") <= np,
+          struct(col("cos").as("cos"), (-col("bid")).as("nb"))))
+          .as(s"b$np"),
+        count(when(col("prn") <= np, lit(1))).as(s"c$np")))
+      val perq = pairs.groupBy("vec_id")
+        .agg(aggCols.head, aggCols.tail: _*)
+      val perNp = perq.select(col("vec_id").as("qid"),
+          explode(array(SWEEP_NPS.map(np =>
+            struct(lit(np).as("nprobe"),
+              col(s"b$np").getField("nb").as("nb"),
+              col(s"c$np").as("n_cand"))): _*)).as("r"))
+        .select(col("qid"), col("r.nprobe").as("nprobe"),
+          (-col("r.nb")).as("best"), col("r.n_cand").as("n_cand"))
+      bruteBest(s, dir, RECALL_Q)
+        .crossJoin(broadcast(SWEEP_NPS.toDF("nprobe")))
+        .join(perNp, Seq("qid", "nprobe"), "left")
+        .groupBy("nprobe")
+        .agg(count(lit(1)).as("n_queries"),
+          count(col("best")).as("n_answered"),
+          round(count(when(col("best") === col("tbest"), lit(1)))
+            .cast("double") / count(lit(1)), 4).as("recall_strict"),
+          round(avg(col("n_cand")), 4).as("avg_n_cand"))
+        .orderBy("nprobe")
+    }),
+
     // Brute-force cosine top-3 for a bounded query set (vec_id < 10) —
     // the exactness baseline every ANN variant is judged against.
     "q34_cosine_topk" -> ((s, dir) =>
@@ -1285,6 +1350,41 @@ object VectorOps {
        | FROM pads)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // The naive per-np form (one ranked/filtered pass per sweep point)
+    // — the engine's one-pass conditional-argmax must reproduce it
+    // exactly (shared-oracle equivalence, the q145/q183 convention).
+    "q188_ann_nprobe_sweep" ->
+      s"""WITH $E_CTE,
+         |$TRUTH_CTES,
+         |$IVF_CTES,
+         |svp AS (
+         | SELECT vec_id, cid AS cell, rn AS prn FROM pr
+         | WHERE rn <= ${SWEEP_NPS.max} AND vec_id < $RECALL_Q),
+         |sp AS MATERIALIZED (
+         | SELECT q.vec_id, q.prn, h.vec_id AS bid,
+         |  ROUND(list_dot_product(ea.e, eb.e) / (ea.nrm * eb.nrm), 6)
+         |    AS cos
+         | FROM svp q JOIN vhome h
+         |   ON q.cell = h.cell AND q.vec_id != h.vec_id
+         | JOIN e ea ON q.vec_id = ea.vec_id
+         | JOIN e eb ON h.vec_id = eb.vec_id)
+         |${SWEEP_NPS.map(np =>
+            s"""SELECT $np AS nprobe, COUNT(*) AS n_queries,
+               | COUNT(b.best) AS n_answered,
+               | ROUND(CAST(COUNT(*) FILTER (b.best = t.tbest) AS DOUBLE)
+               |       / COUNT(*), 4) AS recall_strict,
+               | ROUND(AVG(b.n_cand), 4) AS avg_n_cand
+               |FROM truth t LEFT JOIN (
+               | SELECT vec_id,
+               |  -- lexicographic struct max == Spark's
+               |  -- max(struct(cos, -bid)): best cos, ties to lowest bid
+               |  -(MAX(CASE WHEN prn <= $np
+               |        THEN {'cos': cos, 'nb': -bid} END).nb) AS best,
+               |  COUNT(*) FILTER (prn <= $np) AS n_cand
+               | FROM sp GROUP BY vec_id) b ON t.qid = b.vec_id"""
+              .stripMargin).mkString("\nUNION ALL\n")}
+         |ORDER BY nprobe""".stripMargin,
+
     "q184_pq_encode" ->
       s"""WITH $E_CTE,
          |$PQ_CTES
