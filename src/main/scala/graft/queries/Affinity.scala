@@ -149,12 +149,12 @@ object Affinity {
     // convention) with rnk derived AFTER the limit, so the only rank
     // window runs over ≤ TOPK rows — never the node table (VERDICT
     // r14 #3). OVERFLOW CEILING (the bm25 dlBroadcastable
-    // discipline): each edge term n·hq ≤ n·10⁶ must fit a long, and
-    // the per-node sum is lifted to DECIMAL(38,0) BEFORE aggregating
-    // (a long accumulator would wrap past ~9·10¹⁸ where the oracle's
-    // HUGEINT sum stays exact), so edge counts to ~10¹² are exact —
-    // any SF this repo runs and then some; past that, drop SCALE one
-    // decade per 10×.
+    // discipline): n is lifted to DECIMAL(38,0) BEFORE the per-edge
+    // multiply (ADVICE r15 — a long×long product would silently wrap
+    // past ~9·10¹⁸, i.e. n ≳ 10¹² edges on one key) and the sum
+    // accumulates in decimal, matching the oracle's exact HUGEINT
+    // arithmetic up to 38 digits — no per-edge long ceiling left; the
+    // remaining bound (10³⁸) is unreachable at any physical SF.
     "q182_item_hits" -> ((s, dir) =>
       hitsTopK(transitionCounts(s, dir))),
   )
@@ -195,14 +195,14 @@ object Affinity {
           t.join(broadcast(h.select(col("item").as("src"), col("hq"))),
               "src")
             .groupBy(col("dst").as("item"))
-            .agg(sum((col("n") * col("hq")).cast("decimal(38,0)"))
+            .agg(sum(col("n").cast("decimal(38,0)") * col("hq"))
               .as("raw")),
           "aq", 2 * r - 1)
         h = normalized(
           t.join(broadcast(a.select(col("item").as("dst"), col("aq"))),
               "dst")
             .groupBy(col("src").as("item"))
-            .agg(sum((col("n") * col("aq")).cast("decimal(38,0)"))
+            .agg(sum(col("n").cast("decimal(38,0)") * col("aq"))
               .as("raw")),
           "hq", 2 * r)
       }
