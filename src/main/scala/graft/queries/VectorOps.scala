@@ -268,8 +268,12 @@ object VectorOps {
     * count() is a metadata-scale scan; the identical formulas run inside
     * the oracle SQL (kk CTE), so both engines derive the same geometry
     * from the data. */
-  private[graft] def kmGeom(s: SparkSession, dir: String): (Int, Int) = {
-    val n = Tables(s, dir).embeddings.count()
+  private[graft] def kmGeom(s: SparkSession, dir: String): (Int, Int) =
+    kmGeomOf(Tables(s, dir).embeddings.count())
+
+  /** The same geometry from an explicit corpus size — q189 derives it
+    * from the BASE split's count, not the whole table's. */
+  private[graft] def kmGeomOf(n: Long): (Int, Int) = {
     val k = math.max(8, math.min(64, math.round(0.7 * math.sqrt(n.toDouble)).toInt))
     val np = math.max(3, math.round(0.16 * k).toInt)
     (k, np)
@@ -279,8 +283,13 @@ object VectorOps {
     * Init: the K vectors with the smallest h48("km:", vec_id) — a
     * deterministic hash reservoir (the q67 trick), planned as a
     * distributed TakeOrderedAndProject, never a single-partition sort. */
-  private def kmCentroids(s: SparkSession, dir: String, k: Int): DataFrame = {
-    val base = emb(s, dir).select(col("vec_id"), col("e"))
+  private def kmCentroids(s: SparkSession, dir: String, k: Int): DataFrame =
+    kmCentroidsOf(emb(s, dir).select(col("vec_id"), col("e")), k)
+
+  /** The Lloyd loop over an ARBITRARY (vec_id, e) base — factored (round
+    * 16) so q189 can train on the base split only while q68/q78 keep the
+    * whole-corpus behavior verbatim. */
+  private def kmCentroidsOf(base: DataFrame, k: Int): DataFrame = {
     var cents = base
       .withColumn("hk", h48("km:", col("vec_id").cast("string")))
       .orderBy(col("hk"), col("vec_id")).limit(k)
@@ -383,6 +392,56 @@ object VectorOps {
         .select(col("vec_id"), col("e"), col("nrm"), col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(path)
       (cents, path)
+  }
+
+  // --------------------------------- incremental IVF maintenance (q189)
+
+  /** Incremental-batch split rule: vec_id % INC_MOD == INC_REM plays the
+    * 20 % of the corpus that arrives AFTER the index was built. */
+  private[graft] val INC_MOD = 5
+  private[graft] val INC_REM = 4
+
+  /** Frozen-codebook assignment of ONE batch — the q189 append job and
+    * the q189 base build share this so the two phases cannot drift, and
+    * so IvfIncrementalSpec can pin that the append plan carries NO Lloyd
+    * update (rankCells against a checkpointed codebook only). */
+  private[graft] def incAssign(batch: DataFrame, cents: DataFrame): DataFrame =
+    batch.join(
+      rankCells(batch.select(col("vec_id"), col("e")), cents)
+        .where(col("rn") === 1)
+        .select(col("vec_id"), col("cid").as("cell")),
+      "vec_id")
+      .select(col("vec_id"), col("e"), col("nrm"), col("cell"))
+
+  private val grownIvfMemo =
+    new BuildOnceMemo[(DataFrame, String, Int)]("graft_ivf_grown")
+
+  private[graft] def grownIvfIndex(s: SparkSession, dir: String)
+      : (DataFrame, String, Int) =
+    grownIvfMemo.getOrBuild(s, dir)(buildGrownIvfIndex(s, dir))
+
+  /** Build the index on the BASE split only, then run the INCREMENTAL
+    * ingest: assign the delta batch to the FROZEN base cells (one
+    * rankCells rn=1 pass — no Lloyd re-run anywhere after the build) and
+    * append it partition-wise into the same cell-partitioned layout (new
+    * files inside existing cell=... directories; no rewrite of base
+    * files, no codebook rebuild — the maintenance loop a 100 TB serving
+    * index actually runs on every arriving batch). Geometry (K, nprobe)
+    * derives from the BASE count — frozen with the codebook, exactly
+    * what an online index does between periodic full retrains. */
+  private def buildGrownIvfIndex(s: SparkSession, dir: String)
+      : (DataFrame, String, Int) = {
+    val all = emb(s, dir)
+    val base = all.where(col("vec_id") % INC_MOD =!= INC_REM)
+    val (k, np) = kmGeomOf(base.count())
+    val cents = kmCentroidsOf(base.select(col("vec_id"), col("e")), k)
+      .localCheckpoint()
+    val path = grownIvfMemo.nextPath(dir)
+    incAssign(base, cents)
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    incAssign(all.where(col("vec_id") % INC_MOD === INC_REM), cents)
+      .write.mode("append").partitionBy("cell").parquet(path)
+    (cents, path, np)
   }
 
   // ------------------------------------------------ product quantization
@@ -832,6 +891,64 @@ object VectorOps {
         .orderBy("nprobe")
     }),
 
+    // INCREMENTAL index maintenance (round 16) — the serving tier's
+    // missing loop (VERDICT r15 #4): q78 builds once and probes many,
+    // but a production corpus GROWS between full retrains. Here the
+    // index is built on the base split (80 %: vec_id % 5 != 4), then the
+    // delta batch (20 %) is ingested incrementally — assigned to the
+    // FROZEN base cells by one rankCells pass and appended partition-
+    // wise into the existing cell directories. No Lloyd re-run, no
+    // codebook rebuild, no base-file rewrite (IvfIncrementalSpec pins
+    // all three); the q136 sketch-once/merge-many shape applied to the
+    // ANN tier. The probe then serves the GROWN index and the output
+    // grades it exactly where an append bug would show: recall split by
+    // WHERE THE TRUTH LIVES — queries whose true nearest neighbor is a
+    // DELTA vector can only be answered if the appended rows are really
+    // in the index (drop them and the delta row craters to 0 while
+    // every build-time gate stays green). Pair stage carries the
+    // round-15 width pin.
+    "q189_ivf_incremental" -> ((s, dir) => {
+      val all = emb(s, dir)
+      val (cents, path, np) = grownIvfIndex(s, dir)
+      val idx = s.read
+        .schema("vec_id LONG, e ARRAY<DOUBLE>, nrm DOUBLE, cell LONG")
+        .parquet(path)
+      val q = all.where(col("vec_id") < RECALL_Q)
+      val probes = rankCells(q.select(col("vec_id"), col("e")), cents)
+        .where(col("rn") <= np)
+        .select(col("vec_id"), col("cid").as("cell"))
+      val pairs = q.join(probes, "vec_id")
+        .select(col("vec_id"), col("cell"), col("e"), col("nrm"))
+        .repartition(pairWidth(s), col("vec_id"), col("cell"))
+        .join(idx.select(col("vec_id").as("bid"), col("cell"),
+          transform(col("e"), x => coalesce(x, lit(Double.NaN))).as("be"),
+          col("nrm").as("bn")), Seq("cell"))
+        .where(col("vec_id") =!= col("bid"))
+        .select(col("vec_id"), col("bid"),
+          round(dot(col("e"), col("be")) / (col("nrm") * col("bn")), 6)
+            .as("cos"))
+      val w = Window.partitionBy("vec_id")
+      val best = pairs
+        .withColumn("n_cand", count(lit(1)).over(w))
+        .withColumn("rn",
+          row_number().over(w.orderBy(col("cos").desc, col("bid"))))
+        .where(col("rn") === 1)
+        .select(col("vec_id").as("qid"), col("bid").as("best"),
+          col("n_cand"))
+      bruteBest(s, dir, RECALL_Q)
+        .withColumn("truth_part",
+          when(col("tbest") % INC_MOD === INC_REM, lit("delta"))
+            .otherwise(lit("base")))
+        .join(best, Seq("qid"), "left")
+        .groupBy("truth_part")
+        .agg(count(lit(1)).as("n_queries"),
+          count(col("best")).as("n_answered"),
+          round(count(when(col("best") === col("tbest"), lit(1)))
+            .cast("double") / count(lit(1)), 4).as("recall_strict"),
+          round(avg(col("n_cand")), 4).as("avg_n_cand"))
+        .orderBy("truth_part")
+    }),
+
     // Brute-force cosine top-3 for a bounded query set (vec_id < 10) —
     // the exactness baseline every ANN variant is judged against.
     "q34_cosine_topk" -> ((s, dir) =>
@@ -1187,13 +1304,18 @@ object VectorOps {
       .stripMargin
 
   /** One unrolled Lloyd iteration for the q68 oracle. */
-  private def kmIterSql(i: Int): String = {
+  private def kmIterSql(i: Int): String = kmIterSqlOn(i, "e")
+
+  /** One unrolled Lloyd iteration over an arbitrary source CTE —
+    * parameterized (round 16) so q189's oracle trains on the base split
+    * (`eb`) with the identical round algebra. */
+  private def kmIterSqlOn(i: Int, src: String): String = {
     s"""d$i AS (
        | SELECT v.vec_id, c.cid,
        |  ROUND(list_dot_product(v.e, v.e)
        |       - 2.0 * list_dot_product(v.e, c.c)
        |       + list_dot_product(c.c, c.c), 6) AS d2
-       | FROM e v CROSS JOIN c${i - 1} c),
+       | FROM $src v CROSS JOIN c${i - 1} c),
        |a$i AS (
        | SELECT vec_id, cid, d2 FROM (
        |  SELECT vec_id, cid, d2,
@@ -1204,30 +1326,32 @@ object VectorOps {
        |  SELECT a.cid, t.pos, ROUND(AVG(t.comp), 9) AS cv
        |  FROM a$i a JOIN (
        |   SELECT vec_id, generate_subscripts(e, 1) AS pos,
-       |    unnest(e) AS comp FROM e) t USING (vec_id)
+       |    unnest(e) AS comp FROM $src) t USING (vec_id)
        |  GROUP BY a.cid, t.pos)
        | GROUP BY cid)""".stripMargin
   }
 
   /** Codebook geometry in SQL — the same K/nprobe formulas kmGeom
     * evaluates in Scala, derived from the data inside the oracle. */
-  private val KK_CTE =
-    """kk AS (
+  private def kkCteOn(src: String): String =
+    s"""kk AS (
       | SELECT k, GREATEST(3, CAST(ROUND(0.16 * k, 0) AS BIGINT)) AS np
       | FROM (SELECT GREATEST(8, LEAST(64,
-      |   CAST(ROUND(0.7 * SQRT(COUNT(*)), 0) AS BIGINT))) AS k FROM e))"""
+      |   CAST(ROUND(0.7 * SQRT(COUNT(*)), 0) AS BIGINT))) AS k FROM $src))"""
       .stripMargin
+  private val KK_CTE = kkCteOn("e")
 
   /** Hash-seeded init: the K vectors with the smallest 48-bit md5 hash —
     * byte-identical to the Spark side's h48("km:", vec_id) reservoir. */
-  private val C0_CTE =
-    """c0 AS (
+  private def c0CteOn(src: String): String =
+    s"""c0 AS (
       | SELECT vec_id AS cid, e AS c FROM (
       |  SELECT vec_id, e, ROW_NUMBER() OVER (ORDER BY
       |    CAST('0x' || substr(md5('km:' || vec_id), 1, 12) AS BIGINT),
       |    vec_id) AS rn
-      |  FROM e)
+      |  FROM $src)
       | WHERE rn <= (SELECT k FROM kk))""".stripMargin
+  private val C0_CTE = c0CteOn("e")
 
   /** k-means CTE chain (c0..cN) + the multi-probe IVF best-neighbor CTEs,
     * ending in `ivf(vec_id, best, cos, n_cand)` — shared by q69 and q51. */
@@ -1384,6 +1508,59 @@ object VectorOps {
                | FROM sp GROUP BY vec_id) b ON t.qid = b.vec_id"""
               .stripMargin).mkString("\nUNION ALL\n")}
          |ORDER BY nprobe""".stripMargin,
+
+    // Lloyd runs on the BASE split only (eb); the home/probe ranking runs
+    // EVERY vector against those frozen centroids — the union of the
+    // build-time base assignment and the append-time delta assignment is
+    // exactly "assign all against the final base codebook", which is what
+    // gpr computes. Geometry (kk) also derives from eb, mirroring the
+    // frozen-with-the-codebook contract.
+    "q189_ivf_incremental" ->
+      s"""WITH $E_CTE,
+         |eb AS MATERIALIZED (
+         | SELECT * FROM e WHERE vec_id % $INC_MOD != $INC_REM),
+         |${kkCteOn("eb")},
+         |${c0CteOn("eb")},
+         |${(1 to KM_ITER).map(i => kmIterSqlOn(i, "eb")).mkString(",\n")},
+         |gpr AS MATERIALIZED (
+         | SELECT vec_id, cid, ROW_NUMBER() OVER (
+         |   PARTITION BY vec_id ORDER BY d2, cid) AS rn
+         | FROM (
+         |  SELECT v.vec_id, c.cid,
+         |   ROUND(list_dot_product(v.e, v.e)
+         |        - 2.0 * list_dot_product(v.e, c.c)
+         |        + list_dot_product(c.c, c.c), 6) AS d2
+         |  FROM e v CROSS JOIN c$KM_ITER c)),
+         |ghome AS (SELECT vec_id, cid AS cell FROM gpr WHERE rn = 1),
+         |gprobe AS (
+         | SELECT vec_id, cid AS cell FROM gpr
+         | WHERE rn <= (SELECT np FROM kk) AND vec_id < $RECALL_Q),
+         |gpairs AS (
+         | SELECT q.vec_id, h.vec_id AS bid,
+         |  ROUND(list_dot_product(ea.e, eh.e) / (ea.nrm * eh.nrm), 6)
+         |    AS cos
+         | FROM gprobe q JOIN ghome h
+         |   ON q.cell = h.cell AND q.vec_id != h.vec_id
+         | JOIN e ea ON q.vec_id = ea.vec_id
+         | JOIN e eh ON h.vec_id = eh.vec_id),
+         |gbest AS (
+         | SELECT vec_id, bid AS best, n_cand FROM (
+         |  SELECT vec_id, bid,
+         |   COUNT(*) OVER (PARTITION BY vec_id) AS n_cand,
+         |   ROW_NUMBER() OVER (PARTITION BY vec_id
+         |     ORDER BY cos DESC, bid) AS rn
+         |  FROM gpairs) WHERE rn = 1),
+         |$TRUTH_CTES
+         |SELECT
+         | CASE WHEN t.tbest % $INC_MOD = $INC_REM THEN 'delta'
+         |      ELSE 'base' END AS truth_part,
+         | COUNT(*) AS n_queries,
+         | COUNT(b.best) AS n_answered,
+         | ROUND(CAST(COUNT(*) FILTER (b.best = t.tbest) AS DOUBLE)
+         |       / COUNT(*), 4) AS recall_strict,
+         | ROUND(AVG(b.n_cand), 4) AS avg_n_cand
+         |FROM truth t LEFT JOIN gbest b ON t.qid = b.vec_id
+         |GROUP BY 1 ORDER BY truth_part""".stripMargin,
 
     "q184_pq_encode" ->
       s"""WITH $E_CTE,

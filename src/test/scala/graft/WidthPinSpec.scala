@@ -118,4 +118,10 @@ class WidthPinSpec extends AnyFunSuite {
     checkPin("q188", SparkEntry.queries("q188_ann_nprobe_sweep")(s, sfDir),
       "vec_id")
   }
+
+  test("q189 (incremental-index probe) keeps the (vec_id, cell) width " +
+      "pin through execution") {
+    checkPin("q189", SparkEntry.queries("q189_ivf_incremental")(s, sfDir),
+      "vec_id")
+  }
 }
