@@ -413,6 +413,59 @@ object VectorOps {
       "vec_id")
       .select(col("vec_id"), col("e"), col("nrm"), col("cell"))
 
+  /** The shared IVF probe pipeline (q78's serving probe and q189's
+    * grown-index probe — factored round 16 on review: the block had
+    * grown a near-verbatim copy per consumer, and its width pin is
+    * exactly the kind of contract a missed copy regresses silently at
+    * sf1): multi-probe cell ranking against a frozen codebook, the
+    * width-pinned candidate-pair scoring join, and the per-query best
+    * (cos desc, bid tiebreak) with candidate count.
+    *
+    * The `repartition(pairWidth, vec_id, cell)` is the round-15 AQE
+    * fan-out fix and lives ONLY here for this shape: every relation
+    * feeding the cell join is thin (n·nprobe rows) next to the
+    * ~n·nprobe·(n/K) candidate-pair fan-out, so the planner broadcasts
+    * the thin sides and the whole scoring pipeline — both joins, the
+    * per-pair vec_dot, and the vec_id window whose requirement the join
+    * output already satisfies — collapses into whatever stage feeds it
+    * (at sf1: the 2-split embeddings file scan, a 69M-dot workload on
+    * TWO tasks, ≈140-158 s). The numbered repartition survives planning
+    * ONLY on a key set no upstream partitioning satisfies — (vec_id,
+    * cell), not vec_id alone, which EnsureRequirements elides against
+    * the probes window exchange — and REPARTITION_BY_NUM is the one
+    * shuffle AQE never coalesces. sf1: 158 → 16.3 s (SCALE.md round-15
+    * addendum); WidthPinSpec pins the executed-plan shape in every
+    * consumer. q188 keeps its own variant (it carries the probe rank
+    * through the pair stage); q185's ADC stage shares the pin
+    * convention, not the scorer. */
+  private def ivfProbeBest(s: SparkSession, queries: DataFrame,
+      idx: DataFrame, cents: DataFrame, np: Int): DataFrame = {
+    val probes = rankCells(queries.select(col("vec_id"), col("e")), cents)
+      .where(col("rn") <= np)
+      .select(col("vec_id"), col("cid").as("cell"))
+    val pairs = queries.join(probes, "vec_id")
+      .select(col("vec_id"), col("cell"), col("e"), col("nrm"))
+      .repartition(pairWidth(s), col("vec_id"), col("cell"))
+      .join(idx.select(col("vec_id").as("bid"), col("cell"),
+        // the read-back schema has nullable elements — re-pin the
+        // `double NOT NULL` element type vec_dot requires (same NaN-arm
+        // trick as emb; components are never actually null)
+        transform(col("e"), x => coalesce(x, lit(Double.NaN))).as("be"),
+        col("nrm").as("bn")), Seq("cell"))
+      .where(col("vec_id") =!= col("bid"))
+      .select(col("vec_id"), col("bid"),
+        round(dot(col("e"), col("be")) / (col("nrm") * col("bn")), 6)
+          .as("cos"))
+    val p = Window.partitionBy("vec_id")
+    pairs
+      .withColumn("n_cand", count(lit(1)).over(p))
+      .withColumn("rn",
+        row_number().over(p.orderBy(col("cos").desc, col("bid"))))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("bid").as("best"), col("cos"),
+        col("n_cand"))
+  }
+
   private val grownIvfMemo =
     new BuildOnceMemo[(DataFrame, String, Int)]("graft_ivf_grown")
 
@@ -718,7 +771,6 @@ object VectorOps {
     // so the ORACLE IS q69's.
     "q78_ann_ivf_prebuilt" -> ((s, dir) => {
       val (_, np) = kmGeom(s, dir)
-      val base = emb(s, dir)
       val (cents, path) = ivfIndex(s, dir) // build once, memoized
       val idx = s.read
         // cell = a centroid's vec_id: LONG, like every id in the corpus —
@@ -726,51 +778,9 @@ object VectorOps {
         // dropping whole cells) once ids exceed 2^31
         .schema("vec_id LONG, e ARRAY<DOUBLE>, nrm DOUBLE, cell LONG")
         .parquet(path)
-      val probes = rankCells(base.select(col("vec_id"), col("e")), cents)
-        .where(col("rn") <= np)
-        .select(col("vec_id"), col("cid").as("cell"))
-      val pairs = base.join(probes, "vec_id")
-        .select(col("vec_id"), col("cell"), col("e"), col("nrm"))
-        // Pin the scoring-stage width (round 15, measured at sf1).
-        // Every relation here is thin (n·nprobe rows) next to the
-        // ~n·nprobe·(n/K) candidate-pair fan-out of the cell join
-        // below, so the planner broadcasts the thin sides and the
-        // WHOLE scoring pipeline — both joins, the per-pair vec_dot,
-        // and (its requirement being already satisfied) the final
-        // vec_id window — collapses into whatever stage feeds it:
-        // measured at sf1, the 2-split embeddings file scan, i.e. the
-        // 69M-dot workload on TWO tasks, and the root orderBy's
-        // range-sampling pass executed that 2-task pipeline TWICE
-        // (≈140-158 s; the q173 explode-blind-estimate lesson in join
-        // form). The numbered repartition survives planning ONLY on a
-        // key set no upstream partitioning already satisfies — hence
-        // (vec_id, cell), not vec_id alone, which EnsureRequirements
-        // elides against the probes window exchange — and
-        // REPARTITION_BY_NUM is the one shuffle AQE never coalesces.
-        // Cost: one n·nprobe-row exchange (+ the window's own 69M-thin
-        // exchange that stops being elided); win: scoring AND window
-        // run at session width. sf1: 158 -> 16.3 s (SCALE.md r15
-        // addendum).
-        .repartition(pairWidth(s), col("vec_id"), col("cell"))
-        .join(idx.select(col("vec_id").as("bid"), col("cell"),
-          // the read-back schema has nullable elements — re-pin the
-          // `double NOT NULL` element type vec_dot requires (same
-          // NaN-arm trick as emb; components are never actually null)
-          transform(col("e"), x => coalesce(x, lit(Double.NaN))).as("be"),
-          col("nrm").as("bn")), Seq("cell"))
-        .where(col("vec_id") =!= col("bid"))
-        .select(col("vec_id"), col("bid"),
-          round(dot(col("e"), col("be")) / (col("nrm") * col("bn")), 6)
-            .as("cos"))
-      val p = Window.partitionBy("vec_id")
-      pairs
-        .withColumn("n_cand", count(lit(1)).over(p))
-        .withColumn("rn",
-          row_number().over(p.orderBy(col("cos").desc, col("bid"))))
-        .where(col("rn") === 1)
-        .select(col("vec_id"), col("bid").as("best"), col("cos"),
-          col("n_cand"))
-        .orderBy("vec_id")
+      // probe = the shared width-pinned scorer (rationale + the round-15
+      // sf1 measurement at its definition)
+      ivfProbeBest(s, emb(s, dir), idx, cents, np).orderBy("vec_id")
     }),
 
     // PQ BUILD (round 15) — the vector-serving form the q68/q69/q78/q99
@@ -913,28 +923,9 @@ object VectorOps {
       val idx = s.read
         .schema("vec_id LONG, e ARRAY<DOUBLE>, nrm DOUBLE, cell LONG")
         .parquet(path)
-      val q = all.where(col("vec_id") < RECALL_Q)
-      val probes = rankCells(q.select(col("vec_id"), col("e")), cents)
-        .where(col("rn") <= np)
-        .select(col("vec_id"), col("cid").as("cell"))
-      val pairs = q.join(probes, "vec_id")
-        .select(col("vec_id"), col("cell"), col("e"), col("nrm"))
-        .repartition(pairWidth(s), col("vec_id"), col("cell"))
-        .join(idx.select(col("vec_id").as("bid"), col("cell"),
-          transform(col("e"), x => coalesce(x, lit(Double.NaN))).as("be"),
-          col("nrm").as("bn")), Seq("cell"))
-        .where(col("vec_id") =!= col("bid"))
-        .select(col("vec_id"), col("bid"),
-          round(dot(col("e"), col("be")) / (col("nrm") * col("bn")), 6)
-            .as("cos"))
-      val w = Window.partitionBy("vec_id")
-      val best = pairs
-        .withColumn("n_cand", count(lit(1)).over(w))
-        .withColumn("rn",
-          row_number().over(w.orderBy(col("cos").desc, col("bid"))))
-        .where(col("rn") === 1)
-        .select(col("vec_id").as("qid"), col("bid").as("best"),
-          col("n_cand"))
+      val best = ivfProbeBest(s, all.where(col("vec_id") < RECALL_Q),
+          idx, cents, np)
+        .select(col("vec_id").as("qid"), col("best"), col("n_cand"))
       bruteBest(s, dir, RECALL_Q)
         .withColumn("truth_part",
           when(col("tbest") % INC_MOD === INC_REM, lit("delta"))

@@ -26,14 +26,9 @@ class RerankSpec extends AnyFunSuite {
     val out = SparkEntry.queries("q190_retrieve_rerank")(s, sfDir)
       .select("qid", "doc_id", "bm25_rnk").collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
-    // rebuild the stage-1 pool through the same factored scorer
-    val (tf, _) = graft.queries.Retrieval.tfAndQt(s, sfDir)
-    val pool = graft.queries.Retrieval
-      .bm25TopKFromTf(tf.localCheckpoint(),
-        graft.queries.Retrieval.QMOD,
-        frozenSortedLayout = false)
-    // bm25TopKFromTf cuts at BM25_TOPK; recompute at RERANK_CAND via the
+    // rebuild the stage-1 pool through the same factored scorer at the
     // catalog's own stage-1 rule: rank ≤ RERANK_CAND of the same scoring
+    val (tf, _) = graft.queries.Retrieval.tfAndQt(s, sfDir)
     val cand = graft.queries.Retrieval.bm25Score(
         tf.localCheckpoint(),
         tf.where($"doc_id" % graft.queries.Retrieval.QMOD === 0)
@@ -53,7 +48,6 @@ class RerankSpec extends AnyFunSuite {
     assert(out.values.exists(_ > graft.queries.Retrieval.BM25_TOPK),
       "no final row was promoted from beyond the sparse top-10 — the " +
         "dense stage is not re-ordering anything")
-    assert(pool.count() > 0) // sanity: the shared scorer still ranks
   }
 
   test("the plan never cross-scores the corpus (keyed joins only)") {
