@@ -143,18 +143,29 @@ object Multimodal {
         (0 until 8).map(j => col(s"$a$j") * col(s"$b$j")).reduce(_ + _)
       val cos = round(
         dot8("t", "m") / (sqrt(dot8("t", "t")) * sqrt(dot8("m", "m"))), 6)
+      // The norm guard is a CONDITION inside the aggregate, not a row
+      // filter: a `.where` on these expressions gets pushed below the
+      // projections into both scans, recomputing the whole 8-regexp /
+      // 8-pool scalar map per row — measured 2× the query at sf1
+      // (~13 s of duplicated corpus-linear work). With no filter there
+      // is nothing to push; each expression is computed once in ONE
+      // projection and the gate rides the named columns. Semantics are
+      // identical to the filtered form (degenerate pairs count nowhere);
+      // the post-agg n_pairs>0 cut keeps the row set equal to the
+      // oracle's WHERE even for a hypothetical all-degenerate source.
+      val ok = dot8("m", "m") > 0 && dot8("t", "t") > 0
       media.join(text, col("doc_id") === col("vec_id"))
-        .where(dot8("m", "m") > 0 && dot8("t", "t") > 0)
-        .select(col("source"), cos.as("cos"))
+        .select(col("source"), when(ok, cos).as("cos"))
         .select(col("source"), col("cos"),
           round(col("cos") * lit(1000000.0), 0).cast("long").as("micros"))
         .groupBy("source")
-        .agg(count(lit(1)).as("n_pairs"),
+        .agg(count(col("cos")).as("n_pairs"),
           count(when(col("cos") >= ALIGN_THR, lit(1))).as("n_aligned"),
           round(count(when(col("cos") >= ALIGN_THR, lit(1)))
-            .cast("double") / count(lit(1)), 4).as("retention"),
+            .cast("double") / count(col("cos")), 4).as("retention"),
           round(sum("micros").cast("double")
-            / (count(lit(1)) * lit(1000000.0)), 6).as("avg_cos"))
+            / (count(col("cos")) * lit(1000000.0)), 6).as("avg_cos"))
+        .where(col("n_pairs") > 0)
         .orderBy("source")
     }),
 
