@@ -22,6 +22,21 @@ object ScaleDebug {
       val t0 = System.nanoTime; val r = f
       println(f"[t] $label: ${(System.nanoTime - t0) / 1e9}%.1f s"); r
     }
+    if (args.lift(1).contains("qtime")) {
+      // Generic warm-run profiler: run each named catalog query `n`
+      // times in ONE session and print per-run wall clock — separates
+      // build-once (memoized index) cost from the steady-state probe
+      // cost Bench's min-of-samples should be seeing.
+      val names = args.lift(2).map(_.split(",").toSeq).getOrElse(Nil)
+      val n = args.lift(3).map(_.toInt).getOrElse(3)
+      names.foreach { q =>
+        (1 to n).foreach { i =>
+          time(s"$q run$i")(SparkEntry.queries(q)(spark, dir)
+            .write.format("noop").mode("overwrite").save())
+        }
+      }
+      spark.stop(); return
+    }
     if (args.lift(1).contains("annrecall")) {
       // Recall of the capped vs uncapped blocked ANN where the cap BINDS
       // (the sf1 dense cluster): brute truth over the dense-cluster ids

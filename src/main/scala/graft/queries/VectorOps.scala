@@ -405,6 +405,27 @@ object VectorOps {
     * the q189 base build share this so the two phases cannot drift, and
     * so IvfIncrementalSpec can pin that the append plan carries NO Lloyd
     * update (rankCells against a checkpointed codebook only). */
+  /** The frozen-codebook home cell as a pure PROJECTION over column `e`
+    * — rankCells' exact contract (d2 rounded to 6 BEFORE the argmin,
+    * ties → smallest cid) folded into one expression against a LITERAL
+    * codebook (≤64 rows, the 37-tap-kernel literal-bound class). This is
+    * the STREAMING form of incAssign: no window, no join, no state —
+    * per-row O(K) inside whole-stage codegen — so ingest assignment
+    * needs no shuffle at all; only the downstream per-cell count is
+    * stateful. StreamIngestSpec pins row-for-row equality with
+    * incAssign on the same batch. array_min on (d2, cid) structs is the
+    * lexicographic argmin == ORDER BY d2, cid LIMIT 1. */
+  private[graft] def assignLitExpr(cents: Seq[(Long, Seq[Double])]): Column = {
+    val entries = cents.map { case (cid, c) =>
+      val cl = array(c.map(lit): _*)
+      struct(
+        round(dot(col("e"), col("e")) - lit(2.0) * dot(col("e"), cl)
+          + dot(cl, cl), 6).as("d2"),
+        lit(cid).as("cid"))
+    }
+    array_min(array(entries: _*)).getField("cid")
+  }
+
   private[graft] def incAssign(batch: DataFrame, cents: DataFrame): DataFrame =
     batch.join(
       rankCells(batch.select(col("vec_id"), col("e")), cents)
@@ -548,9 +569,15 @@ object VectorOps {
     * subspace seeds from the SAME PQ_KSUB hash-reservoir vectors (their
     * m-th slices) — one ranked limit serves all 8, and the oracle's CTE
     * stays one subquery. cid = the seeding vec_id (the q68 convention). */
-  private def pqCodebooks(s: SparkSession, dir: String): DataFrame = {
-    val sv = subvecs(emb(s, dir))
-    val seed = emb(s, dir)
+  private def pqCodebooks(s: SparkSession, dir: String): DataFrame =
+    pqCodebooksOf(emb(s, dir))
+
+  /** Parameterized on the training split (round 16, the kmCentroidsOf
+    * pattern): q184/q185 train on the whole corpus, q193 on the base
+    * split only — same round algebra, one definition. */
+  private def pqCodebooksOf(base: DataFrame): DataFrame = {
+    val sv = subvecs(base)
+    val seed = base
       .withColumn("hk", h48("pq:", col("vec_id").cast("string")))
       .orderBy(col("hk"), col("vec_id")).limit(PQ_KSUB)
       .select(col("vec_id"))
@@ -592,9 +619,12 @@ object VectorOps {
   private def pqIndex(s: SparkSession, dir: String): (DataFrame, String) =
     pqIndexMemo.getOrBuild(s, dir)(buildPqIndex(s, dir))
 
-  private def buildPqIndex(s: SparkSession, dir: String): (DataFrame, String) = {
-    val centsIdx = pqCentsIdx(pqCodebooks(s, dir)).localCheckpoint()
-    val codes = pqRankSub(subvecs(emb(s, dir)), centsIdx)
+  /** Frozen-codebook PQ encoding of ONE batch — (vec_id, codes). The
+    * build-time encode and the q193 incremental append share this (the
+    * incAssign discipline: two phases that cannot drift, and the spec
+    * can pin that the append path plans no Lloyd update). */
+  private[graft] def pqEncode(batch: DataFrame, centsIdx: DataFrame): DataFrame =
+    pqRankSub(subvecs(batch), centsIdx)
       .where(col("rn") === 1)
       .join(centsIdx.select(col("m"), col("cid"), col("idx")),
         Seq("m", "cid"))
@@ -602,12 +632,15 @@ object VectorOps {
       .agg(transform(
         array_sort(collect_list(struct(col("m"), col("idx")))),
         x => x.getField("idx")).as("codes"))
+
+  private def buildPqIndex(s: SparkSession, dir: String): (DataFrame, String) = {
+    val centsIdx = pqCentsIdx(pqCodebooks(s, dir)).localCheckpoint()
     val (_, ivfPath) = ivfIndex(s, dir) // one coarse quantizer, shared
     val home = s.read
       .schema("vec_id LONG, e ARRAY<DOUBLE>, nrm DOUBLE, cell LONG")
       .parquet(ivfPath).select(col("vec_id"), col("cell"))
     val path = pqIndexMemo.nextPath(dir)
-    codes.join(home, "vec_id")
+    pqEncode(emb(s, dir), centsIdx).join(home, "vec_id")
       .write.mode("overwrite").partitionBy("cell").parquet(path)
     (centsIdx, path)
   }
@@ -622,7 +655,10 @@ object VectorOps {
     * position arithmetic — the map lookup is keyed, so surviving-idx
     * keys (the only ones codes can reference) always resolve exactly. */
   private def pqLut(s: SparkSession, dir: String, centsIdx: DataFrame): DataFrame =
-    subvecs(emb(s, dir)).join(broadcast(centsIdx), Seq("m"))
+    pqLutOf(subvecs(emb(s, dir)), centsIdx)
+
+  private def pqLutOf(sv: DataFrame, centsIdx: DataFrame): DataFrame =
+    sv.join(broadcast(centsIdx), Seq("m"))
       .select(col("vec_id").as("qid"),
         (col("m") * PQ_KSUB + col("idx")).as("pos"),
         // round AFTER the 10⁶ scale-up: a bare cast would floor the
@@ -644,17 +680,29 @@ object VectorOps {
     val (centsIdx, path) = pqIndex(s, dir)
     val (_, np) = kmGeom(s, dir)
     val (coarseCents, _) = ivfIndex(s, dir)
-    val probes = rankCells(emb(s, dir).select(col("vec_id"), col("e")),
+    val idx = s.read.schema("vec_id LONG, codes ARRAY<INT>, cell LONG")
+      .parquet(path)
+    adcRanked(s, emb(s, dir), centsIdx, coarseCents, idx, np)
+  }
+
+  /** The shared IVFADC probe pipeline (q185's full-corpus probe and
+    * q193's grown-index probe — the ivfProbeBest factoring applied to
+    * the ADC scorer): coarse multi-probe ranking against a frozen coarse
+    * codebook, the width-pinned LUT×codes candidate join, and the exact
+    * integer ADC rank. ONE home for the scoring contract and the width
+    * pin, so a missed copy cannot silently regress either. */
+  private def adcRanked(s: SparkSession, queries: DataFrame,
+      centsIdx: DataFrame, coarseCents: DataFrame, idx: DataFrame,
+      np: Int): DataFrame = {
+    val probes = rankCells(queries.select(col("vec_id"), col("e")),
         coarseCents)
       .where(col("rn") <= np)
       .select(col("vec_id"), col("cid").as("cell"))
-    val idx = s.read.schema("vec_id LONG, codes ARRAY<INT>, cell LONG")
-      .parquet(path)
     // same AQE fan-out-blindness remedy as q78's pair stage (see the
     // comment there): pin the ADC-stage width with the uncoalescible
     // (qid, cell) numbered repartition, or the 8-lookup scoring of
     // ~n·nprobe·(n/K) pairs and the qid window inherit a 2-task read
-    val qside = pqLut(s, dir, centsIdx).join(probes,
+    val qside = pqLutOf(subvecs(queries), centsIdx).join(probes,
         col("qid") === col("vec_id")).drop("vec_id")
       .repartition(pairWidth(s), col("qid"), col("cell"))
     val adq = (0 until PQ_M).map { m =>
@@ -677,6 +725,42 @@ object VectorOps {
     pqAdcRanked(s, dir).where(col("rn") === 1)
       .select(col("vec_id"), col("bid").as("best"), col("adq"),
         col("n_cand"))
+
+  // ------------------------------ incremental PQ maintenance (q193)
+
+  private val grownPqMemo =
+    new BuildOnceMemo[(DataFrame, String)]("graft_pq_grown")
+
+  private[graft] def grownPqIndex(s: SparkSession, dir: String)
+      : (DataFrame, String) =
+    grownPqMemo.getOrBuild(s, dir)(buildGrownPqIndex(s, dir))
+
+  /** q189's maintenance loop applied to the CODES tier: subspace
+    * codebooks train on the BASE split only, the base split is encoded
+    * and persisted cell-partitioned, then the delta batch is encoded
+    * against the FROZEN codebooks (the same pqEncode the build ran — no
+    * Lloyd re-run, no codebook rebuild, no base-file rewrite) and
+    * appended partition-wise into the existing cell directories. The
+    * coarse cells come from the GROWN q189 quantizer — one base-trained
+    * coarse index for the whole incremental serving stack, exactly the
+    * IVFADC layout a production index maintains between full retrains. */
+  private def buildGrownPqIndex(s: SparkSession, dir: String)
+      : (DataFrame, String) = {
+    val all = emb(s, dir)
+    val base = all.where(col("vec_id") % INC_MOD =!= INC_REM)
+    val centsIdx = pqCentsIdx(pqCodebooksOf(base)).localCheckpoint()
+    val (_, coarsePath, _) = grownIvfIndex(s, dir)
+    val home = s.read
+      .schema("vec_id LONG, e ARRAY<DOUBLE>, nrm DOUBLE, cell LONG")
+      .parquet(coarsePath).select(col("vec_id"), col("cell"))
+    val path = grownPqMemo.nextPath(dir)
+    pqEncode(base, centsIdx).join(home, "vec_id")
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    pqEncode(all.where(col("vec_id") % INC_MOD === INC_REM), centsIdx)
+      .join(home, "vec_id")
+      .write.mode("append").partitionBy("cell").parquet(path)
+    (centsIdx, path)
+  }
 
   /** Brute-force best neighbor over the whole corpus for a bounded query
     * set — ground truth for recall@1. */
@@ -938,6 +1022,84 @@ object VectorOps {
             .cast("double") / count(lit(1)), 4).as("recall_strict"),
           round(avg(col("n_cand")), 4).as("avg_n_cand"))
         .orderBy("truth_part")
+    }),
+
+    // INCREMENTAL maintenance of the CODES tier (round 16) — q189 keeps
+    // the coarse IVF index current between retrains; this closes the
+    // same loop for the PQ serving layout q184/q185 built: codebooks
+    // frozen at base-build time, the arriving batch encoded with the
+    // SAME pqEncode the build ran and appended partition-wise into the
+    // existing cell directories (PqIncrementalSpec pins no-Lloyd /
+    // co-location / nonzero delta recall, the IvfIncrementalSpec
+    // trio). The probe is the shared width-pinned ADC scorer over the
+    // GROWN codes table — 8 integer LUT lookups per pair, never a raw
+    // vector — and the output grades recall exactly where an append bug
+    // would show: split by whether the true neighbor is a base or a
+    // delta vector (drop the appended codes and the delta row craters
+    // to 0 while every build-time gate stays green).
+    "q193_pq_incremental" -> ((s, dir) => {
+      val all = emb(s, dir)
+      val (coarseCents, _, np) = grownIvfIndex(s, dir)
+      val (centsIdx, path) = grownPqIndex(s, dir)
+      val idx = s.read.schema("vec_id LONG, codes ARRAY<INT>, cell LONG")
+        .parquet(path)
+      val best = adcRanked(s, all.where(col("vec_id") < RECALL_Q),
+          centsIdx, coarseCents, idx, np)
+        .where(col("rn") === 1)
+        .select(col("vec_id").as("qid"), col("bid").as("best"),
+          col("n_cand"))
+      bruteBest(s, dir, RECALL_Q)
+        .withColumn("truth_part",
+          when(col("tbest") % INC_MOD === INC_REM, lit("delta"))
+            .otherwise(lit("base")))
+        .join(best, Seq("qid"), "left")
+        .groupBy("truth_part")
+        .agg(count(lit(1)).as("n_queries"),
+          count(col("best")).as("n_answered"),
+          round(count(when(col("best") === col("tbest"), lit(1)))
+            .cast("double") / count(lit(1)), 4).as("recall_strict"),
+          round(avg(col("n_cand")), 4).as("avg_n_cand"))
+        .orderBy("truth_part")
+    }),
+
+    // INDEX STALENESS monitor (round 16) — the decision metric the
+    // incremental tier (q189/q193) leaves open: appended batches are
+    // served correctly, but the codebook was trained on the base split,
+    // and every append moves the data away from the frozen centroids.
+    // Per cell: population, delta share, and drift² = ‖mean(members) −
+    // frozen centroid‖² in the exact rankCells d2 algebra (rounded to 6;
+    // member-mean components rounded to 9, the Lloyd-update discipline) —
+    // the quantity a serving stack thresholds to schedule the next full
+    // retrain. Scale shape: one scan of the persisted index (the mean
+    // rides a per-dimension partial aggregate, map-side combinable), one
+    // broadcast join against the ≤64-row codebook — no shuffle wider
+    // than |cells|·dim.
+    "q194_index_staleness" -> ((s, dir) => {
+      val (cents, path, _) = grownIvfIndex(s, dir)
+      val idx = s.read
+        .schema("vec_id LONG, e ARRAY<DOUBLE>, nrm DOUBLE, cell LONG")
+        .parquet(path)
+      val stats = idx.groupBy("cell").agg(
+        count(lit(1)).as("n_total"),
+        count(when(col("vec_id") % INC_MOD === INC_REM, lit(1)))
+          .as("n_delta"))
+      val mean = idx
+        .select(col("cell"), posexplode(col("e")).as(Seq("pos", "v")))
+        .groupBy("cell", "pos").agg(round(avg("v"), 9).as("mv"))
+        .groupBy("cell")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("mv")))),
+          x => coalesce(x.getField("mv"), lit(Double.NaN))).as("mvec"))
+      stats.join(mean, "cell")
+        .join(broadcast(cents.select(col("cid").as("cell"), col("c"))),
+          "cell")
+        .select(col("cell"), col("n_total"), col("n_delta"),
+          round(col("n_delta").cast("double") / col("n_total"), 4)
+            .as("delta_frac"),
+          round(dot(col("mvec"), col("mvec"))
+            - lit(2.0) * dot(col("mvec"), col("c"))
+            + dot(col("c"), col("c")), 6).as("drift2"))
+        .orderBy("cell")
     }),
 
     // Brute-force cosine top-3 for a bounded query set (vec_id < 10) —
@@ -1382,13 +1544,17 @@ object VectorOps {
     * PQ_ITER unrolled Lloyd rounds keyed by m, the indexed codebook
     * (pqc) and the final per-(vector, subspace) code (pcodes) — the
     * DuckDB mirror of pqCodebooks/pqCentsIdx/pqRankSub. */
-  private def pqIterSql(i: Int): String =
+  /** One unrolled per-subspace Lloyd round over an arbitrary training
+    * subvector CTE — parameterized (round 16, the kmIterSqlOn pattern)
+    * so q193's oracle trains on the base split (`subb`) with the
+    * identical round algebra. */
+  private def pqIterSqlOn(i: Int, src: String): String =
     s"""pqd$i AS (
        | SELECT s.vec_id, s.m, c.cid,
        |  ROUND(list_dot_product(s.sub, s.sub)
        |       - 2.0 * list_dot_product(s.sub, c.c)
        |       + list_dot_product(c.c, c.c), 6) AS d2
-       | FROM sub s JOIN pq${i - 1} c ON s.m = c.m),
+       | FROM $src s JOIN pq${i - 1} c ON s.m = c.m),
        |pqa$i AS (
        | SELECT vec_id, m, cid FROM (
        |  SELECT vec_id, m, cid,
@@ -1399,25 +1565,37 @@ object VectorOps {
        |  SELECT a.m, a.cid, t.pos, ROUND(AVG(t.comp), 9) AS cv
        |  FROM pqa$i a JOIN (
        |   SELECT vec_id, m, generate_subscripts(sub, 1) AS pos,
-       |    unnest(sub) AS comp FROM sub) t
+       |    unnest(sub) AS comp FROM $src) t
        |    ON a.vec_id = t.vec_id AND a.m = t.m
        |  GROUP BY a.m, a.cid, t.pos)
        | GROUP BY m, cid)""".stripMargin
 
-  private lazy val PQ_CTES =
+  /** The sub CTE (all vectors' PQ slices — codes and LUTs need every
+    * vector regardless of the training split). */
+  private val SUB_CTE =
     s"""sub AS MATERIALIZED (
        | SELECT vec_id, m,
        |  e[m*$PQ_SUBDIM+1 : m*$PQ_SUBDIM+$PQ_SUBDIM] AS sub
-       | FROM e CROSS JOIN (SELECT unnest(range($PQ_M)) AS m)),
-       |pq0 AS (
-       | SELECT m, vec_id AS cid, sub AS c FROM sub
+       | FROM e CROSS JOIN (SELECT unnest(range($PQ_M)) AS m))"""
+      .stripMargin
+
+  /** Seed + PQ_ITER Lloyd rounds on (`vecSrc`, `subSrc`) + the frozen
+    * codebook (pqc), the frozen assignment of EVERY vector (pqdf), and
+    * the final codes (pcodes). Training reads only the `subSrc` slice;
+    * assignment always runs the full `sub` — for vecSrc = e the two
+    * coincide (q184/q185's original chain), for vecSrc = eb the
+    * base/delta union is exactly "encode all against the final base
+    * codebook", the q189 oracle argument applied to codes. */
+  private def pqTrainCtes(vecSrc: String, subSrc: String): String =
+    s"""pq0 AS (
+       | SELECT m, vec_id AS cid, sub AS c FROM $subSrc
        | WHERE vec_id IN (
        |  SELECT vec_id FROM (
        |   SELECT vec_id, ROW_NUMBER() OVER (ORDER BY
        |     CAST('0x' || substr(md5('pq:' || vec_id), 1, 12) AS BIGINT),
        |     vec_id) AS rn
-       |   FROM e) WHERE rn <= $PQ_KSUB)),
-       |${(1 to PQ_ITER).map(pqIterSql).mkString(",\n")},
+       |   FROM $vecSrc) WHERE rn <= $PQ_KSUB)),
+       |${(1 to PQ_ITER).map(i => pqIterSqlOn(i, subSrc)).mkString(",\n")},
        |pqc AS MATERIALIZED (
        | SELECT m, cid, c,
        |  CAST(ROW_NUMBER() OVER (PARTITION BY m ORDER BY cid) - 1 AS INT)
@@ -1438,19 +1616,25 @@ object VectorOps {
        |   FROM pqdf) WHERE rn = 1) a
        | JOIN pqc c ON a.m = c.m AND a.cid = c.cid)""".stripMargin
 
-  /** The IVFADC probe chain on top of PQ_CTES + the coarse vhome/vprobe
-    * (from IVF_CTES): integer-quanta LUT, cell-bucketed candidates, and
-    * the exact integer ADC rank — ends in `pranked`. */
-  private lazy val PQ_ADC_CTES =
+  /** q184/q185's original chain: train on the whole corpus. */
+  private lazy val PQ_CTES = s"$SUB_CTE,\n${pqTrainCtes("e", "sub")}"
+
+  /** The IVFADC probe chain on top of the PQ chain + a coarse
+    * home/probe pair: integer-quanta LUT, cell-bucketed candidates, and
+    * the exact integer ADC rank — ends in `pranked`. Parameterized
+    * (round 16) so q193 probes the grown chain (gprobe/ghome, queries
+    * restricted to the recall set) with the identical scoring text. */
+  private def pqAdcCtesOn(probe: String, home: String,
+      lutWhere: String): String =
     s"""lutq AS (
        | SELECT s.vec_id AS qid, c.m, c.cid,
        |  CAST(ROUND(ROUND(list_dot_product(s.sub, s.sub)
        |       - 2.0 * list_dot_product(s.sub, c.c)
        |       + list_dot_product(c.c, c.c), 6) * 1000000, 0) AS BIGINT)
        |    AS pdq
-       | FROM sub s JOIN pqc c ON s.m = c.m),
+       | FROM sub s JOIN pqc c ON s.m = c.m$lutWhere),
        |pcand AS (
-       | SELECT q.vec_id, h.vec_id AS bid FROM vprobe q JOIN vhome h
+       | SELECT q.vec_id, h.vec_id AS bid FROM $probe q JOIN $home h
        |   ON q.cell = h.cell AND q.vec_id != h.vec_id),
        |pads AS (
        | SELECT p.vec_id, p.bid, CAST(SUM(l.pdq) AS BIGINT) AS adq
@@ -1463,6 +1647,51 @@ object VectorOps {
        |  COUNT(*) OVER (PARTITION BY vec_id) AS n_cand,
        |  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY adq, bid) AS rn
        | FROM pads)""".stripMargin
+
+  private lazy val PQ_ADC_CTES = pqAdcCtesOn("vprobe", "vhome", "")
+
+  /** The grown-index coarse chain shared by the q189 and q193 oracles:
+    * Lloyd runs on the BASE split only (eb); the home/probe ranking runs
+    * EVERY vector against those frozen centroids — the union of the
+    * build-time base assignment and the append-time delta assignment is
+    * exactly "assign all against the final base codebook". Geometry (kk)
+    * also derives from eb, mirroring the frozen-with-the-codebook
+    * contract. Ends in ghome (all vectors) / gprobe (recall queries). */
+  private lazy val GROWN_COARSE_CTES =
+    s"""eb AS MATERIALIZED (
+       | SELECT * FROM e WHERE vec_id % $INC_MOD != $INC_REM),
+       |${kkCteOn("eb")},
+       |${c0CteOn("eb")},
+       |${(1 to KM_ITER).map(i => kmIterSqlOn(i, "eb")).mkString(",\n")},
+       |gpr AS MATERIALIZED (
+       | SELECT vec_id, cid, ROW_NUMBER() OVER (
+       |   PARTITION BY vec_id ORDER BY d2, cid) AS rn
+       | FROM (
+       |  SELECT v.vec_id, c.cid,
+       |   ROUND(list_dot_product(v.e, v.e)
+       |        - 2.0 * list_dot_product(v.e, c.c)
+       |        + list_dot_product(c.c, c.c), 6) AS d2
+       |  FROM e v CROSS JOIN c$KM_ITER c)),
+       |ghome AS (SELECT vec_id, cid AS cell FROM gpr WHERE rn = 1),
+       |gprobe AS (
+       | SELECT vec_id, cid AS cell FROM gpr
+       | WHERE rn <= (SELECT np FROM kk) AND vec_id < $RECALL_Q)"""
+      .stripMargin
+
+  /** The base/delta recall grade shared by q189/q193 — `best` must
+    * expose (vec_id, best, n_cand). */
+  private def grownGradeSql(best: String): String =
+    s"""$TRUTH_CTES
+       |SELECT
+       | CASE WHEN t.tbest % $INC_MOD = $INC_REM THEN 'delta'
+       |      ELSE 'base' END AS truth_part,
+       | COUNT(*) AS n_queries,
+       | COUNT(b.best) AS n_answered,
+       | ROUND(CAST(COUNT(*) FILTER (b.best = t.tbest) AS DOUBLE)
+       |       / COUNT(*), 4) AS recall_strict,
+       | ROUND(AVG(b.n_cand), 4) AS avg_n_cand
+       |FROM truth t LEFT JOIN $best b ON t.qid = b.vec_id
+       |GROUP BY 1 ORDER BY truth_part""".stripMargin
 
   def oracles: Map[String, String] = Map(
     // The naive per-np form (one ranked/filtered pass per sweep point)
@@ -1508,24 +1737,7 @@ object VectorOps {
     // frozen-with-the-codebook contract.
     "q189_ivf_incremental" ->
       s"""WITH $E_CTE,
-         |eb AS MATERIALIZED (
-         | SELECT * FROM e WHERE vec_id % $INC_MOD != $INC_REM),
-         |${kkCteOn("eb")},
-         |${c0CteOn("eb")},
-         |${(1 to KM_ITER).map(i => kmIterSqlOn(i, "eb")).mkString(",\n")},
-         |gpr AS MATERIALIZED (
-         | SELECT vec_id, cid, ROW_NUMBER() OVER (
-         |   PARTITION BY vec_id ORDER BY d2, cid) AS rn
-         | FROM (
-         |  SELECT v.vec_id, c.cid,
-         |   ROUND(list_dot_product(v.e, v.e)
-         |        - 2.0 * list_dot_product(v.e, c.c)
-         |        + list_dot_product(c.c, c.c), 6) AS d2
-         |  FROM e v CROSS JOIN c$KM_ITER c)),
-         |ghome AS (SELECT vec_id, cid AS cell FROM gpr WHERE rn = 1),
-         |gprobe AS (
-         | SELECT vec_id, cid AS cell FROM gpr
-         | WHERE rn <= (SELECT np FROM kk) AND vec_id < $RECALL_Q),
+         |$GROWN_COARSE_CTES,
          |gpairs AS (
          | SELECT q.vec_id, h.vec_id AS bid,
          |  ROUND(list_dot_product(ea.e, eh.e) / (ea.nrm * eh.nrm), 6)
@@ -1541,17 +1753,52 @@ object VectorOps {
          |   ROW_NUMBER() OVER (PARTITION BY vec_id
          |     ORDER BY cos DESC, bid) AS rn
          |  FROM gpairs) WHERE rn = 1),
-         |$TRUTH_CTES
-         |SELECT
-         | CASE WHEN t.tbest % $INC_MOD = $INC_REM THEN 'delta'
-         |      ELSE 'base' END AS truth_part,
-         | COUNT(*) AS n_queries,
-         | COUNT(b.best) AS n_answered,
-         | ROUND(CAST(COUNT(*) FILTER (b.best = t.tbest) AS DOUBLE)
-         |       / COUNT(*), 4) AS recall_strict,
-         | ROUND(AVG(b.n_cand), 4) AS avg_n_cand
-         |FROM truth t LEFT JOIN gbest b ON t.qid = b.vec_id
-         |GROUP BY 1 ORDER BY truth_part""".stripMargin,
+         |${grownGradeSql("gbest")}""".stripMargin,
+
+    // The q189 coarse chain + the PQ chain trained on the SAME base
+    // split (subb) + the ADC probe over the frozen-codebook codes of
+    // every vector — the oracle mirror of "append the delta codes, no
+    // Lloyd re-run" (see pqTrainCtes / GROWN_COARSE_CTES docs).
+    "q193_pq_incremental" ->
+      s"""WITH $E_CTE,
+         |$GROWN_COARSE_CTES,
+         |$SUB_CTE,
+         |subb AS (
+         | SELECT * FROM sub WHERE vec_id % $INC_MOD != $INC_REM),
+         |${pqTrainCtes("eb", "subb")},
+         |${pqAdcCtesOn("gprobe", "ghome",
+             s" WHERE s.vec_id < $RECALL_Q")},
+         |pbest AS (
+         | SELECT vec_id, bid AS best, n_cand FROM pranked WHERE rn = 1),
+         |${grownGradeSql("pbest")}""".stripMargin,
+
+    // ghome is the oracle twin of the grown index's (vec_id → cell)
+    // layout (q189's argument); the member mean re-derives kmIterSql's
+    // centroid-update algebra grouped by the FROZEN home cell, and
+    // drift² is rankCells' d2 between that mean and the frozen centroid.
+    "q194_index_staleness" ->
+      s"""WITH $E_CTE,
+         |$GROWN_COARSE_CTES,
+         |cellmean AS (
+         | SELECT cell, list(mv ORDER BY pos) AS mvec FROM (
+         |  SELECT h.cell, t.pos, ROUND(AVG(t.comp), 9) AS mv
+         |  FROM ghome h JOIN (
+         |   SELECT vec_id, generate_subscripts(e, 1) AS pos,
+         |    unnest(e) AS comp FROM e) t USING (vec_id)
+         |  GROUP BY h.cell, t.pos)
+         | GROUP BY cell),
+         |cellstats AS (
+         | SELECT cell, COUNT(*) AS n_total,
+         |  COUNT(*) FILTER (vec_id % $INC_MOD = $INC_REM) AS n_delta
+         | FROM ghome GROUP BY cell)
+         |SELECT s.cell, s.n_total, s.n_delta,
+         | ROUND(CAST(s.n_delta AS DOUBLE) / s.n_total, 4) AS delta_frac,
+         | ROUND(list_dot_product(m.mvec, m.mvec)
+         |      - 2.0 * list_dot_product(m.mvec, c.c)
+         |      + list_dot_product(c.c, c.c), 6) AS drift2
+         |FROM cellstats s JOIN cellmean m USING (cell)
+         |JOIN c$KM_ITER c ON s.cell = c.cid
+         |ORDER BY s.cell""".stripMargin,
 
     "q184_pq_encode" ->
       s"""WITH $E_CTE,

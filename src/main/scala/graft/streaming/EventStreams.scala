@@ -480,4 +480,36 @@ object EventStreams {
     s.read.parquet(dir)
       .groupBy("src", "dst")
       .agg(sum("n").as("n"))
+
+  /** A vector arriving at the serving index: Seq[Double] (not an Option
+    * type) encodes as `array<double>` with non-null elements — the
+    * vec_dot element contract. */
+  final case class StreamVec(vec_id: Long, ts: java.sql.Timestamp,
+      e: Seq[Double])
+
+  /** Streaming twin of the q189/q193 incremental INGEST assignment: new
+    * embedding batches arrive on a stream and are homed against the
+    * FROZEN coarse codebook as they pass — the assignment is
+    * VectorOps.assignLitExpr, a pure per-row projection of the
+    * rankCells (d2 round-6, ties → smallest cid) contract against the
+    * literal ≤64-row codebook, so it runs inside whole-stage codegen
+    * with NO window, NO join and NO state (StreamIngestSpec pins
+    * row-for-row equality with the batch incAssign on the same data).
+    * Only the per-(window, cell) arrival count is stateful: tumbling
+    * 1-hour windows under a 1-hour watermark, O(active windows × K)
+    * state — the ingest-rate signal the q194 staleness monitor trends
+    * on. At 100 TB the expensive part (assignment) is embarrassingly
+    * parallel; the stateful part is bounded by the codebook size. */
+  def streamingCellIngest(vecs: Dataset[StreamVec],
+      cents: Seq[(Long, Seq[Double])]): DataFrame = {
+    graft.functions.GraftExtensions.ensureRegistered(vecs.sparkSession)
+    vecs.toDF()
+      .select(col("vec_id"), col("ts"),
+        graft.queries.VectorOps.assignLitExpr(cents).as("cell"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("cell"))
+      .agg(count(lit(1)).as("n_arrived"))
+      .select(col("window.start").as("win_start"), col("cell"),
+        col("n_arrived"))
+  }
 }

@@ -124,4 +124,10 @@ class WidthPinSpec extends AnyFunSuite {
     checkPin("q189", SparkEntry.queries("q189_ivf_incremental")(s, sfDir),
       "vec_id")
   }
+
+  test("q193 (incremental-PQ probe) keeps the (qid, cell) width pin " +
+      "through execution") {
+    checkPin("q193", SparkEntry.queries("q193_pq_incremental")(s, sfDir),
+      "qid")
+  }
 }
