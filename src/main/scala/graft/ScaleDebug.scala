@@ -37,6 +37,50 @@ object ScaleDebug {
       }
       spark.stop(); return
     }
+    if (args.lift(1).contains("prplan")) {
+      // r16 optimization probe: the executed plan of ONE PageRank round
+      // (pageRank(…, 1) = prStep∘prInit) — shows whether the EDGE-sized
+      // join input pays an Exchange every round or arrives pre-hashed
+      // from the loop-invariant checkpoint.
+      val edges = graft.queries.TextOps.jaccardPairs(spark, dir)
+        .select(col("da").as("u"), col("db").as("v"))
+      val (e, degn) = graft.queries.TextOps.prGraph(edges)
+      val pr0 = graft.queries.TextOps.prInit(degn)
+        .localCheckpoint(eager = false)
+      val one = graft.queries.TextOps.prStepBody(pr0, e, degn)
+      time("pr 1 round")(one.collect())
+      // collect() on the df itself (not a write copy) so this prints the
+      // FINAL adaptive plan — the runtime join strategy, not the static
+      // SMJ the initial plan shows
+      println(one.queryExecution.executedPlan.toString)
+      spark.stop(); return
+    }
+    if (args.lift(1).contains("ckpart")) {
+      // Does repartition(col) + localCheckpoint carry HashPartitioning
+      // into the LogicalRDD under AQE (i.e. can a loop-invariant frame
+      // be pre-hashed ONCE)? Joins the checkpointed frame on the
+      // partition key and prints whether its side pays an Exchange.
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+      val base = spark.range(100000).select(col("id").as("k"),
+        (col("id") % 7).as("w"))
+      val probe = spark.range(1000).select(col("id").as("k"))
+      def show(label: String, ck: org.apache.spark.sql.DataFrame): Unit = {
+        val j = ck.join(probe, "k")
+        j.write.format("noop").mode("overwrite").save()
+        val nEx = j.queryExecution.executedPlan.toString
+          .linesIterator.count(_.contains("Exchange hashpartitioning"))
+        println(s"[ckpart] $label: $nEx hash exchanges")
+      }
+      show("lazy ckpt", base.repartition(col("k"))
+        .localCheckpoint(eager = false))
+      show("eager ckpt", base.repartition(col("k"))
+        .localCheckpoint(eager = true))
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val ckNoAqe = base.repartition(col("k")).localCheckpoint(eager = false)
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      show("lazy ckpt built with AQE off", ckNoAqe)
+      spark.stop(); return
+    }
     if (args.lift(1).contains("annrecall")) {
       // Recall of the capped vs uncapped blocked ANN where the cap BINDS
       // (the sf1 dense cluster): brute truth over the dense-cluster ids

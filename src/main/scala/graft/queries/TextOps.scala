@@ -1984,7 +1984,7 @@ object TextOps {
     * second job per round (VERDICT r8 #2). The extra join is on the
     * already-shuffled doc_id key against the previous round's
     * checkpoint, so it rides the same exchange. */
-  private def prStepBody(pr: DataFrame, edges: DataFrame,
+  private[graft] def prStepBody(pr: DataFrame, edges: DataFrame,
       degn: DataFrame): DataFrame = {
     val contrib = pr
       .select(col("doc_id").as("src_id"), col("q"), col("deg"))
@@ -2020,9 +2020,21 @@ object TextOps {
   /** The symmetrized graph: edge list + per-node degree/count table
     * (symmetrizing means every node has degree ≥ 1 — no dangling-mass
     * term). */
-  private def prGraph(pairs: DataFrame): (DataFrame, DataFrame) = {
-    val edges = pairs.select(col("u").as("src"), col("v").as("dst"))
-      .unionByName(pairs.select(col("v").as("src"), col("u").as("dst")))
+  private[graft] def prGraph(pairs: DataFrame): (DataFrame, DataFrame) = {
+    // EAGER checkpoint of the pair list BEFORE the symmetrizing union —
+    // the r11 degreeAssortativity lesson, which this builder never got:
+    // the union references `pairs` twice inside the one job that
+    // materializes `edges`, so the whole upstream jaccardPairs build
+    // (scan → shingle window → pair self-join → aggregate) ran TWICE
+    // per q104/q158 invocation (round-16 StageProbe: the two 7 s-cpuSum
+    // pair-agg stages and two document-scan stages, ~2 s wall of the
+    // warm 11.7 s). Eager, not lazy, because both branches sit in the
+    // same stage of the materializing job and a lazy persist lets their
+    // tasks race-compute the same source partitions (the measured
+    // degreeAssortativity A/B).
+    val p = pairs.localCheckpoint()
+    val edges = p.select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(p.select(col("v").as("src"), col("u").as("dst")))
       .localCheckpoint(false)
     val deg0 = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val degn = deg0
@@ -2032,7 +2044,7 @@ object TextOps {
     (edges, degn)
   }
 
-  private def prInit(degn: DataFrame): DataFrame =
+  private[graft] def prInit(degn: DataFrame): DataFrame =
     degn.select(col("doc_id"), col("deg"), col("n"),
       expr(s"$PR_Q div n").as("q"))
 
