@@ -363,7 +363,18 @@ object TextOps {
   }
 
   private[graft] def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val sh = cappedSh(s, dir)
+    // EAGER checkpoint of the capped shingle relation (round 16): it has
+    // FOUR consumers below (self-join a/b sides, sizes na/nb), and the
+    // executed plan duplicated the whole scan→explode→distinct→df-window
+    // subtree once per consumer — AQE's stage cache deduped only the two
+    // shuffle map legs, so one pairs build still scanned documents twice
+    // and ran the df window four times (plans/r16/q29_jaccard_pairs_
+    // before.txt). One materialization of (doc_id, sh) replaces all
+    // four; every jaccardPairs consumer (q29/q65/q102/q104/q148/q149/
+    // q158/q161/q167/q172/q181/q81…) inherits the win. Same trade as
+    // the degreeAssortativity r11 fix: storage for recompute, eager
+    // because the consumers race inside one job otherwise.
+    val sh = cappedSh(s, dir).localCheckpoint()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
     val shared = sh.as("a")
       .join(sh.as("b"),
