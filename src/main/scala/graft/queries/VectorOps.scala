@@ -151,8 +151,11 @@ object VectorOps {
 
   /** q35 core: best in-cell neighbor per vector (vec_id, cell, best, cos).
     * Vectors alone in their cell have no candidates and are absent. */
-  private def blockedRanked(s: SparkSession, dir: String): DataFrame = {
-    val a = emb(s, dir).withColumn("cell", quantCell)
+  private def blockedRanked(s: SparkSession, dir: String): DataFrame =
+    blockedRankedOf(emb(s, dir))
+
+  private def blockedRankedOf(base: DataFrame): DataFrame = {
+    val a = base.withColumn("cell", quantCell)
     val pairs = a.select(col("vec_id"), col("cell"), col("e"), col("nrm"))
       .as("a")
       .join(a.select(col("vec_id").as("bid"), col("cell"),
@@ -166,7 +169,10 @@ object VectorOps {
   }
 
   private[graft] def blockedBest(s: SparkSession, dir: String): DataFrame =
-    blockedRanked(s, dir)
+    blockedBestOf(emb(s, dir))
+
+  private def blockedBestOf(base: DataFrame): DataFrame =
+    blockedRankedOf(base)
       .where(col("rn") === 1)
       .select(col("vec_id"), col("cell"), col("bid").as("best"), col("cos"))
 
@@ -174,8 +180,11 @@ object VectorOps {
     * policy — each cell's candidates are its BLOCK_CAP smallest-id
     * vectors, bounding the hot-cell join at |cell|·BLOCK_CAP (SCALE.md
     * finding #3). Shares q51's recall eval as method 'blocked_capped'. */
-  private[graft] def cappedBlockedBest(s: SparkSession, dir: String): DataFrame = {
-    val a = emb(s, dir).withColumn("cell", quantCell)
+  private[graft] def cappedBlockedBest(s: SparkSession, dir: String): DataFrame =
+    cappedBlockedBestOf(emb(s, dir))
+
+  private def cappedBlockedBestOf(base: DataFrame): DataFrame = {
+    val a = base.withColumn("cell", quantCell)
     val reps = a
       .select(col("vec_id").as("bid"), col("cell"),
         col("e").as("be"), col("nrm").as("bn"))
@@ -201,7 +210,10 @@ object VectorOps {
     * sharing any band bucket of size 2..BUCKET_CAP; candidates verified
     * with the exact cosine; best = max (cos, then smallest id). */
   private def lshBest(s: SparkSession, dir: String): DataFrame =
-    lshScored(s, dir).select(explode(array(
+    lshBestOf(emb(s, dir))
+
+  private def lshBestOf(base: DataFrame): DataFrame =
+    lshScoredOf(base).select(explode(array(
         struct(col("da").as("vec_id"), col("db").as("other"), col("cos")),
         struct(col("db").as("vec_id"), col("da").as("other"), col("cos"))))
         .as("x"))
@@ -214,7 +226,10 @@ object VectorOps {
     * keeps its window-free max-struct form for the rn=1 case). Same
     * (cos desc, id) tie contract as every ranked core. */
   private def lshRanked(s: SparkSession, dir: String): DataFrame =
-    lshScored(s, dir).select(explode(array(
+    lshRankedOf(emb(s, dir))
+
+  private def lshRankedOf(base: DataFrame): DataFrame =
+    lshScoredOf(base).select(explode(array(
         struct(col("da").as("vec_id"), col("db").as("other"), col("cos")),
         struct(col("db").as("vec_id"), col("da").as("other"), col("cos"))))
         .as("x"))
@@ -226,8 +241,10 @@ object VectorOps {
     * (da < db, cos) whose members share any 2..BUCKET_CAP band bucket —
     * the candidate generator behind both q37 (best neighbor) and q75
     * (near-dup dedup). */
-  private def lshScored(s: SparkSession, dir: String): DataFrame = {
-    val base = emb(s, dir)
+  private def lshScored(s: SparkSession, dir: String): DataFrame =
+    lshScoredOf(emb(s, dir))
+
+  private def lshScoredOf(base: DataFrame): DataFrame = {
     val withBands = base.select((col("vec_id") +: col("e") +: col("nrm") +:
       (0 until BANDS).map { b =>
         (0 until BITS).map { j =>
@@ -321,9 +338,12 @@ object VectorOps {
     * per-query candidate count, makes the pruning measurable in the
     * output). Queries with no non-self candidate in any probed cell are
     * absent, as in q35/q37. */
-  private def ivfRanked(s: SparkSession, dir: String): DataFrame = {
+  private def ivfRanked(s: SparkSession, dir: String): DataFrame =
+    ivfRankedOf(s, dir, emb(s, dir))
+
+  private def ivfRankedOf(s: SparkSession, dir: String,
+      base: DataFrame): DataFrame = {
     val (k, np) = kmGeom(s, dir)
-    val base = emb(s, dir)
     // Cell ranking per vector; home (rn=1) ⊆ probes (rn≤np), so one
     // ranked pass serves both. Materialized: O(n·nprobe) id-only rows.
     val probes = rankCells(base.select(col("vec_id"), col("e")),
@@ -349,7 +369,11 @@ object VectorOps {
   }
 
   private def ivfBest(s: SparkSession, dir: String): DataFrame =
-    ivfRanked(s, dir)
+    ivfBestOf(s, dir, emb(s, dir))
+
+  private def ivfBestOf(s: SparkSession, dir: String,
+      base: DataFrame): DataFrame =
+    ivfRankedOf(s, dir, base)
       .where(col("rn") === 1)
       .select(col("vec_id"), col("bid").as("best"), col("cos"), col("n_cand"))
 
@@ -676,13 +700,17 @@ object VectorOps {
     * 64-dim dot on raw vectors (the asymmetric-distance trade that makes
     * 100 TB serving RAM-resident). Rank = (adq asc, bid) — exact
     * integer order. */
-  private def pqAdcRanked(s: SparkSession, dir: String): DataFrame = {
+  private def pqAdcRanked(s: SparkSession, dir: String): DataFrame =
+    pqAdcRankedOf(s, dir, emb(s, dir))
+
+  private def pqAdcRankedOf(s: SparkSession, dir: String,
+      base: DataFrame): DataFrame = {
     val (centsIdx, path) = pqIndex(s, dir)
     val (_, np) = kmGeom(s, dir)
     val (coarseCents, _) = ivfIndex(s, dir)
     val idx = s.read.schema("vec_id LONG, codes ARRAY<INT>, cell LONG")
       .parquet(path)
-    adcRanked(s, emb(s, dir), centsIdx, coarseCents, idx, np)
+    adcRanked(s, base, centsIdx, coarseCents, idx, np)
   }
 
   /** The shared IVFADC probe pipeline (q185's full-corpus probe and
@@ -722,7 +750,11 @@ object VectorOps {
   }
 
   private def pqBest(s: SparkSession, dir: String): DataFrame =
-    pqAdcRanked(s, dir).where(col("rn") === 1)
+    pqBestOf(s, dir, emb(s, dir))
+
+  private def pqBestOf(s: SparkSession, dir: String,
+      base: DataFrame): DataFrame =
+    pqAdcRankedOf(s, dir, base).where(col("rn") === 1)
       .select(col("vec_id"), col("bid").as("best"), col("adq"),
         col("n_cand"))
 
@@ -769,8 +801,10 @@ object VectorOps {
     * ranked per query (cos desc, then id). ONE definition so the
     * rounding/tie-break contract can never drift between the top-k query
     * and the recall truth it is measured against. */
-  private def bruteRanked(s: SparkSession, dir: String, nq: Int): DataFrame = {
-    val all = emb(s, dir)
+  private def bruteRanked(s: SparkSession, dir: String, nq: Int): DataFrame =
+    bruteRankedOf(emb(s, dir), nq)
+
+  private def bruteRankedOf(all: DataFrame, nq: Int): DataFrame = {
     val q = all.select(col("vec_id").as("qid"), col("e").as("qe"),
       col("nrm").as("qn")).where(col("qid") < nq)
     val scored = broadcast(q).crossJoin(all)
@@ -783,7 +817,10 @@ object VectorOps {
   }
 
   private[graft] def bruteBest(s: SparkSession, dir: String, nq: Int): DataFrame =
-    bruteRanked(s, dir, nq)
+    bruteBestOf(emb(s, dir), nq)
+
+  private def bruteBestOf(all: DataFrame, nq: Int): DataFrame =
+    bruteRankedOf(all, nq)
       .where(col("rn") === 1)
       .select(col("qid"), col("vec_id").as("tbest"))
 
@@ -1238,21 +1275,27 @@ object VectorOps {
       // ONE brute-force truth pass; both methods join onto it and the
       // per-method rows come from an explode, not a union (a union would
       // duplicate the expensive truth subtree in the physical plan).
-      val truth = bruteBest(s, dir, RECALL_Q)
+      // ONE embeddings base for all six arms (round 16): each arm used
+      // to re-derive emb() privately, so the eval re-scanned embeddings
+      // and re-computed the cast/norm map once per arm. Eager checkpoint
+      // (the jaccardPairs/degreeAssortativity discipline — the arms race
+      // inside the one final job otherwise).
+      val base = emb(s, dir).localCheckpoint()
+      val truth = bruteBestOf(base, RECALL_Q)
       val joined = truth
-        .join(blockedBest(s, dir).where(col("vec_id") < RECALL_Q)
+        .join(blockedBestOf(base).where(col("vec_id") < RECALL_Q)
           .select(col("vec_id").as("qid"), col("best").as("b_best")),
           Seq("qid"), "left")
-        .join(lshBest(s, dir).where(col("vec_id") < RECALL_Q)
+        .join(lshBestOf(base).where(col("vec_id") < RECALL_Q)
           .select(col("vec_id").as("qid"), col("best").as("l_best")),
           Seq("qid"), "left")
-        .join(ivfBest(s, dir).where(col("vec_id") < RECALL_Q)
+        .join(ivfBestOf(s, dir, base).where(col("vec_id") < RECALL_Q)
           .select(col("vec_id").as("qid"), col("best").as("i_best")),
           Seq("qid"), "left")
-        .join(cappedBlockedBest(s, dir).where(col("vec_id") < RECALL_Q)
+        .join(cappedBlockedBestOf(base).where(col("vec_id") < RECALL_Q)
           .select(col("vec_id").as("qid"), col("best").as("c_best")),
           Seq("qid"), "left")
-        .join(pqBest(s, dir).where(col("vec_id") < RECALL_Q)
+        .join(pqBestOf(s, dir, base).where(col("vec_id") < RECALL_Q)
           .select(col("vec_id").as("qid"), col("best").as("p_best")),
           Seq("qid"), "left")
       joined.select(col("tbest"), explode(array(
@@ -1301,7 +1344,9 @@ object VectorOps {
     // the one-sided bounds), which is exactly what this query is for.
     "q125_ranking_quality" -> ((s, dir) => {
       import s.implicits._
-      val grades = bruteRanked(s, dir, RECALL_Q)
+      // shared eager-checkpointed embeddings base — the q51 discipline
+      val base = emb(s, dir).localCheckpoint()
+      val grades = bruteRankedOf(base, RECALL_Q)
         .where(col("rn") <= NDCG_K)
         .select(col("qid").as("gqid"), col("vec_id").as("gvid"),
           (lit(NDCG_K + 1) - col("rn")).cast("int").as("grade"))
@@ -1309,10 +1354,10 @@ object VectorOps {
         d.where(col(id) < RECALL_Q && col("rn") <= NDCG_K)
           .select(lit(m).as("method"), col(id).as("qid"),
             col(nbr).as("bid"), col("rn").cast("int").as("pos"))
-      val meth = cut(blockedRanked(s, dir), "vec_id", "bid", "blocked")
-        .unionByName(cut(ivfRanked(s, dir), "vec_id", "bid", "ivf"))
-        .unionByName(cut(lshRanked(s, dir), "vec_id", "other", "lsh"))
-        .unionByName(cut(pqAdcRanked(s, dir), "vec_id", "bid", "pq"))
+      val meth = cut(blockedRankedOf(base), "vec_id", "bid", "blocked")
+        .unionByName(cut(ivfRankedOf(s, dir, base), "vec_id", "bid", "ivf"))
+        .unionByName(cut(lshRankedOf(base), "vec_id", "other", "lsh"))
+        .unionByName(cut(pqAdcRankedOf(s, dir, base), "vec_id", "bid", "pq"))
       val hit = meth.join(grades,
           col("qid") === col("gqid") && col("bid") === col("gvid"), "left")
         .select(col("method"), col("qid"), col("pos"),
@@ -1323,9 +1368,9 @@ object VectorOps {
         .agg(sum(col("rel") * expr(DISC_CASE)).as("dcg"),
           max(col("is_best")).as("found"),
           max(when(col("is_best") === 1, expr(RR_CASE))).as("rr"))
-      val base = grades.select(col("gqid").as("qid")).distinct()
+      val grid = grades.select(col("gqid").as("qid")).distinct()
         .crossJoin(Seq("blocked", "ivf", "lsh", "pq").toDF("method"))
-      base.join(perq, Seq("method", "qid"), "left")
+      grid.join(perq, Seq("method", "qid"), "left")
         .groupBy("method")
         .agg(count(lit(1)).as("n_queries"),
           round(sum(coalesce(col("found"), lit(0))).cast("double") /
