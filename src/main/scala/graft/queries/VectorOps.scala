@@ -151,6 +151,16 @@ object VectorOps {
 
   /** q35 core: best in-cell neighbor per vector (vec_id, cell, best, cos).
     * Vectors alone in their cell have no candidates and are absent. */
+  // Round-16 measured rule for the standalone (s, dir) wrappers: the
+  // 3-reference bodies whose references are EXPENSIVE subtrees
+  // (lshScored's banded-signature pass, ivfRanked's probe+home joins,
+  // pqAdcRanked's LUT+probe passes) eagerly checkpoint the emb() base —
+  // q69 3.50->2.03 s, q75 2.68->1.32 s at sf0.1. The 2-reference
+  // blocked/capped arms and the lshBest/lshRanked heads measured flat
+  // to slightly WORSE with a checkpoint (q142 +0.15 s) — their second
+  // reference rides an AQE broadcast of a cheap subtree — so they stay
+  // checkpoint-free (bench_only_sf0.1_r16_wrapckpt.json). q51/q125 pass
+  // their own shared checkpoint, so the Of variants never re-checkpoint.
   private def blockedRanked(s: SparkSession, dir: String): DataFrame =
     blockedRankedOf(emb(s, dir))
 
@@ -242,7 +252,7 @@ object VectorOps {
     * the candidate generator behind both q37 (best neighbor) and q75
     * (near-dup dedup). */
   private def lshScored(s: SparkSession, dir: String): DataFrame =
-    lshScoredOf(emb(s, dir))
+    lshScoredOf(emb(s, dir).localCheckpoint())
 
   private def lshScoredOf(base: DataFrame): DataFrame = {
     val withBands = base.select((col("vec_id") +: col("e") +: col("nrm") +:
@@ -339,7 +349,7 @@ object VectorOps {
     * output). Queries with no non-self candidate in any probed cell are
     * absent, as in q35/q37. */
   private def ivfRanked(s: SparkSession, dir: String): DataFrame =
-    ivfRankedOf(s, dir, emb(s, dir))
+    ivfRankedOf(s, dir, emb(s, dir).localCheckpoint())
 
   private def ivfRankedOf(s: SparkSession, dir: String,
       base: DataFrame): DataFrame = {
@@ -369,7 +379,7 @@ object VectorOps {
   }
 
   private def ivfBest(s: SparkSession, dir: String): DataFrame =
-    ivfBestOf(s, dir, emb(s, dir))
+    ivfBestOf(s, dir, emb(s, dir).localCheckpoint())
 
   private def ivfBestOf(s: SparkSession, dir: String,
       base: DataFrame): DataFrame =
@@ -701,7 +711,7 @@ object VectorOps {
     * 100 TB serving RAM-resident). Rank = (adq asc, bid) — exact
     * integer order. */
   private def pqAdcRanked(s: SparkSession, dir: String): DataFrame =
-    pqAdcRankedOf(s, dir, emb(s, dir))
+    pqAdcRankedOf(s, dir, emb(s, dir).localCheckpoint())
 
   private def pqAdcRankedOf(s: SparkSession, dir: String,
       base: DataFrame): DataFrame = {
@@ -750,7 +760,7 @@ object VectorOps {
   }
 
   private def pqBest(s: SparkSession, dir: String): DataFrame =
-    pqBestOf(s, dir, emb(s, dir))
+    pqBestOf(s, dir, emb(s, dir).localCheckpoint())
 
   private def pqBestOf(s: SparkSession, dir: String,
       base: DataFrame): DataFrame =
