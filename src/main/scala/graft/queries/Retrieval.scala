@@ -572,10 +572,14 @@ object Retrieval {
     * locality audit time the IDENTICAL stream. Output keeps the x/y
     * qualifiers the downstream aggregate expects. */
   private[graft] def q123FanOut(s: SparkSession, dir: String): DataFrame = {
+    // eager checkpoint: p feeds both self-join sides (round-16 audit —
+    // the un-checkpointed form re-planned the shingle+windows subtree
+    // per side; jaccardPairs discipline)
     val p = TextOps.shingles(docs(s, dir))
       .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
       .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
       .where(col("df") <= CONTAIN_DF_CAP)
+      .localCheckpoint()
     p.as("x").join(p.as("y"),
       col("x.sh") === col("y.sh") &&
         col("x.doc_id") =!= col("y.doc_id"))
@@ -791,7 +795,9 @@ object Retrieval {
     // join back to positions, then per-doc windows. Every doc appears
     // in the output (sub-3-token docs as all-zero rows).
     "q122_duplicate_spans" -> ((s, dir) => {
-      val sp = posShingles(docs(s, dir))
+      // eager checkpoint: sp feeds the df-filter AND the runs join (the
+      // round-16 jaccardPairs discipline — the plan scanned documents 3x)
+      val sp = posShingles(docs(s, dir)).localCheckpoint()
       val dup = sp.select(col("doc_id"), col("sh")).distinct()
         .withColumn("dfd", count(lit(1)).over(Window.partitionBy("sh")))
         .where(col("dfd") >= 2)
@@ -844,12 +850,15 @@ object Retrieval {
     // pass treats boilerplate separately (q88). The capped-shingle drop
     // count is reported in SCALE.md (no-silent-caps convention).
     "q139_repeated_spans" -> ((s, dir) => {
-      val sp = posShingles(docs(s, dir))
+      // eager checkpoints: sp feeds the posting filter AND the occurrence
+      // join; occ feeds BOTH self-join sides — un-checkpointed, the plan
+      // scanned documents 4x (round-16 audit, jaccardPairs discipline)
+      val sp = posShingles(docs(s, dir)).localCheckpoint()
       val post = sp.select(col("doc_id"), col("sh")).distinct()
         .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
         .where(col("df") <= SPAN_DF_CAP)
         .select("doc_id", "sh")
-      val occ = sp.join(post, Seq("doc_id", "sh"))
+      val occ = sp.join(post, Seq("doc_id", "sh")).localCheckpoint()
       val m = occ.as("a").join(occ.as("b"),
           col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),

@@ -347,7 +347,10 @@ object TextOps {
     * the ScaleDebug fan-out-locality audit (SCALE.md #10) so the audit
     * times the EXACT shipped subtree. */
   private def cappedSh(s: SparkSession, dir: String): DataFrame =
-    shingles(docs(s, dir))
+    cappedShOf(shingles(docs(s, dir)))
+
+  private def cappedShOf(shBase: DataFrame): DataFrame =
+    shBase
       .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
       .where(col("df") <= DF_CAP)
       .select("doc_id", "sh")
@@ -362,7 +365,14 @@ object TextOps {
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
   }
 
-  private[graft] def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def jaccardPairs(s: SparkSession, dir: String): DataFrame =
+    jaccardPairsOf(shingles(docs(s, dir)))
+
+  /** Base-parameterized form (round 16): q130 shares ONE checkpointed
+    * distinct-shingle relation between this exact-truth chain and the
+    * minhash candidate chain — separately built, the two chains re-ran
+    * the scan+explode+distinct pass each (measured +1.0 s at sf0.1). */
+  private[graft] def jaccardPairsOf(shBase: DataFrame): DataFrame = {
     // EAGER checkpoint of the capped shingle relation (round 16): it has
     // FOUR consumers below (self-join a/b sides, sizes na/nb), and the
     // executed plan duplicated the whole scan→explode→distinct→df-window
@@ -374,7 +384,7 @@ object TextOps {
     // q158/q161/q167/q172/q181/q81…) inherits the win. Same trade as
     // the degreeAssortativity r11 fix: storage for recompute, eager
     // because the consumers race inside one job otherwise.
-    val sh = cappedSh(s, dir).localCheckpoint()
+    val sh = cappedShOf(shBase).localCheckpoint()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
     val shared = sh.as("a")
       .join(sh.as("b"),
@@ -426,15 +436,25 @@ object TextOps {
     * the banded, bucket-capped, per-doc-top-8 candidate pairs. Returned
     * as a triple so q27's verify stage keeps consuming the SAME
     * subtrees (ReuseExchange dedupes the distinct exchange). */
-  private def mhStage(s: SparkSession, dir: String)
-      : (DataFrame, DataFrame, DataFrame) = {
+  private def mhStage(s: SparkSession, dir: String,
+      shareSh: Boolean = true): (DataFrame, DataFrame, DataFrame) =
+    mhStageOf(shingles(docs(s, dir)), shareSh)
+
+  private def mhStageOf(shBase: DataFrame,
+      shareSh: Boolean): (DataFrame, DataFrame, DataFrame) = {
     // The distinct shingle set feeds three consumers (signatures+sizes,
-    // both sides of the verify join). No cache: the three subtrees end
-    // in the IDENTICAL distinct exchange, so ReuseExchange materializes
-    // the shuffle once — same effect as .cache() without pinning
-    // executor storage for the session lifetime (ADVICE r3).
-    val sh = shingles(docs(s, dir))
-      .withColumn("hb", mhBase(col("sh")))
+    // both sides of the verify join). The ADVICE-r3 assumption that
+    // ReuseExchange would materialize the distinct exchange once did
+    // not survive the round-16 plan audit: as in q29 (see jaccardPairs),
+    // consumer-specific implied filters split the legs and the executed
+    // q27 plan scanned documents FIVE times. Eager checkpoint of the
+    // hashed shingle relation — one scan+explode+distinct+md5 pass for
+    // every consumer (the jaccardPairs discipline).
+    // shareSh = false (q130): that caller consumes ONLY the candidate
+    // chain, which references sh once — an eager checkpoint there is a
+    // pure extra materialization pass (measured +1.3 s at sf0.1).
+    val sh0 = shBase.withColumn("hb", mhBase(col("sh")))
+    val sh = if (shareSh) sh0.localCheckpoint() else sh0
     val ms = (0 until 16).map(j =>
       min((lit(mhA(j)) * col("hb") + lit(mhB(j))) % MH_P).as(s"m$j"))
     // ONE per-doc aggregation carries both the 16-slot signature and the
@@ -688,8 +708,13 @@ object TextOps {
     // the metric join is |truth| × 4 thresholds.
     "q130_dedup_quality" -> ((s, dir) => {
       import s.implicits._
-      val (_, _, cand) = mhStage(s, dir)
-      val truth = jaccardPairs(s, dir)
+      // ONE checkpointed distinct-shingle base for BOTH chains (see
+      // jaccardPairsOf): candidate generation references it once (no
+      // inner checkpoint), the truth chain caps+checkpoints its own
+      // 4-consumer view of it.
+      val shBase = shingles(docs(s, dir)).localCheckpoint()
+      val (_, _, cand) = mhStageOf(shBase, shareSh = false)
+      val truth = jaccardPairsOf(shBase)
       val ct = truth.join(cand.withColumn("isc", lit(true)),
           Seq("da", "db"), "left")
         .select(col("jaccard"), coalesce(col("isc"), lit(false)).as("isc"))
