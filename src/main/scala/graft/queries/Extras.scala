@@ -53,6 +53,23 @@ object Extras {
     * q110's exact `countDistinct` form plans an Expand (≈4× row
     * multiplication of the full scan) because each DISTINCT needs its own
     * de-dup grouping — that is the cost this twin removes at 100 TB. */
+
+  /** Spread a CPU-heavy aggregation's input when the scan arrived
+    * NARROW (round 16): every testdata parquet file is a single row
+    * group, so Spark cannot split it and the Expand×5 distinct-profile
+    * map stage ran on ONE core (StageProbe q110: a 2.2 s serial stage
+    * inside a 3.3 s query). Guide §2.5's unsplittable-input remedy —
+    * repartition right after the read — applied CONDITIONALLY: a scan
+    * already at least half as wide as the session's shuffle width (any
+    * real multi-file/multi-row-group table) is left untouched, so no
+    * extra exchange ever appears at cluster scale. Round-robin is safe
+    * here: every consumer below is an order-free aggregate. */
+  private def spreadNarrowScan(df: DataFrame): DataFrame = {
+    val width = df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt
+    if (df.rdd.getNumPartitions * 2 < width) df.repartition(width) else df
+  }
+
   private[graft] def approxStats(df: DataFrame, cols: Seq[String]): DataFrame = {
     val aggs = cols.flatMap { c =>
       Seq(count(col(c)).as(s"n_$c"),
@@ -82,7 +99,8 @@ object Extras {
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
       val approx = approxStats(Tables(s, dir).lineitem, cols)
       val exactAggs = cols.map(c => countDistinct(col(c)).as(s"nd_$c"))
-      val exact = Tables(s, dir).lineitem.agg(exactAggs.head, exactAggs.tail: _*)
+      val exact = spreadNarrowScan(Tables(s, dir).lineitem)
+        .agg(exactAggs.head, exactAggs.tail: _*)
       val stackExpr = cols.map(c =>
         s"'$c', n_$c, nd_$c, mn_$c, mx_$c, av_$c, " +
           s"cast(abs(ad_$c - nd_$c) <= ceil(cast(0.05 as double) * nd_$c) " +
@@ -269,7 +287,8 @@ object Extras {
             .cast("double") / count(col(c)).cast("double"), 6)
             .as(s"av_$c"))
       }
-      val one = Tables(s, dir).lineitem.agg(aggs.head, aggs.tail: _*)
+      val one = spreadNarrowScan(Tables(s, dir).lineitem)
+        .agg(aggs.head, aggs.tail: _*)
       val stackExpr = cols.map(c =>
         s"'$c', n_$c, nn_$c, nd_$c, mn_$c, mx_$c, av_$c").mkString(", ")
       one.selectExpr(
