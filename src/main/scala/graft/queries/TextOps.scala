@@ -1618,15 +1618,16 @@ object TextOps {
           .orderBy(col("pair_count").desc, col("a"), col("b"))
           .limit(1)
           .localCheckpoint(false)
-        // Fail loud on a degenerate corpus (ADVICE r8 #2): with no pair
-        // left, the bestSym crossJoin below would silently annihilate the
-        // token state and truncate the merge table — and the oracle's
-        // identical truncation would keep the hash green. Same discipline
-        // as pageRankConverged/starContraction: never a silent partial.
-        // head(1) doubles as the action materializing the lazy checkpoint.
-        if (best.head(1).isEmpty) throw new IllegalStateException(
-          s"q143: no adjacent symbol pair left at round $r of " +
-            s"$BPE_ROUNDS — corpus exhausted; lower BPE_ROUNDS")
+        // Fail-loud on a degenerate corpus (ADVICE r8 #2) moved to ONE
+        // post-loop action (round 16): the per-round best.head(1) forced
+        // eight sequential driver round-trips on a loop whose rounds have
+        // no other driver dependency (best flows into the next round as a
+        // broadcast FRAME, not a literal) — the warm q143 profile was
+        // ~4.2 s of almost pure per-round scheduling. An empty round-r
+        // best makes the bestSym crossJoin annihilate the token state and
+        // every later merge row, so merge-table count < BPE_ROUNDS is an
+        // equivalent (and still loud) detector — checked below, after the
+        // loop, with a single action.
         val m = prs
           .join(broadcast(best),
             col("sym") === col("a") && col("nxt") === col("b"))
@@ -1657,7 +1658,13 @@ object TextOps {
           col("a").as("left_sym"), col("b").as("right_sym"),
           col("pair_count"))
       }
-      (merges.result().reduce(_ unionByName _), toks)
+      val mt = merges.result().reduce(_ unionByName _).localCheckpoint(false)
+      val nMerges = mt.count()
+      if (nMerges != BPE_ROUNDS) throw new IllegalStateException(
+        s"q143: only $nMerges of $BPE_ROUNDS merge rounds produced a " +
+          "pair — corpus exhausted; lower BPE_ROUNDS (see the degenerate-" +
+          "corpus note above)")
+      (mt, toks)
   }
 
   /** Second half of the catalog Map — split only because the bpeTrain
