@@ -209,9 +209,20 @@ object Components {
          (col("db_") === col("dc_") && col("b") < col("c"))))
       .select(col("s").as("a"), col("b"), col("c"))
     val closing = oriented.select(col("s").as("b2"), col("t").as("c2"))
+    // EAGER checkpoint of the enumerated triangle list (round 16): the
+    // per-corner credit below references tri THREE times, and the
+    // column pruning each branch pushes down (a vs b vs c) makes the
+    // three wedge-join subtrees DIFFER at the exchange level, so
+    // neither ReuseExchange nor AQE's stage cache dedupes them — the
+    // static plan enumerated every triangle 3× (plans/r16/
+    // q148_triangle_count_before.txt). Eager, not lazy, because all
+    // three branches sit in the same final job (the q161 race-compute
+    // lesson). The materialized frame is triangle-sized — bounded by
+    // the wedge census, far below the edge list it came from.
     val tri = wedges.join(closing,
         col("b") === col("b2") && col("c") === col("c2"))
       .select("a", "b", "c")
+      .localCheckpoint()
     tri.select(col("a").as("doc_id"))
       .unionByName(tri.select(col("b").as("doc_id")))
       .unionByName(tri.select(col("c").as("doc_id")))
