@@ -65,16 +65,20 @@ object Affinity {
   /** ScaleDebug-only (SCALE.md #10 audit): q150's fan-out stream exactly
     * as the (i, j) pair aggregate consumes it — the capped-basket
     * self-join output, pre-aggregation. Also the catalog query's own
-    * pair subtree (one definition; ReuseExchange dedups the shared
-    * basket build at execution). */
+    * pair subtree (one definition, base-parameterized round 16 — the
+    * house `…Of(base)` pattern — so the catalog query can feed both
+    * self-join sides and its support counts from ONE materialized
+    * basket relation; the old per-call build planned the events
+    * scan+distinct+cap subtree four times, and the i/j column pruning
+    * kept AQE's stage cache from deduping the legs). */
   private[graft] def q150FanOutDebug(s: SparkSession, dir: String)
-      : DataFrame = {
-    val cb = cappedBaskets(s, dir)
+      : DataFrame = q150FanOutDebugOf(cappedBaskets(s, dir))
+
+  private[graft] def q150FanOutDebugOf(cb: DataFrame): DataFrame =
     cb.select(col("user_id"), col("item").as("i"))
       .join(cb.select(col("user_id"), col("item").as("j")), "user_id")
       .where(col("i") < col("j"))
       .select("i", "j")
-  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -87,10 +91,19 @@ object Affinity {
     // (n_both DESC, co_item) — pure integers, no float rank risk; the
     // rounded jaccard is carried as a payload column only.
     "q150_item_cooccurrence" -> ((s, dir) => {
-      val cb = cappedBaskets(s, dir)
+      // ONE eager cut of the capped-basket relation (round 16): the
+      // support aggregate and BOTH self-join sides read it — the old
+      // per-consumer rebuild planned the events scan+distinct+cap
+      // subtree 4× (12 scans / 24 exchanges in the static plan). Same
+      // defect class as prGraph/triangleCounts, same remedy.
+      val cb = cappedBaskets(s, dir).localCheckpoint()
       val supp = cb.groupBy("item").agg(count(lit(1)).as("n_item"))
-      val pr = q150FanOutDebug(s, dir)
+      // the symmetrizing union references the pair aggregate twice and
+      // its i/j pruning splits the legs for the stage cache — cut it
+      // once too (bounded by C(CAP,2)·|users|, far below the fan-out)
+      val pr = q150FanOutDebugOf(cb)
         .groupBy("i", "j").agg(count(lit(1)).as("n_both"))
+        .localCheckpoint()
       val sym = pr.select(col("i").as("item"), col("j").as("co_item"),
           col("n_both"))
         .unionByName(pr.select(col("j").as("item"), col("i").as("co_item"),
