@@ -910,8 +910,12 @@ object VectorOps {
         .schema("vec_id LONG, e ARRAY<DOUBLE>, nrm DOUBLE, cell LONG")
         .parquet(path)
       // probe = the shared width-pinned scorer (rationale + the round-15
-      // sf1 measurement at its definition)
-      ivfProbeBest(s, emb(s, dir), idx, cents, np).orderBy("vec_id")
+      // sf1 measurement at its definition); the query base is cut ONCE
+      // (round 16) — ivfProbeBest references it twice (cell ranking +
+      // pair join) and the static plan re-derived the cast+norm emb()
+      // map per reference (4 embeddings scans, q69's defect class)
+      ivfProbeBest(s, emb(s, dir).localCheckpoint(), idx, cents, np)
+        .orderBy("vec_id")
     }),
 
     // PQ BUILD (round 15) — the vector-serving form the q68/q69/q78/q99
@@ -986,7 +990,10 @@ object VectorOps {
     // persisted q78 index; pair stage carries the round-15 width pin.
     "q188_ann_nprobe_sweep" -> ((s, dir) => {
       import s.implicits._
-      val base = emb(s, dir)
+      // ONE eager cut feeds the query side (2 references) AND the brute
+      // truth pass (2 more) — the q51/q125 shared-base treatment; the
+      // static plan scanned embeddings 6× before (round 16)
+      val base = emb(s, dir).localCheckpoint()
       val (cents, path) = ivfIndex(s, dir)
       val idx = s.read
         .schema("vec_id LONG, e ARRAY<DOUBLE>, nrm DOUBLE, cell LONG")
@@ -1020,7 +1027,7 @@ object VectorOps {
               col(s"c$np").as("n_cand"))): _*)).as("r"))
         .select(col("qid"), col("r.nprobe").as("nprobe"),
           (-col("r.nb")).as("best"), col("r.n_cand").as("n_cand"))
-      bruteBest(s, dir, RECALL_Q)
+      bruteBestOf(base, RECALL_Q)
         .crossJoin(broadcast(SWEEP_NPS.toDF("nprobe")))
         .join(perNp, Seq("qid", "nprobe"), "left")
         .groupBy("nprobe")
@@ -1049,7 +1056,8 @@ object VectorOps {
     // every build-time gate stays green). Pair stage carries the
     // round-15 width pin.
     "q189_ivf_incremental" -> ((s, dir) => {
-      val all = emb(s, dir)
+      // one eager cut for probe queries + brute truth (the q188 story)
+      val all = emb(s, dir).localCheckpoint()
       val (cents, path, np) = grownIvfIndex(s, dir)
       val idx = s.read
         .schema("vec_id LONG, e ARRAY<DOUBLE>, nrm DOUBLE, cell LONG")
@@ -1057,7 +1065,7 @@ object VectorOps {
       val best = ivfProbeBest(s, all.where(col("vec_id") < RECALL_Q),
           idx, cents, np)
         .select(col("vec_id").as("qid"), col("best"), col("n_cand"))
-      bruteBest(s, dir, RECALL_Q)
+      bruteBestOf(all, RECALL_Q)
         .withColumn("truth_part",
           when(col("tbest") % INC_MOD === INC_REM, lit("delta"))
             .otherwise(lit("base")))
@@ -1085,7 +1093,8 @@ object VectorOps {
     // delta vector (drop the appended codes and the delta row craters
     // to 0 while every build-time gate stays green).
     "q193_pq_incremental" -> ((s, dir) => {
-      val all = emb(s, dir)
+      // one eager cut for probe queries + brute truth (the q188 story)
+      val all = emb(s, dir).localCheckpoint()
       val (coarseCents, _, np) = grownIvfIndex(s, dir)
       val (centsIdx, path) = grownPqIndex(s, dir)
       val idx = s.read.schema("vec_id LONG, codes ARRAY<INT>, cell LONG")
@@ -1095,7 +1104,7 @@ object VectorOps {
         .where(col("rn") === 1)
         .select(col("vec_id").as("qid"), col("bid").as("best"),
           col("n_cand"))
-      bruteBest(s, dir, RECALL_Q)
+      bruteBestOf(all, RECALL_Q)
         .withColumn("truth_part",
           when(col("tbest") % INC_MOD === INC_REM, lit("delta"))
             .otherwise(lit("base")))
