@@ -64,7 +64,7 @@ object Extras {
     * real multi-file/multi-row-group table) is left untouched, so no
     * extra exchange ever appears at cluster scale. Round-robin is safe
     * here: every consumer below is an order-free aggregate. */
-  private def spreadNarrowScan(df: DataFrame): DataFrame = {
+  private[graft] def spreadNarrowScan(df: DataFrame): DataFrame = {
     val width = df.sparkSession.conf
       .get("spark.sql.shuffle.partitions", "32").toInt
     if (df.rdd.getNumPartitions * 2 < width) df.repartition(width) else df

@@ -200,9 +200,15 @@ object TextOps {
   private[graft] def vocabGrowth(s: SparkSession, d0: DataFrame,
       slab: Long, ladderPts: Seq[Long]): DataFrame = {
     import s.implicits._
+    // eager cut (round 16): three consumers (slab offsets, doc offsets,
+    // the corpus total) read this doc-count-sized frame, and each copy
+    // re-planned the d0 scan + the n-gram transform underneath — 4
+    // tokenize passes in q173's static plan (3 here + firstPos), 2
+    // after. Three longs per doc at any scale.
     val perDoc = d0.select(col("doc_id"),
       size(col("toks")).cast("long").as("n"),
       expr(s"doc_id div $slab").as("slab"))
+      .localCheckpoint()
     val slabOff = perDoc.groupBy("slab").agg(sum("n").as("sn"))
       .withColumn("soff", coalesce(sum("sn").over(
         Window.orderBy("slab")
@@ -1871,7 +1877,13 @@ object TextOps {
     // are cut.
     "q173_vocab_growth" -> ((s, dir) => {
       import s.implicits._
-      val d0 = docs(s, dir)
+      // spread the raw scan BEFORE tokenizing (round 16): documents
+      // arrives as one unsplittable row group locally, so the trigram
+      // transform + distinct-explode ran on ONE core (0.96 s of the
+      // 2.7 s warm profile). Conditional — a wide cluster scan is
+      // untouched; all consumers are order-free (guide §2.5).
+      val d0 = Extras.spreadNarrowScan(docs(s, dir)
+          .select(col("doc_id"), col("text")))
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .select(col("doc_id"), when(size(col("toks")) >= 3,
           transform(sequence(lit(1), size(col("toks")) - 2),
