@@ -719,7 +719,14 @@ object TextOps {
       // inner checkpoint), the truth chain caps+checkpoints its own
       // 4-consumer view of it.
       val shBase = shingles(docs(s, dir)).localCheckpoint()
-      val (_, _, cand) = mhStageOf(shBase, shareSh = false)
+      // the candidate set has TWO consumers here (the metric join and
+      // the n_cand count) and shareSh=false removed the chain's inner
+      // cut, so both references re-planned the whole signature+banding
+      // chain — the r16 mid-sweep caught the 2.34 → 3.87 s regression.
+      // Cut the SMALL end product once instead (candidate pairs, capped
+      // upstream), keeping the single-consumer chain uncheckpointed.
+      val (_, _, cand0) = mhStageOf(shBase, shareSh = false)
+      val cand = cand0.localCheckpoint()
       val truth = jaccardPairsOf(shBase)
       val ct = truth.join(cand.withColumn("isc", lit(true)),
           Seq("da", "db"), "left")
