@@ -178,12 +178,20 @@ object Components {
     * q65 lesson), and the oriented edge list is lazily checkpointed
     * because the wedge join reads it twice and the closing join a third
     * time. Output: (doc_id, n_tri) for every node in ≥ 1 triangle. */
-  private[graft] def triangleCounts(pairs: DataFrame): DataFrame = {
-    val edges = Fixpoint.checkpointFresh(pairs
+  private[graft] def triangleCounts(pairs: DataFrame): DataFrame =
+    triangleCountsOf(Fixpoint.checkpointFresh(pairs
       .select(least(col("u"), col("v")).as("u"),
         greatest(col("u"), col("v")).as("v"))
       .where(col("u") =!= col("v"))
-      .distinct())
+      .distinct()))
+
+  /** Census body over edges the CALLER already normalized (u < v,
+    * deduped) and materialized — the house `…Of(base)` form (round 16):
+    * clusteringCoeff checkpoints exactly this relation for its own
+    * degree aggregate, and the entry cut above re-shuffled and
+    * re-materialized it a second time when called through the (pairs)
+    * wrapper. q148 keeps the wrapper (its caller hands raw pairs). */
+  private[graft] def triangleCountsOf(edges: DataFrame): DataFrame = {
     val deg = undirected(edges)
       .groupBy(col("u").as("x")).agg(count(lit(1)).as("d"))
     val withDeg = edges

@@ -1916,7 +1916,9 @@ object TextOps {
         greatest(col("u"), col("v")).as("v"))
       .where(col("u") =!= col("v"))
       .distinct())
-    val tri = Components.triangleCounts(pairs)
+    // …Of form (round 16): pairs IS the census's normalized edge
+    // relation — the (pairs) wrapper re-shuffled and re-materialized it
+    val tri = Components.triangleCountsOf(pairs)
     val deg = pairs.select(col("u").as("doc_id"))
       .unionByName(pairs.select(col("v").as("doc_id")))
       .groupBy("doc_id").agg(count(lit(1)).as("deg"))
